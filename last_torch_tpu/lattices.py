@@ -1,0 +1,685 @@
+# Copyright 2026.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+
+"""Recognition lattice, TPU-native.
+
+Rebuild of the reference ``last_torch/lattices.py`` designed for XLA:
+
+* Every per-frame / per-label Python loop of the reference
+  (``lattices.py:830-906``) is a ``jax.lax.scan`` — one compiled program, no
+  per-step Python dispatch.
+* The forward scan body is rematerialized (``jax.checkpoint`` with a
+  nothing-saveable policy), so reverse-mode autodiff stores only the O(B*S)
+  alpha carries per frame and recomputes the O(B*S*V) arc weights — the remat
+  policy the reference sketched but never wired up (``lattices.py:464-476``,
+  SURVEY §2.2-Q5).
+* The globally-normalized denominator uses a working ``jax.custom_vjp``
+  forward-backward: forward = scan saving alpha only, backward = reverse scan
+  computing arc marginals with ``alignment.backward`` and accumulating weight
+  function gradients via per-frame VJPs — the design the reference documents
+  (``lattices.py:531-557,695-721``) but leaves broken (SURVEY §2.2-Q3).
+* Viterbi decoding differentiates the MaxTropical shortest distance with
+  respect to a zero-valued lexical mask; the one-hot tie-broken tropical
+  gradients identify exactly one best path (``lattices.py:219-247``).
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Callable, Sequence
+from typing import Any, Generic, Optional, Protocol, TypeVar
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from last_torch_tpu import alignments
+from last_torch_tpu import contexts
+from last_torch_tpu import semirings
+from last_torch_tpu import weight_fns
+
+DType = Any
+T = TypeVar('T')
+
+# A callable lifting plain arc weight arrays into semiring values, enabling
+# tuple-valued semirings (e.g. Expectation for entropy computation) to run
+# through the shortest-distance machinery. None means identity.
+WeightLift = Optional[Callable[[jnp.ndarray], Any]]
+
+
+class RecognitionLattice(Generic[T]):
+  """Recognition lattice in GNAT-style formulation and operations over it.
+
+  A RecognitionLattice provides operations used in training and inference,
+  such as computing the negative-log-probability loss, or finding the
+  highest scoring alignment path.
+
+  Following the GNAT formulation, three modelling components combine to
+  define a RecognitionLattice:
+  - Context dependency: the finite automaton modelling output history
+    (``last_torch_tpu.contexts.ContextDependency``).
+  - Alignment lattice: the finite automaton modelling the alignment between
+    input frames and output labels
+    (``last_torch_tpu.alignments.TimeSyncAlignmentLattice``).
+  - Weight function: the neural network producing arc weights from any
+    context state given an input frame (``last_torch_tpu.weight_fns``).
+
+  Given ``T`` input frames, the recognition lattice is the automaton with
+  states (t, a, c) for alignment state a and context state c; blank arcs
+  (t, a, c) --blank-> (t', a', c) and lexical arcs
+  (t, a, c) --y-> (t', a', c') following the alignment lattice and the
+  context dependency respectively; and arc weights produced by the weight
+  function from the t-th frame and context state c (weight functions are
+  alignment-state-invariant, reference ``lattices.py:70-77``).
+
+  A RecognitionLattice is either locally or globally normalized:
+  - Locally normalized: uses ``weight_fns.LocallyNormalizedWeightFn``; arc
+    weights out of each state sum to 1 after exp, so the loss is just the
+    negated numerator.
+  - Globally normalized: any other WeightFn; path weights are normalized by
+    the log-partition function (denominator) computed over all paths.
+
+  Unlike the reference (an ``nn.Module``), parameters are an explicit pytree
+  created by ``init`` and passed to every method — the idiomatic JAX
+  arrangement that makes ``jax.jit`` / ``jax.grad`` / sharding trivial.
+
+  Attributes:
+    context: Context dependency.
+    alignment: Alignment lattice.
+    weight_fn_cacher: WeightFnCacher built by ``weight_fn_cacher_factory``.
+    weight_fn: WeightFn built by ``weight_fn_factory``.
+  """
+
+  def __init__(
+      self, context: contexts.ContextDependency,
+      alignment: alignments.TimeSyncAlignmentLattice,
+      weight_fn_cacher_factory: Callable[[contexts.ContextDependency],
+                                         weight_fns.WeightFnCacher[T]],
+      weight_fn_factory: Callable[[contexts.ContextDependency],
+                                  weight_fns.WeightFn[T]]):
+    self.context = context
+    self.alignment = alignment
+    self.weight_fn_cacher = weight_fn_cacher_factory(context)
+    self.weight_fn = weight_fn_factory(context)
+
+  # -------------------------------------------------------------------
+  # Parameter / cache management.
+  # -------------------------------------------------------------------
+
+  def init(self, key: jax.Array, feature_size: int):
+    """Creates the parameter pytree.
+
+    Args:
+      key: PRNG key.
+      feature_size: Size of the last axis of input frames.
+
+    Returns:
+      ``{'cacher': ..., 'weight_fn': ...}`` parameter pytree.
+    """
+    k_cacher, k_wf = jax.random.split(key)
+    cacher_params = self.weight_fn_cacher.init(k_cacher)
+    cache = self.weight_fn_cacher.apply(cacher_params)
+    dummy_frame = jnp.zeros((feature_size,), jnp.float32)
+    wf_params = self.weight_fn.init(k_wf, cache, dummy_frame)
+    return {'cacher': cacher_params, 'weight_fn': wf_params}
+
+  def build_cache(self, params) -> T:
+    """Builds the weight function cache from parameters.
+
+    The cache contains static data that does not depend on the frames; when
+    parameters do not change (e.g. during inference), it can be computed
+    once and passed to the other public methods (reference
+    ``lattices.py:118-129``).
+    """
+    return self.weight_fn_cacher.apply(params['cacher'])
+
+  # -------------------------------------------------------------------
+  # Public operations.
+  # -------------------------------------------------------------------
+
+  def __call__(self, params, frames, num_frames, labels, num_labels,
+               cache=None):
+    return self.loss(params, frames, num_frames, labels, num_labels, cache)
+
+  def loss(self, params, frames, num_frames, labels, num_labels, cache=None):
+    """Computes the negative sequence log-probability loss.
+
+    The conditional probability P(labels | frames) is the sum of
+    probabilities of all alignment paths producing the label sequence.
+    Interpreting arc weights as (possibly unnormalized) log-probabilities,
+    this computes -log P(labels | frames) for both locally and globally
+    normalized models (reference ``lattices.py:131-183``).
+
+    Args:
+      params: Parameter pytree from ``init``.
+      frames: [batch_dims..., max_num_frames, feature_size] padded frames.
+      num_frames: [batch_dims...] number of frames.
+      labels: [batch_dims..., max_num_labels] padded label sequences.
+      num_labels: [batch_dims...] number of labels.
+      cache: Optional weight function cache data.
+
+    Returns:
+      [batch_dims...] negative sequence log-prob loss.
+    """
+    num_frames = jnp.asarray(num_frames)
+    num_labels = jnp.asarray(num_labels)
+    batch_dims = num_frames.shape
+    if frames.shape[:-2] != batch_dims:
+      raise ValueError('frames and num_frames have different batch_dims: '
+                       f'{frames.shape[:-2]} vs {batch_dims}')
+    if labels.shape[:-1] != batch_dims:
+      raise ValueError('labels and num_frames have different batch_dims: '
+                       f'{labels.shape[:-1]} vs {batch_dims}')
+    if num_labels.shape != batch_dims:
+      raise ValueError('num_labels and num_frames have different batch_dims: '
+                       f'{num_labels.shape} vs {batch_dims}')
+
+    if cache is None:
+      cache = self.build_cache(params)
+    numerator = self._string_forward(
+        params=params,
+        cache=cache,
+        frames=frames,
+        num_frames=num_frames,
+        labels=labels,
+        num_labels=num_labels,
+        semiring=semirings.Log)
+    if isinstance(self.weight_fn, weight_fns.LocallyNormalizedWeightFn):
+      return -numerator
+    denominator = self._forward_backward(
+        params=params, cache=cache, frames=frames, num_frames=num_frames)
+    return denominator - numerator
+
+  def shortest_path(self, params, frames, num_frames, cache=None):
+    """Computes the shortest path in the recognition lattice.
+
+    The shortest path is the path with the highest score — the "shortest"
+    path under the max-tropical semiring. It is found by differentiating the
+    tropical shortest distance with respect to a zero-valued additive
+    lexical mask: the one-hot tie-broken tropical gradients mark exactly the
+    arcs of one best path (reference ``lattices.py:219-247``).
+
+    Args:
+      params: Parameter pytree from ``init``.
+      frames: [batch_dims..., max_num_frames, feature_size] padded frames.
+      num_frames: [batch_dims...] number of frames.
+      cache: Optional weight function cache data.
+
+    Returns:
+      (alignment_labels, num_alignment_labels, path_weights) tuple:
+      - alignment_labels: [batch_dims..., max_num_alignment_labels] padded
+        alignment labels, blank (0) or lexical (1 to vocab_size). Each frame
+        contributes ``num_alignment_states`` label slots (reference
+        ``lattices.py:246``; the label value is ``1 + argmax`` over the
+        lexical mask gradient — the reference's missing ``+1`` at
+        ``lattices.py:244`` contradicts its own docstring and is treated
+        as a defect here).
+      - num_alignment_labels: [batch_dims...] number of alignment labels.
+      - path_weights: [batch_dims...] path weights.
+    """
+    num_frames = jnp.asarray(num_frames)
+    batch_dims = num_frames.shape
+    if frames.shape[:-2] != batch_dims:
+      raise ValueError('frames and num_frames have different batch_dims: '
+                       f'{frames.shape[:-2]} vs {batch_dims}')
+    max_num_frames = frames.shape[-2]
+    num_alignment_states = self.alignment.num_states()
+
+    if cache is None:
+      cache = self.build_cache(params)
+
+    def forward_fn(lexical_mask):
+      path_weights, _ = self._forward(
+          params=params,
+          cache=cache,
+          frames=frames,
+          num_frames=num_frames,
+          semiring=semirings.MaxTropical,
+          lexical_mask=[
+              lexical_mask[..., i, None, :]
+              for i in range(num_alignment_states)
+          ])
+      return path_weights
+
+    _, vocab_size = self.context.shape()
+    lexical_mask = jnp.zeros(
+        (*batch_dims, max_num_frames, num_alignment_states, vocab_size))
+    path_weights, vjp_fn = jax.vjp(forward_fn, lexical_mask)
+    viterbi_lexical_mask = vjp_fn(jnp.ones_like(path_weights))[0]
+    is_blank = jnp.all(viterbi_lexical_mask == 0, axis=-1)
+    alignment_labels = jnp.where(
+        is_blank, 0, 1 + jnp.argmax(viterbi_lexical_mask, axis=-1))
+    alignment_labels = alignment_labels.reshape(*batch_dims, -1)
+    num_alignment_labels = (
+        num_alignment_states * num_frames.astype(jnp.int32))
+    return alignment_labels, num_alignment_labels, path_weights
+
+  # -------------------------------------------------------------------
+  # Private dynamic programs.
+  # -------------------------------------------------------------------
+
+  def _string_forward(self, params, cache, frames, num_frames, labels,
+                      num_labels, semiring, weight_lift: WeightLift = None):
+    """Shortest distance on the intersection with an output string.
+
+    The numerator DP (reference ``lattices.py:250-377``). Arc weights are
+    produced with a ``lax.scan`` over the max_num_labels+1 label positions
+    (each position computes weights for all frames at once, then gathers the
+    single needed label column), so only O(B * T * (U+1)) weights are ever
+    materialized instead of O(B * T * U * V) (reference rationale
+    ``lattices.py:279-289``). The time recursion is a second ``lax.scan``.
+
+    Args:
+      params: Parameter pytree.
+      cache: Weight function cache data.
+      frames: [batch_dims..., max_num_frames, feature_size] padded frames.
+      num_frames: [batch_dims...] number of frames.
+      labels: [batch_dims..., max_num_labels] padded label sequence.
+      num_labels: [batch_dims...] number of labels.
+      semiring: Semiring for the shortest distance computation.
+      weight_lift: Optional lifting of plain weight arrays into semiring
+        values (for tuple-valued semirings).
+
+    Returns:
+      [batch_dims...] shortest distance.
+    """
+    num_frames = jnp.asarray(num_frames)
+    num_labels = jnp.asarray(num_labels)
+    labels = jnp.asarray(labels, jnp.int32)
+    batch_dims = num_frames.shape
+    if frames.shape[:-2] != batch_dims:
+      raise ValueError('frames and num_frames have different batch_dims: '
+                       f'{frames.shape[:-2]} vs {batch_dims}')
+    if labels.shape[:-1] != batch_dims:
+      raise ValueError('labels and num_frames have different batch_dims: '
+                       f'{labels.shape[:-1]} vs {batch_dims}')
+    if num_labels.shape != batch_dims:
+      raise ValueError('num_labels and num_frames have different batch_dims: '
+                       f'{num_labels.shape} vs {batch_dims}')
+
+    num_align_states = self.alignment.num_states()
+    wf_params = params['weight_fn']
+
+    # [batch_dims..., max_num_labels + 1] context states along the string,
+    # and the next label needed at each position (the final position uses a
+    # dummy label 1 whose weight is later selected away).
+    context_states = self.context.walk_states(labels)
+    context_next_labels = jnp.concatenate(
+        [labels, jnp.ones_like(labels[..., :1])], axis=-1)
+
+    def position_weights(carry, inputs):
+      state, next_label = inputs  # [batch_dims...] each
+
+      def one_frame(frame):
+        return self.weight_fn.apply(wf_params, cache, frame, state)
+
+      # blank: [batch_dims..., T]; lexical: [batch_dims..., V, T].
+      blank, lexical = jax.vmap(one_frame, in_axes=-2, out_axes=-1)(frames)
+      # Gather the weight of the next needed label. one-hot of label 0
+      # would be out of range; clamp to label 1, those positions are never
+      # selected as final.
+      y = jnp.maximum(next_label, 1)
+      lexical_y = jnp.take_along_axis(
+          lexical, y[..., None, None] - 1, axis=-2)[..., 0, :]
+      return carry, (blank, lexical_y)
+
+    _, (blank_weight, lexical_weight) = jax.lax.scan(
+        position_weights, (), (jnp.moveaxis(context_states, -1, 0),
+                               jnp.moveaxis(context_next_labels, -1, 0)))
+    # [U+1, batch_dims..., T] -> [T, batch_dims..., U+1] (time-major).
+    to_time_major = lambda x: jnp.moveaxis(jnp.moveaxis(x, 0, -1), -2, 0)
+    blank_weight = to_time_major(blank_weight)
+    lexical_weight = to_time_major(lexical_weight)
+
+    lift = weight_lift if weight_lift is not None else (lambda w: w)
+
+    def shortest_distance_step(carry, inputs):
+      t, alpha = carry
+      blank, lexical = inputs  # [batch_dims..., U+1] each
+      blank = [lift(blank)] * num_align_states
+      lexical = [lift(lexical)] * num_align_states
+      next_alpha = self.alignment.string_forward(
+          alpha=alpha, blank=blank, lexical=lexical, semiring=semiring)
+      is_padding = (t >= num_frames)[..., None]
+      next_alpha = semirings.where(is_padding, alpha, next_alpha)
+      return (t + 1, next_alpha), None
+
+    num_alpha_states = labels.shape[-1] + 1
+    init_alpha = _init_context_state_weights(
+        batch_dims=batch_dims,
+        dtype=semirings.value_dtype(lift(blank_weight)),
+        num_states=num_alpha_states,
+        start=0,
+        semiring=semiring)
+    (_, alpha), _ = jax.lax.scan(
+        jax.checkpoint(
+            shortest_distance_step,
+            policy=jax.checkpoint_policies.nothing_saveable),
+        (jnp.zeros((), jnp.int32), init_alpha),
+        (blank_weight, lexical_weight))
+    is_final = num_labels[..., None] == jnp.arange(num_alpha_states)
+    zero = semiring.zeros([], semirings.value_dtype(alpha))
+    return semiring.sum(semirings.where(is_final, alpha, zero), axis=-1)
+
+  def _forward(self,
+               params,
+               cache,
+               frames,
+               num_frames,
+               semiring,
+               blank_mask: Optional[Sequence[jnp.ndarray]] = None,
+               lexical_mask: Optional[Sequence[jnp.ndarray]] = None,
+               weight_lift: WeightLift = None):
+    """Shortest distance on the recognition lattice (forward algorithm).
+
+    It is often useful to differentiate the shortest distance with respect
+    to arc weights: under the log semiring that yields arc marginals; under
+    the tropical semiring, the shortest path. Because arc weights are
+    computed on the fly, callers can pass zero-valued additive masks and
+    differentiate with respect to those instead — d f(x + y)/dy at y=0
+    equals d f(x)/dx (reference ``lattices.py:390-396``).
+
+    The scan body is rematerialized so reverse-mode autodiff saves only the
+    per-frame alpha carries, never the O(B*S*V) lexical weights.
+
+    Args:
+      params: Parameter pytree.
+      cache: Weight function cache data.
+      frames: [batch_dims..., max_num_frames, feature_size] padded frames.
+      num_frames: [batch_dims...] number of frames.
+      semiring: Semiring for the shortest distance computation.
+      blank_mask: Optional length num_alignment_states sequence of arrays
+        shaped [batch_dims..., max_num_frames, 1-or-num_context_states].
+      lexical_mask: Optional length num_alignment_states sequence of arrays
+        shaped [batch_dims..., max_num_frames, 1-or-num_context_states,
+        1-or-vocab_size].
+      weight_lift: Optional lifting of plain weight arrays into semiring
+        values (for tuple-valued semirings such as Expectation).
+
+    Returns:
+      (shortest_distance, alpha_0_to_T_minus_1) tuple:
+      - shortest_distance: [batch_dims...] shortest distance.
+      - alpha_0_to_T_minus_1: [batch_dims..., max_num_frames,
+        num_context_states] forward weights after observing 0..T-1 frames.
+    """
+    num_frames = jnp.asarray(num_frames)
+    batch_dims = num_frames.shape
+    if frames.shape[:-2] != batch_dims:
+      raise ValueError('frames and num_frames have different batch_dims: '
+                       f'{frames.shape[:-2]} vs {batch_dims}')
+    num_align_states = self.alignment.num_states()
+    if blank_mask is not None and len(blank_mask) != num_align_states:
+      raise ValueError(
+          'The length of blank_mask should be equal to '
+          f'{num_align_states} (the number of alignment states), '
+          f'but is {len(blank_mask)}')
+    if lexical_mask is not None and len(lexical_mask) != num_align_states:
+      raise ValueError(
+          'The length of lexical_mask should be equal to '
+          f'{num_align_states} (the number of alignment states), '
+          f'but is {len(lexical_mask)}')
+
+    wf_params = params['weight_fn']
+    lift = weight_lift if weight_lift is not None else (lambda w: w)
+
+    xs = {'frame': jnp.moveaxis(frames, -2, 0)}
+    if blank_mask is not None:
+      # [A, batch_dims..., T, S?] -> [T, A, batch_dims..., S?]
+      stacked = jnp.stack(blank_mask, axis=0)
+      xs['blank_mask'] = jnp.moveaxis(stacked, -2, 0)
+    if lexical_mask is not None:
+      stacked = jnp.stack(lexical_mask, axis=0)
+      xs['lexical_mask'] = jnp.moveaxis(stacked, -3, 0)
+
+    def step(carry, inputs):
+      t, alpha = carry
+      blank, lexical = self.weight_fn.apply(wf_params, cache,
+                                            inputs['frame'])
+      # Weight functions are alignment-state-invariant.
+      blank = [blank] * num_align_states
+      lexical = [lexical] * num_align_states
+      if 'blank_mask' in inputs:
+        blank = [b + m for b, m in zip(blank, inputs['blank_mask'])]
+      if 'lexical_mask' in inputs:
+        lexical = [l + m for l, m in zip(lexical, inputs['lexical_mask'])]
+      blank = [lift(b) for b in blank]
+      lexical = [lift(l) for l in lexical]
+      next_alpha = self.alignment.forward(
+          alpha=alpha,
+          blank=blank,
+          lexical=lexical,
+          context=self.context,
+          semiring=semiring)
+      is_padding = (t >= num_frames)[..., None]
+      next_alpha = semirings.where(is_padding, alpha, next_alpha)
+      return (t + 1, next_alpha), alpha
+
+    # Infer the weight dtype without computing anything.
+    abstract_blank, _ = jax.eval_shape(
+        lambda f: self.weight_fn.apply(wf_params, cache, f),
+        jax.ShapeDtypeStruct(frames.shape[:-2] + frames.shape[-1:],
+                             frames.dtype))
+    alpha_dtype = semirings.value_dtype(
+        jax.eval_shape(lift, abstract_blank))
+    init_alpha = _init_context_state_weights(
+        batch_dims=batch_dims,
+        dtype=alpha_dtype,
+        num_states=self.context.shape()[0],
+        start=self.context.start(),
+        semiring=semiring)
+
+    (_, alpha_T), alpha_0_to_T_minus_1 = jax.lax.scan(
+        jax.checkpoint(
+            step, policy=jax.checkpoint_policies.nothing_saveable),
+        (jnp.zeros((), jnp.int32), init_alpha), xs)
+    alpha_history = jax.tree.map(
+        lambda x: jnp.moveaxis(x, 0, -2), alpha_0_to_T_minus_1)
+    return semiring.sum(alpha_T, axis=-1), alpha_history
+
+  def _forward_backward(self, params, cache, frames, num_frames):
+    """Log-semiring shortest distance with backward-algorithm gradients.
+
+    A working ``jax.custom_vjp`` realization of the reference's intended
+    (but broken, SURVEY §2.2-Q3) forward-backward: the forward pass is the
+    alpha scan saving only the per-frame alphas; the backward pass runs the
+    backward algorithm in reverse — recomputing arc weights per frame under
+    ``jax.vjp``, forming arc marginals with ``alignment.backward``, and
+    feeding the (cotangent-scaled) marginals through the weight function
+    VJP. Compared to plain autodiff this saves one ``forward_reduce`` per
+    frame (reference rationale ``lattices.py:539-557``).
+
+    Args:
+      params: Parameter pytree.
+      cache: Weight function cache data.
+      frames: [batch_dims..., max_num_frames, feature_size] padded frames.
+      num_frames: [batch_dims...] number of frames.
+
+    Returns:
+      [batch_dims...] log-semiring shortest distance (the log-normalizer).
+    """
+    num_frames = jnp.asarray(num_frames, jnp.int32)
+
+    @jax.custom_vjp
+    def forward_backward(wf_params, cache, frames, num_frames):
+      log_z, _ = self._forward(
+          params={'weight_fn': wf_params},
+          cache=cache,
+          frames=frames,
+          num_frames=num_frames,
+          semiring=semirings.Log)
+      return log_z
+
+    def forward_backward_fwd(wf_params, cache, frames, num_frames):
+      log_z, alpha_history = self._forward(
+          params={'weight_fn': wf_params},
+          cache=cache,
+          frames=frames,
+          num_frames=num_frames,
+          semiring=semirings.Log)
+      return log_z, (wf_params, cache, frames, num_frames, log_z,
+                     alpha_history)
+
+    def forward_backward_bwd(residuals, g):
+      wf_params, cache, frames, num_frames, log_z, alpha_history = residuals
+
+      def accumulate(weight_vjp_fn, carry, blank_marginal, lexical_marginals):
+        d_blank = g[..., None] * blank_marginal
+        d_lexical = g[..., None, None] * lexical_marginals
+        d_params, d_cache, d_frame = weight_vjp_fn(d_blank, d_lexical)
+        next_carry = jax.tree.map(jnp.add, carry, (d_params, d_cache))
+        return next_carry, d_frame
+
+      init_carry = jax.tree.map(jnp.zeros_like, (wf_params, cache))
+      (wf_params_grad, cache_grad), frames_grad = self._backward(
+          params={'weight_fn': wf_params},
+          cache=cache,
+          frames=frames,
+          num_frames=num_frames,
+          log_z=log_z,
+          alpha_0_to_T_minus_1=alpha_history,
+          init_callback_carry=init_carry,
+          callback=accumulate)
+      return (wf_params_grad, cache_grad, frames_grad,
+              np.zeros(num_frames.shape, jax.dtypes.float0))
+
+    forward_backward.defvjp(forward_backward_fwd, forward_backward_bwd)
+    return forward_backward(params['weight_fn'], cache, frames, num_frames)
+
+  class BackwardStepCallback(Protocol):
+    """Callback signature used in the backward algorithm loop."""
+
+    def __call__(self, weight_vjp_fn, carry, blank_marginal,
+                 lexical_marginals):
+      """Callback used in the backward algorithm loop.
+
+      The standard backward algorithm simply computes arc marginals and
+      backward weights. Through a custom callback, on-the-fly processing is
+      possible without storing all arc marginals — e.g. accumulating
+      gradients with respect to weight function parameters (see
+      ``_forward_backward``).
+
+      Args:
+        weight_vjp_fn: VJP function of the weight function: callable
+          (blank_grad, lexical_grad) -> (params_grad, cache_grad,
+          frame_grad).
+        carry: PyTree of custom callback carry data.
+        blank_marginal: [batch_dims..., num_context_states] marginal
+          probability of blank arcs.
+        lexical_marginals: [batch_dims..., num_context_states, vocab_size]
+          marginal probability of lexical arcs.
+
+      Returns:
+        (next_carry, step outputs).
+      """
+      ...
+
+  def _backward(self, params, cache, frames, num_frames, log_z,
+                alpha_0_to_T_minus_1, init_callback_carry,
+                callback: 'RecognitionLattice.BackwardStepCallback'):
+    """Arc marginals under the log semiring via the backward algorithm.
+
+    Under the log semiring, arc weights can be viewed as unnormalized log
+    probabilities; the marginal probability of each arc equals the gradient
+    of the shortest distance with respect to that arc's weight. The backward
+    algorithm computes these marginals in a single reverse scan, saving one
+    ``forward_reduce`` per frame versus reverse-mode autodiff (reference
+    ``lattices.py:686-799``).
+
+    Args:
+      params: Parameter pytree.
+      cache: Weight function cache data.
+      frames: [batch_dims..., max_num_frames, feature_size] padded frames.
+      num_frames: [batch_dims...] number of frames.
+      log_z: [batch_dims...] shortest distance from ``_forward``.
+      alpha_0_to_T_minus_1: [batch_dims..., max_num_frames,
+        num_context_states] forward weights from ``_forward``.
+      init_callback_carry: PyTree of initial carry for the callback.
+      callback: BackwardStepCallback invoked once per frame, in reverse
+        time order.
+
+    Returns:
+      (final_callback_carry, callback_outputs); outputs are stacked along a
+      batch-major time axis.
+    """
+    num_frames = jnp.asarray(num_frames)
+    batch_dims = num_frames.shape
+    if frames.shape[:-2] != batch_dims:
+      raise ValueError('frames and num_frames have different batch_dims: '
+                       f'{frames.shape[:-2]} vs {batch_dims}')
+    if log_z.shape != batch_dims:
+      raise ValueError('log_z and num_frames have different batch_dims: '
+                       f'{log_z.shape} vs {batch_dims}')
+    if alpha_0_to_T_minus_1.shape[:-2] != batch_dims:
+      raise ValueError(
+          'alpha_0_to_T_minus_1 and num_frames have different '
+          f'batch_dims: {alpha_0_to_T_minus_1.shape[:-2]} vs {batch_dims}')
+
+    num_align_states = self.alignment.num_states()
+    wf_params = params['weight_fn']
+    max_num_frames = frames.shape[-2]
+
+    def step(carry, inputs):
+      beta, callback_carry = carry
+      t, alpha, frame = inputs
+      (blank, lexical), weight_vjp = jax.vjp(
+          lambda p, c, f: self.weight_fn.apply(p, c, f), wf_params, cache,
+          frame)
+      blank_l = [blank] * num_align_states
+      lexical_l = [lexical] * num_align_states
+      next_beta, blank_marginals, lexical_marginals = (
+          self.alignment.backward(
+              alpha=alpha,
+              blank=blank_l,
+              lexical=lexical_l,
+              beta=beta,
+              log_z=log_z,
+              context=self.context))
+      # Weight functions are alignment-state-invariant: total marginal per
+      # (state, label) sums over alignment states.
+      blank_marginal = functools.reduce(jnp.add, blank_marginals)
+      lexical_marginal = functools.reduce(jnp.add, lexical_marginals)
+      is_padding = (t >= num_frames)[..., None]
+      next_beta = jnp.where(is_padding, beta, next_beta)
+      blank_marginal = jnp.where(is_padding, 0, blank_marginal)
+      lexical_marginal = jnp.where(is_padding[..., None], 0,
+                                   lexical_marginal)
+      next_callback_carry, callback_outputs = callback(
+          weight_vjp_fn=lambda bg, lg: weight_vjp((bg, lg)),
+          carry=callback_carry,
+          blank_marginal=blank_marginal,
+          lexical_marginals=lexical_marginal)
+      return (next_beta, next_callback_carry), callback_outputs
+
+    num_context_states, _ = self.context.shape()
+    init_beta = semirings.Log.ones((*batch_dims, num_context_states),
+                                   log_z.dtype)
+    xs = (jnp.arange(max_num_frames),
+          jnp.moveaxis(alpha_0_to_T_minus_1, -2, 0),
+          jnp.moveaxis(frames, -2, 0))
+    (_, final_callback_carry), callback_outputs = jax.lax.scan(
+        step, (init_beta, init_callback_carry), xs, reverse=True)
+    num_batch_dims = len(batch_dims)
+    callback_outputs = jax.tree.map(
+        lambda x: jnp.moveaxis(x, 0, num_batch_dims), callback_outputs)
+    return final_callback_carry, callback_outputs
+
+
+def _init_context_state_weights(batch_dims, dtype, num_states: int,
+                                start: int, semiring):
+  """One-hot start-state alpha_0 in any semiring."""
+  is_start = jnp.arange(num_states) == start
+  weights = semirings.where(is_start, semiring.ones([], dtype),
+                            semiring.zeros([], dtype))
+  return jax.tree.map(
+      lambda w: jnp.broadcast_to(w, (*batch_dims, num_states)), weights)

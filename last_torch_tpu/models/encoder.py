@@ -1,0 +1,145 @@
+# Copyright 2026.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+
+"""Speech encoders for the GNAT model family.
+
+The reference library consumes already-encoded frames (reference
+``lattices.py:147-149``); this module supplies the encoder side of a complete
+GNAT speech transducer so the framework is usable end-to-end. The encoder is
+a pre-LN Transformer tuned for the MXU: all projections are single large
+matmuls, attention uses one fused QKV projection, and every op is static
+shape / jit / shard_map friendly. Sequence (time) and model (heads / FFN)
+axes are annotated for mesh sharding in ``last_torch_tpu.parallel``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Params = Any
+
+
+def _layer_norm(x, scale, bias, eps=1e-6):
+  mean = jnp.mean(x, axis=-1, keepdims=True)
+  var = jnp.var(x, axis=-1, keepdims=True)
+  return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerEncoder:
+  """Pre-LN Transformer encoder over padded frame sequences.
+
+  Attributes:
+    feature_size: Input feature dimension.
+    model_size: Transformer width.
+    num_layers: Number of blocks.
+    num_heads: Attention heads (model_size % num_heads == 0).
+    ffn_size: Feed-forward hidden width.
+    dtype: Compute dtype for activations; bfloat16 keeps the MXU fed at
+      full rate while parameters stay float32.
+  """
+
+  feature_size: int
+  model_size: int = 256
+  num_layers: int = 4
+  num_heads: int = 4
+  ffn_size: int = 1024
+  dtype: Any = jnp.float32
+
+  def init(self, key: jax.Array) -> Params:
+    keys = jax.random.split(key, 2 + self.num_layers)
+    init_dense = jax.nn.initializers.lecun_normal()
+    d = self.model_size
+    params = {
+        'input_proj': init_dense(keys[0], (self.feature_size, d)),
+        'layers': [],
+    }
+    for i in range(self.num_layers):
+      k1, k2, k3, k4 = jax.random.split(keys[2 + i], 4)
+      params['layers'].append({
+          'ln1_scale': jnp.ones((d,)),
+          'ln1_bias': jnp.zeros((d,)),
+          'qkv': init_dense(k1, (d, 3 * d)),
+          'attn_out': init_dense(k2, (d, d)),
+          'ln2_scale': jnp.ones((d,)),
+          'ln2_bias': jnp.zeros((d,)),
+          'ffn_in': init_dense(k3, (d, self.ffn_size)),
+          'ffn_out': init_dense(k4, (self.ffn_size, d)),
+      })
+    params['final_ln_scale'] = jnp.ones((d,))
+    params['final_ln_bias'] = jnp.zeros((d,))
+    return params
+
+  def apply(self, params: Params, frames: jnp.ndarray,
+            num_frames: jnp.ndarray) -> jnp.ndarray:
+    """Encodes frames.
+
+    Args:
+      params: Parameter pytree from ``init``.
+      frames: [batch, max_num_frames, feature_size] padded frames.
+      num_frames: [batch] number of valid frames.
+
+    Returns:
+      [batch, max_num_frames, model_size] encoded frames.
+    """
+    max_t = frames.shape[-2]
+    mask = jnp.arange(max_t) < num_frames[..., None]  # [batch, T]
+    x = frames.astype(self.dtype) @ params['input_proj'].astype(self.dtype)
+    # Fixed sinusoidal positions; cheap, no parameters.
+    pos = _sinusoidal_positions(max_t, self.model_size).astype(self.dtype)
+    x = x + pos
+    neg_inf = jnp.asarray(-1e9, self.dtype)
+    attn_bias = jnp.where(mask[:, None, None, :], 0.0, neg_inf)
+
+    head_dim = self.model_size // self.num_heads
+    for layer in params['layers']:
+      y = _layer_norm(x, layer['ln1_scale'].astype(self.dtype),
+                      layer['ln1_bias'].astype(self.dtype))
+      qkv = y @ layer['qkv'].astype(self.dtype)
+      q, k, v = jnp.split(qkv, 3, axis=-1)
+      split_heads = lambda t: t.reshape(*t.shape[:-1], self.num_heads,
+                                        head_dim)
+      q, k, v = split_heads(q), split_heads(k), split_heads(v)
+      logits = jnp.einsum('bqhd,bkhd->bhqk', q, k,
+                          preferred_element_type=jnp.float32)
+      logits = logits / math.sqrt(head_dim) + attn_bias
+      weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+      context = jnp.einsum('bhqk,bkhd->bqhd', weights, v)
+      context = context.reshape(*context.shape[:-2], self.model_size)
+      x = x + context @ layer['attn_out'].astype(self.dtype)
+
+      y = _layer_norm(x, layer['ln2_scale'].astype(self.dtype),
+                      layer['ln2_bias'].astype(self.dtype))
+      y = jax.nn.gelu(y @ layer['ffn_in'].astype(self.dtype))
+      x = x + y @ layer['ffn_out'].astype(self.dtype)
+
+    x = _layer_norm(x, params['final_ln_scale'].astype(self.dtype),
+                    params['final_ln_bias'].astype(self.dtype))
+    # Zero out padding frames so downstream consumers see clean data.
+    return jnp.where(mask[..., None], x, 0.0).astype(jnp.float32)
+
+
+def _sinusoidal_positions(length: int, dim: int) -> jnp.ndarray:
+  position = jnp.arange(length)[:, None].astype(jnp.float32)
+  div = jnp.exp(
+      jnp.arange(0, dim, 2).astype(jnp.float32) * (-math.log(10000.0) / dim))
+  pe = jnp.zeros((length, dim))
+  pe = pe.at[:, 0::2].set(jnp.sin(position * div))
+  pe = pe.at[:, 1::2].set(jnp.cos(position * div))
+  return pe

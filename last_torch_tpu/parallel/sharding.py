@@ -1,0 +1,181 @@
+# Copyright 2026.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+
+"""SPMD sharding for GNAT training over a TPU mesh.
+
+The reference is single-process with no distributed code (SURVEY §2, §5);
+the TPU-native scale-out story is jax.sharding + jit over a
+``Mesh('data', 'model')``:
+
+* data axis: batch parallelism — the per-sequence lattice DPs are
+  embarrassingly parallel over the batch; gradients all-reduce over ICI
+  automatically inside jit.
+* model axis: tensor parallelism over the vocabulary — the joint network's
+  vocab head ``[hidden, V]`` and the encoder FFN/QKV are sharded on the
+  model axis, so the big per-frame lexical weight tensor ``[B, S, V]`` is
+  computed and consumed shard-local; only the tiny per-state logsumexp
+  partials cross ICI.
+
+Everything goes through ``jax.jit`` with NamedSharding constraints — XLA
+inserts the collectives (psum/all-gather/reduce-scatter); there is no
+hand-written transport layer, matching how TPU software is actually built.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Params = Any
+
+# Parameter sharding rules: (regex over the param path, PartitionSpec).
+# First match wins; default is full replication.
+GNAT_PARAM_RULES = (
+    # Joint network vocab head: shard the vocabulary.
+    (r'.*weight_fn.*vocab_w$', P(None, 'model')),
+    (r'.*weight_fn.*vocab_b$', P('model')),
+    # Encoder: Megatron-style FFN / attention sharding.
+    (r'.*ffn_in$', P(None, 'model')),
+    (r'.*ffn_out$', P('model', None)),
+    (r'.*qkv$', P(None, 'model')),
+    (r'.*attn_out$', P('model', None)),
+)
+
+
+def make_mesh(num_devices: Optional[int] = None,
+              model_parallel: int = 1,
+              devices=None) -> Mesh:
+  """Creates a ('data', 'model') mesh.
+
+  Args:
+    num_devices: Total devices to use; defaults to all.
+    model_parallel: Size of the model axis (must divide num_devices).
+
+  Returns:
+    A ``jax.sharding.Mesh`` with axes ('data', 'model').
+  """
+  devices = devices if devices is not None else jax.devices()
+  if num_devices is not None:
+    devices = devices[:num_devices]
+  n = len(devices)
+  if n % model_parallel != 0:
+    raise ValueError(f'model_parallel={model_parallel} must divide the '
+                     f'device count {n}')
+  mesh_devices = np.asarray(devices).reshape(n // model_parallel,
+                                             model_parallel)
+  return Mesh(mesh_devices, axis_names=('data', 'model'))
+
+
+def _path_str(path) -> str:
+  parts = []
+  for entry in path:
+    if hasattr(entry, 'key'):
+      parts.append(str(entry.key))
+    elif hasattr(entry, 'idx'):
+      parts.append(str(entry.idx))
+    else:
+      parts.append(str(entry))
+  return '/'.join(parts)
+
+
+def param_shardings(params: Params, mesh: Mesh,
+                    rules=GNAT_PARAM_RULES) -> Params:
+  """Builds a NamedSharding pytree for params from path-regex rules."""
+
+  def shard_one(path, leaf):
+    name = _path_str(path)
+    for pattern, spec in rules:
+      if re.match(pattern, name) and np.ndim(leaf) == len(spec):
+        return NamedSharding(mesh, spec)
+    return NamedSharding(mesh, P())
+
+  return jax.tree_util.tree_map_with_path(shard_one, params)
+
+
+def batch_shardings(mesh: Mesh) -> NamedSharding:
+  """Sharding for batch-leading arrays: split over the data axis."""
+  return NamedSharding(mesh, P('data'))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+  return NamedSharding(mesh, P())
+
+
+def shard_params(params: Params, mesh: Mesh,
+                 rules=GNAT_PARAM_RULES) -> Params:
+  """Places parameters onto the mesh according to the rules."""
+  shardings = param_shardings(params, mesh, rules)
+  return jax.tree.map(jax.device_put, params, shardings)
+
+
+def shard_batch(batch: Params, mesh: Mesh) -> Params:
+  """Places batch arrays onto the mesh, split over the data axis."""
+  sharding = batch_shardings(mesh)
+  return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def make_sharded_train_step(model, optimizer, mesh: Mesh,
+                            rules=GNAT_PARAM_RULES):
+  """Builds a jitted, mesh-sharded GNAT train step.
+
+  The returned callable has signature
+  ``(state, frames, num_frames, labels, num_labels) -> (state, loss)``
+  with the state sharded per the parameter rules and batch inputs split over
+  the data axis. XLA inserts the gradient all-reduces (data axis) and the
+  vocab-partial collectives (model axis).
+
+  Args:
+    model: ``last_torch_tpu.models.gnat.GNATModel``.
+    optimizer: optax.GradientTransformation.
+    mesh: ('data', 'model') mesh from ``make_mesh``.
+    rules: Parameter sharding rules.
+
+  Returns:
+    (train_step_fn, shard_state_fn): the jitted step, and a helper that
+    places a fresh ``GNATTrainState`` onto the mesh.
+  """
+  from last_torch_tpu.models import gnat as gnat_lib  # avoid import cycle
+
+  def step_fn(state, frames, num_frames, labels, num_labels):
+    return gnat_lib.train_step(model, optimizer, state, frames, num_frames,
+                               labels, num_labels)
+
+  data = batch_shardings(mesh)
+
+  def shard_state(state):
+    params = shard_params(state.params, mesh, rules)
+    param_sh = param_shardings(state.params, mesh, rules)
+    # Optimizer state mirrors parameter sharding where shapes match
+    # (Adam moments), otherwise replicate (scalars, counters).
+    flat_params, _ = jax.tree_util.tree_flatten(param_sh)
+
+    def opt_sharding(leaf):
+      return NamedSharding(mesh, P())
+
+    opt_state = jax.tree.map(
+        lambda x: jax.device_put(x, opt_sharding(x)), state.opt_state)
+    return gnat_lib.GNATTrainState(
+        params=params,
+        opt_state=opt_state,
+        step=jax.device_put(state.step, replicated(mesh)))
+
+  jitted = jax.jit(
+      step_fn,
+      in_shardings=(None, data, data, data, data),
+      donate_argnums=(0,))
+  return jitted, shard_state

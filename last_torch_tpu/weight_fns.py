@@ -1,0 +1,389 @@
+# Copyright 2026.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+
+"""Weight functions (neural arc weights), TPU-native.
+
+Rebuild of the reference ``last_torch/weight_fns.py`` with explicit parameter
+pytrees (flax-style ``init`` / ``apply``), fixing the reference defects where
+``JointWeightFn`` re-created its projections inside every forward call
+(``weight_fns.py:208-221``, SURVEY §2.2-Q1) and ``SharedEmbCacher`` returned
+a module instead of an array (``weight_fns.py:241-242``, SURVEY §2.2-Q2).
+Here parameters are ordinary pytrees, caches are always arrays (or None),
+and every apply is a pure jittable function.
+
+Weight functions are the only components in GNAT with trainable parameters.
+They come in two parts:
+
+* A ``WeightFn`` computes the arc weights for a given frame.
+* A ``WeightFnCacher`` prepares static data that is expensive to compute but
+  frame-independent (e.g. the context embeddings of the shared-rnn weight
+  function), so it can be computed once and reused, e.g. across an entire
+  inference pass (reference rationale ``weight_fns.py:26-38``).
+"""
+
+from __future__ import annotations
+
+import abc
+import dataclasses
+from typing import Any, Callable, Generic, Optional, TypeVar
+
+import jax
+import jax.numpy as jnp
+
+from last_torch_tpu.utils import rnn
+
+T = TypeVar('T')
+Params = Any
+
+
+class WeightFn(abc.ABC, Generic[T]):
+  """Interface for weight functions.
+
+  A weight function is a neural network that computes the arc weights from
+  all or one context state for a given frame. A WeightFn is used in pair
+  with a WeightFnCacher that produces the static data cache, e.g.
+  JointWeightFn can be used with SharedEmbCacher or SharedRNNCacher.
+  """
+
+  @abc.abstractmethod
+  def init(self, key: jax.Array, cache: T, frame: jnp.ndarray) -> Params:
+    """Creates the parameter pytree given example cache/frame inputs."""
+
+  @abc.abstractmethod
+  def apply(self,
+            params: Params,
+            cache: T,
+            frame: jnp.ndarray,
+            state: Optional[jnp.ndarray] = None
+            ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Computes arc weights for a given frame.
+
+    Args:
+      params: Parameter pytree from ``init``.
+      cache: Cached data from the corresponding WeightFnCacher.
+      frame: [batch_dims..., feature_size] input frame.
+      state: None or int32 array broadcastable to [batch_dims...]. If None,
+        compute arc weights for all context states. Otherwise, compute arc
+        weights for the specified context state.
+
+    Returns:
+      (blank, lexical) tuple.
+
+      If state is None:
+      - blank: [batch_dims..., num_context_states] blank arc weights.
+      - lexical: [batch_dims..., num_context_states, vocab_size] lexical arc
+        weights; lexical[..., p, y] is the weight of label y+1 from state p.
+
+      If state is not None:
+      - blank: [batch_dims...] blank arc weights from ``state``.
+      - lexical: [batch_dims..., vocab_size] lexical arc weights.
+    """
+
+  def __call__(self, params, cache, frame, state=None):
+    return self.apply(params, cache, frame, state)
+
+
+class WeightFnCacher(abc.ABC, Generic[T]):
+  """Interface for weight function cachers."""
+
+  @abc.abstractmethod
+  def init(self, key: jax.Array) -> Params:
+    """Creates the parameter pytree."""
+
+  @abc.abstractmethod
+  def apply(self, params: Params) -> T:
+    """Builds the cached data (always an array pytree, never a module)."""
+
+  def __call__(self, params):
+    return self.apply(params)
+
+
+def hat_normalize(blank: jnp.ndarray,
+                  lexical: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+  """Local normalization from the Hybrid Autoregressive Transducer paper.
+
+  The sigmoid of the blank weight is the probability of blank; lexical
+  probabilities share the remaining mass through a log-softmax. Stable
+  formulation via log-sigmoid (the reference's naive ``log(1 + exp(b))``
+  at ``weight_fns.py:114`` overflows for large blank weights).
+
+  Args:
+    blank: [batch_dims...] blank weight.
+    lexical: [batch_dims..., vocab_size] lexical weights.
+
+  Returns:
+    Normalized (blank, lexical) weights, with
+    exp(blank) + sum(exp(lexical)) == 1.
+  """
+  normalized_blank = jax.nn.log_sigmoid(blank)
+  normalized_lexical = (
+      jax.nn.log_softmax(lexical, axis=-1) +
+      jax.nn.log_sigmoid(-blank)[..., None])
+  return normalized_blank, normalized_lexical
+
+
+def log_softmax_normalize(
+    blank: jnp.ndarray,
+    lexical: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+  """Standard joint log-softmax local normalization over [blank; lexical].
+
+  Args:
+    blank: [batch_dims...] blank weight.
+    lexical: [batch_dims..., vocab_size] lexical weights.
+
+  Returns:
+    Normalized (blank, lexical) weights.
+  """
+  all_weights = jnp.concatenate([blank[..., None], lexical], axis=-1)
+  all_weights = jax.nn.log_softmax(all_weights, axis=-1)
+  return all_weights[..., 0], all_weights[..., 1:]
+
+
+class LocallyNormalizedWeightFn(WeightFn[T]):
+  """Wrapper turning any weight function into a locally normalized one.
+
+  This is the recommended way of obtaining a locally normalized weight
+  function. The type is load-bearing: RecognitionLattice checks
+  ``isinstance(weight_fn, LocallyNormalizedWeightFn)`` to skip the
+  denominator computation in the loss (reference ``lattices.py:178-179``).
+
+  The normalize function must be mathematically correct: with (blank,
+  lexical) the produced weights, ``exp(blank) + sum(exp(lexical), -1)``
+  should be approximately 1 (reference contract ``weight_fns.py:146-151``).
+
+  Attributes:
+    weight_fn: Underlying weight function.
+    normalize: Callable producing normalized log-probabilities from (blank,
+      lexical) weights, e.g. hat_normalize or log_softmax_normalize.
+  """
+
+  def __init__(self,
+               weight_fn: WeightFn[T],
+               normalize: Callable[[jnp.ndarray, jnp.ndarray],
+                                   tuple[jnp.ndarray, jnp.ndarray]]
+               = hat_normalize):
+    self.weight_fn = weight_fn
+    self.normalize = normalize
+
+  def init(self, key, cache, frame):
+    return self.weight_fn.init(key, cache, frame)
+
+  def apply(self, params, cache, frame, state=None):
+    blank, lexical = self.weight_fn.apply(params, cache, frame, state)
+    return self.normalize(blank, lexical)
+
+
+@dataclasses.dataclass(frozen=True)
+class JointWeightFn(WeightFn[jnp.ndarray]):
+  r"""Common implementation of shared-emb and shared-rnn weight functions.
+
+  Pair with SharedEmbCacher for shared-emb, or SharedRNNCacher for
+  shared-rnn. More generally this works with any WeightFnCacher producing a
+  [num_context_states, embedding_size] context embedding table.
+
+  Parameters (all persistent, fixing reference SURVEY §2.2-Q1):
+  - context_proj: [embedding_size, hidden_size] (no bias)
+  - frame_proj: [feature_size, hidden_size] (no bias)
+  - blank_w: [hidden_size], blank_b: [] — blank head
+  - vocab_w: [hidden_size, vocab_size], vocab_b: [vocab_size] — vocab head
+
+  The computation ``tanh(cache @ context_proj + frame @ frame_proj)``
+  followed by the two heads maps onto two large MXU matmuls per frame; the
+  per-state broadcast is a free XLA broadcast, not a loop.
+
+  Attributes:
+    vocab_size: Size of the lexical output vocabulary (excluding blank).
+    hidden_size: Hidden layer size of the joint network.
+  """
+
+  vocab_size: int
+  hidden_size: int
+
+  def init(self, key, cache, frame):
+    embedding_size = cache.shape[-1]
+    feature_size = frame.shape[-1]
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    h = self.hidden_size
+    init_dense = jax.nn.initializers.lecun_normal()
+    return {
+        'context_proj': init_dense(k1, (embedding_size, h)),
+        'frame_proj': init_dense(k2, (feature_size, h)),
+        'blank_w': init_dense(k3, (h, 1))[:, 0],
+        'blank_b': jnp.zeros(()),
+        'vocab_w': init_dense(k4, (h, self.vocab_size)),
+        'vocab_b': jnp.zeros((self.vocab_size,)),
+    }
+
+  def apply(self, params, cache, frame, state=None):
+    context_embeddings = cache
+    if state is None:
+      # [batch..., 1, hidden] + [num_states, hidden] broadcast.
+      projected_frame = (frame @ params['frame_proj'])[..., None, :]
+      projected_context = context_embeddings @ params['context_proj']
+    else:
+      state = jnp.broadcast_to(state, frame.shape[:-1])
+      projected_frame = frame @ params['frame_proj']
+      projected_context = (
+          context_embeddings[state] @ params['context_proj'])
+    joint = jnp.tanh(projected_context + projected_frame)
+    blank = joint @ params['blank_w'] + params['blank_b']
+    lexical = joint @ params['vocab_w'] + params['vocab_b']
+    return blank, lexical
+
+
+@dataclasses.dataclass(frozen=True)
+class SharedEmbCacher(WeightFnCacher[jnp.ndarray]):
+  """A learned, independent per-state context embedding table.
+
+  The resulting [num_context_states, embedding_size] table can be used with
+  JointWeightFn. The table itself is the parameter (fixing reference SURVEY
+  §2.2-Q2: the cache is an array, not a module).
+
+  Attributes:
+    num_context_states: Number of context states.
+    embedding_size: Embedding dimension.
+  """
+
+  num_context_states: int
+  embedding_size: int
+
+  def init(self, key):
+    return {
+        'embedding':
+            jax.random.normal(
+                key, (self.num_context_states, self.embedding_size))
+    }
+
+  def apply(self, params):
+    return params['embedding']
+
+
+class SharedRNNCacher(WeightFnCacher[jnp.ndarray]):
+  """Builds a context embedding table by running n-gram labels through an RNN.
+
+  Usually used with ``last_torch_tpu.contexts.FullNGram``, where
+  ``num_context_states = sum(vocab_size**i for i in range(context_size+1))``.
+  Row order matches FullNGram's lexicographic state ids: the table is built
+  breadth-first — the start token embedding first, then each n-gram level
+  obtained by tiling the previous level's RNN state vocab_size times and
+  feeding the label embeddings (reference ``weight_fns.py:265-294``; here
+  the levels are jittable batched cell applications, and the rows are the
+  cell *outputs* — the reference's use of the LSTM cell state at
+  ``weight_fns.py:274-292`` is a quirk, not the documented intent).
+
+  Attributes:
+    vocab_size: Lexical vocabulary size.
+    context_size: Maximum n-gram order.
+    rnn_size: RNN hidden size (the embedding table width).
+    rnn_embedding_size: Label embedding size fed to the RNN.
+    rnn_cell: Optional custom RNN cell; defaults to LSTMCell.
+  """
+
+  def __init__(self,
+               vocab_size: int,
+               context_size: int,
+               rnn_size: int,
+               rnn_embedding_size: int,
+               rnn_cell: Optional[rnn.RNNCellBase] = None):
+    self.vocab_size = vocab_size
+    self.context_size = context_size
+    self.rnn_size = rnn_size
+    self.rnn_embedding_size = rnn_embedding_size
+    self.rnn_cell = rnn_cell or rnn.LSTMCell(
+        input_size=rnn_embedding_size, hidden_size=rnn_size)
+
+  def init(self, key):
+    k_emb, k_cell = jax.random.split(key)
+    return {
+        'embedding':
+            jax.random.normal(
+                k_emb, (self.vocab_size + 1, self.rnn_embedding_size)),
+        'cell': self.rnn_cell.init(k_cell),
+    }
+
+  def apply(self, params):
+    embedding = params['embedding']
+    cell_params = params['cell']
+    cell = self.rnn_cell
+    v = self.vocab_size
+
+    # Start (empty n-gram) state: feed the start token 0 from the zero state.
+    state = cell.initial_state(1, embedding.dtype)
+    out, state = cell.apply(cell_params, embedding[jnp.array([0])], state)
+    parts = [out]
+    for i in range(self.context_size):
+      # Level i+1 enumerates all (i+1)-grams in lexicographic order: parent
+      # state index k // v paired with label (k % v) + 1.
+      labels = jnp.tile(jnp.arange(1, v + 1), v**i)
+      inputs = embedding[labels]
+      tiled_state = jax.tree.map(
+          lambda s: jnp.repeat(s, v, axis=0), state)
+      out, state = cell.apply(cell_params, inputs, tiled_state)
+      parts.append(out)
+    return jnp.concatenate(parts, axis=0)
+
+
+class NullCacher(WeightFnCacher[type(None)]):
+  """A cacher that simply returns None.
+
+  Mainly used with TableWeightFn for unit testing.
+  """
+
+  def init(self, key):
+    return {}
+
+  def apply(self, params):
+    return None
+
+
+class TableWeightFn(WeightFn[type(None)]):
+  """Weight function that looks up a fixed table; useful for testing.
+
+  Attributes:
+    table: [batch_dims..., input_vocab_size, num_context_states,
+      1 + vocab_size] arc weight table. For each input frame, element 0 of
+      the feature vector is cast to an integer "input label" used to look up
+      the weights: blank arc weights at ``table[..., 0]``, lexical arcs at
+      ``table[..., 1:]``.
+  """
+
+  def __init__(self, table):
+    self.table = jnp.asarray(table)
+
+  def init(self, key, cache, frame):
+    return {}
+
+  def apply(self, params, cache, frame, state=None):
+    del params, cache
+    *batch_dims, _, num_context_states, _ = self.table.shape
+    batch_dims = tuple(batch_dims)
+    if frame.shape[:-1] != batch_dims:
+      raise ValueError(f'frame should have batch_dims={batch_dims} but '
+                       f'got ({frame.shape[:-1]})')
+
+    input_label = frame[..., 0].astype(jnp.int32)
+    # Exact gathers (no one-hot matmuls): tests rely on bit-exact values.
+    weights = jnp.take_along_axis(
+        self.table, input_label[..., None, None, None], axis=-3)
+    weights = jnp.squeeze(weights, axis=-3)  # [batch..., states, 1 + V]
+
+    if state is not None:
+      state = jnp.broadcast_to(state, batch_dims).astype(jnp.int32)
+      weights = jnp.take_along_axis(
+          weights, state[..., None, None], axis=-2)
+      weights = jnp.squeeze(weights, axis=-2)  # [batch..., 1 + V]
+
+    blank = weights[..., 0]
+    lexical = weights[..., 1:]
+    return blank, lexical

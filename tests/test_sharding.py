@@ -1,0 +1,86 @@
+"""Sharding tests on a virtual 8-device CPU mesh (SURVEY §4).
+
+Verifies that the dp x tp sharded train step compiles and executes over a
+('data', 'model') mesh, and that sharded results match single-device
+results.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+from last_torch_tpu.models import gnat
+from last_torch_tpu.parallel import sharding
+from tests.test_models import tiny_batch, tiny_config
+
+
+@pytest.fixture(scope='module')
+def eight_devices():
+  if len(jax.devices()) < 8:
+    pytest.skip('needs 8 (virtual) devices')
+  return jax.devices()[:8]
+
+
+def test_make_mesh(eight_devices):
+  mesh = sharding.make_mesh(model_parallel=2)
+  assert mesh.axis_names == ('data', 'model')
+  assert mesh.shape['data'] == 4
+  assert mesh.shape['model'] == 2
+  with pytest.raises(ValueError, match='must divide'):
+    sharding.make_mesh(model_parallel=3)
+
+
+def test_param_shardings_rules(eight_devices):
+  mesh = sharding.make_mesh(model_parallel=2)
+  model = gnat.GNATModel(tiny_config())
+  params = model.init(jax.random.PRNGKey(0))
+  shardings = sharding.param_shardings(params, mesh)
+  # Vocab head sharded on the model axis.
+  vocab_w = shardings['lattice']['weight_fn']['vocab_w']
+  assert vocab_w.spec == jax.sharding.PartitionSpec(None, 'model')
+  # Biases of the blank head replicated.
+  blank_b = shardings['lattice']['weight_fn']['blank_b']
+  assert blank_b.spec == jax.sharding.PartitionSpec()
+
+
+def test_sharded_train_step_matches_single_device(eight_devices):
+  """dp x tp sharded step == unsharded step (same math, different layout)."""
+  model = gnat.GNATModel(tiny_config())
+  optimizer = gnat.make_optimizer(learning_rate=1e-2)
+  # Batch divisible by the data axis (4).
+  frames, num_frames, labels, num_labels = tiny_batch(batch=4)
+  num_frames = jnp.array([6, 4, 5, 6], jnp.int32)
+  labels = jnp.tile(labels[:1], (4, 1))
+  num_labels = jnp.array([3, 2, 3, 1], jnp.int32)
+
+  state0 = gnat.init_train_state(model, jax.random.PRNGKey(0), optimizer)
+  _, loss_single = gnat.train_step(model, optimizer, state0, frames,
+                                   num_frames, labels, num_labels)
+
+  mesh = sharding.make_mesh(model_parallel=2)
+  step_fn, shard_state = sharding.make_sharded_train_step(
+      model, optimizer, mesh)
+  state = shard_state(
+      gnat.init_train_state(model, jax.random.PRNGKey(0), optimizer))
+  batch = [
+      jax.device_put(x, sharding.batch_shardings(mesh))
+      for x in (frames, num_frames, labels, num_labels)
+  ]
+  new_state, loss_sharded = step_fn(state, *batch)
+  assert int(new_state.step) == 1
+  npt.assert_allclose(float(loss_sharded), float(loss_single), rtol=1e-4)
+
+
+def test_graft_entry_dryrun(eight_devices):
+  """The driver-facing multichip dry run executes."""
+  import __graft_entry__
+  __graft_entry__.dryrun_multichip(8)
+
+
+def test_graft_entry_single():
+  import __graft_entry__
+  fn, args = __graft_entry__.entry()
+  loss = jax.jit(fn)(*args)
+  assert np.isfinite(float(loss))
