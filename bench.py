@@ -44,7 +44,8 @@ def build_headline_lattice(batch=32, max_frames=1600, vocab=1024,
       weight_fn_cacher_factory=lambda ctx: weight_fns.SharedEmbCacher(
           num_context_states=num_states, embedding_size=emb),
       weight_fn_factory=lambda ctx: weight_fns.JointWeightFn(
-          vocab_size=vocab, hidden_size=hidden))
+          vocab_size=vocab, hidden_size=hidden,
+          compute_dtype=jnp.bfloat16))
   params = lattice.init(jax.random.PRNGKey(seed), feature_size=feature)
 
   rng = np.random.default_rng(seed)

@@ -107,11 +107,19 @@ class RecognitionLattice(Generic[T]):
       weight_fn_cacher_factory: Callable[[contexts.ContextDependency],
                                          weight_fns.WeightFnCacher[T]],
       weight_fn_factory: Callable[[contexts.ContextDependency],
-                                  weight_fns.WeightFn[T]]):
+                                  weight_fns.WeightFn[T]],
+      fused: str = 'auto'):
+    if fused not in ('auto', 'never', 'interpret'):
+      raise ValueError(f"fused should be 'auto', 'never' or 'interpret', "
+                       f'but got {fused!r}')
     self.context = context
     self.alignment = alignment
     self.weight_fn_cacher = weight_fn_cacher_factory(context)
     self.weight_fn = weight_fn_factory(context)
+    # 'auto': use the fused Pallas scan kernel on TPU when the
+    # configuration is covered (see ops/fused_scan.py); 'never': always the
+    # XLA path; 'interpret': fused kernel in interpreter mode (testing).
+    self.fused = fused
 
   # -------------------------------------------------------------------
   # Parameter / cache management.
@@ -186,8 +194,10 @@ class RecognitionLattice(Generic[T]):
                        f'{num_labels.shape} vs {batch_dims}')
 
     if cache is None:
-      cache = self.build_cache(params)
-    numerator = self._string_forward(
+      with jax.named_scope('lattice_cache'):
+        cache = self.build_cache(params)
+    with jax.named_scope('lattice_numerator'):
+      numerator = self._string_forward(
         params=params,
         cache=cache,
         frames=frames,
@@ -197,8 +207,9 @@ class RecognitionLattice(Generic[T]):
         semiring=semirings.Log)
     if isinstance(self.weight_fn, weight_fns.LocallyNormalizedWeightFn):
       return -numerator
-    denominator = self._forward_backward(
-        params=params, cache=cache, frames=frames, num_frames=num_frames)
+    with jax.named_scope('lattice_denominator'):
+      denominator = self._forward_backward(
+          params=params, cache=cache, frames=frames, num_frames=num_frames)
     return denominator - numerator
 
   def shortest_path(self, params, frames, num_frames, cache=None):
@@ -265,6 +276,46 @@ class RecognitionLattice(Generic[T]):
         num_alignment_states * num_frames.astype(jnp.int32))
     return alignment_labels, num_alignment_labels, path_weights
 
+  def shortest_distance(self, params, frames, num_frames, semiring=None,
+                        cache=None, weight_lift: WeightLift = None):
+    """Shortest distance over all paths in the recognition lattice.
+
+    The public entry point to the forward algorithm under any semiring
+    (the reference exposes this only privately via ``_forward``). With the
+    Expectation semiring and a ``weight_lift``, this computes quantities
+    like the entropy of the path distribution in one pass, e.g. for a
+    locally normalized lattice::
+
+      sr = semirings.LogLogExpectation
+      lift = lambda w: sr.weighted(w, jnp.log(jnp.maximum(-w, 1e-30)))
+      log_z, log_cost = lattice.shortest_distance(
+          params, frames, num_frames, semiring=sr, weight_lift=lift)
+      entropy = jnp.exp(log_cost - log_z)
+
+    Args:
+      params: Parameter pytree from ``init``.
+      frames: [batch_dims..., max_num_frames, feature_size] padded frames.
+      num_frames: [batch_dims...] number of frames.
+      semiring: Semiring (default Log).
+      cache: Optional weight function cache data.
+      weight_lift: Optional lifting of plain arc weight arrays into
+        semiring values (required for tuple-valued semirings).
+
+    Returns:
+      [batch_dims...] shortest distance (a semiring value).
+    """
+    semiring = semiring if semiring is not None else semirings.Log
+    if cache is None:
+      cache = self.build_cache(params)
+    distance, _ = self._forward(
+        params=params,
+        cache=cache,
+        frames=frames,
+        num_frames=jnp.asarray(num_frames),
+        semiring=semiring,
+        weight_lift=weight_lift)
+    return distance
+
   # -------------------------------------------------------------------
   # Private dynamic programs.
   # -------------------------------------------------------------------
@@ -318,29 +369,39 @@ class RecognitionLattice(Generic[T]):
     context_next_labels = jnp.concatenate(
         [labels, jnp.ones_like(labels[..., :1])], axis=-1)
 
-    def position_weights(carry, inputs):
-      state, next_label = inputs  # [batch_dims...] each
+    fast = self.weight_fn.label_weights(wf_params, cache, frames,
+                                        context_states, context_next_labels)
+    if fast is not None:
+      # [batch_dims..., U+1, T] -> [T, batch_dims..., U+1] (time-major).
+      blank_weight, lexical_weight = (
+          jnp.moveaxis(x, -1, 0) for x in fast)
+    else:
 
-      def one_frame(frame):
-        return self.weight_fn.apply(wf_params, cache, frame, state)
+      def position_weights(carry, inputs):
+        state, next_label = inputs  # [batch_dims...] each
 
-      # blank: [batch_dims..., T]; lexical: [batch_dims..., V, T].
-      blank, lexical = jax.vmap(one_frame, in_axes=-2, out_axes=-1)(frames)
-      # Gather the weight of the next needed label. one-hot of label 0
-      # would be out of range; clamp to label 1, those positions are never
-      # selected as final.
-      y = jnp.maximum(next_label, 1)
-      lexical_y = jnp.take_along_axis(
-          lexical, y[..., None, None] - 1, axis=-2)[..., 0, :]
-      return carry, (blank, lexical_y)
+        def one_frame(frame):
+          return self.weight_fn.apply(wf_params, cache, frame, state)
 
-    _, (blank_weight, lexical_weight) = jax.lax.scan(
-        position_weights, (), (jnp.moveaxis(context_states, -1, 0),
-                               jnp.moveaxis(context_next_labels, -1, 0)))
-    # [U+1, batch_dims..., T] -> [T, batch_dims..., U+1] (time-major).
-    to_time_major = lambda x: jnp.moveaxis(jnp.moveaxis(x, 0, -1), -2, 0)
-    blank_weight = to_time_major(blank_weight)
-    lexical_weight = to_time_major(lexical_weight)
+        # blank: [batch_dims..., T]; lexical: [batch_dims..., V, T].
+        blank, lexical = jax.vmap(one_frame, in_axes=-2, out_axes=-1)(frames)
+        # Gather the weight of the next needed label. one-hot of label 0
+        # would be out of range; clamp to label 1, those positions are
+        # never selected as final.
+        y = jnp.maximum(next_label, 1)
+        lexical_y = jnp.take_along_axis(
+            lexical, y[..., None, None] - 1, axis=-2)[..., 0, :]
+        return carry, (blank, lexical_y)
+
+      _, (blank_weight, lexical_weight) = jax.lax.scan(
+          jax.checkpoint(position_weights,
+                         policy=jax.checkpoint_policies.nothing_saveable),
+          (), (jnp.moveaxis(context_states, -1, 0),
+               jnp.moveaxis(context_next_labels, -1, 0)))
+      # [U+1, batch_dims..., T] -> [T, batch_dims..., U+1] (time-major).
+      to_time_major = lambda x: jnp.moveaxis(jnp.moveaxis(x, 0, -1), -2, 0)
+      blank_weight = to_time_major(blank_weight)
+      lexical_weight = to_time_major(lexical_weight)
 
     lift = weight_lift if weight_lift is not None else (lambda w: w)
 
@@ -432,6 +493,23 @@ class RecognitionLattice(Generic[T]):
 
     wf_params = params['weight_fn']
     lift = weight_lift if weight_lift is not None else (lambda w: w)
+
+    if self.fused != 'never':
+      from last_torch_tpu.ops import fused_scan
+      backend = 'tpu' if self.fused == 'interpret' else jax.default_backend()
+      if fused_scan.supported(self, semiring, blank_mask, lexical_mask,
+                              weight_lift, frames, backend):
+        frame_dependent = isinstance(self.alignment,
+                                     alignments.FrameDependent)
+        return fused_scan.fused_shortest_distance_fwd(
+            wf_params, cache, frames, num_frames,
+            max_expansions=(0 if frame_dependent else
+                            self.alignment.max_expansions),
+            frame_dependent=frame_dependent,
+            num_context_states=self.context.shape()[0],
+            compute_dtype=(jnp.float32 if self.fused == 'interpret' else
+                           jnp.bfloat16),
+            interpret=self.fused == 'interpret')
 
     xs = {'frame': jnp.moveaxis(frames, -2, 0)}
     if blank_mask is not None:

@@ -1,0 +1,505 @@
+# Copyright 2026.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+
+"""Fused Pallas (Mosaic) TPU kernel for the GNAT lattice forward scan.
+
+The hot loop of the recognition lattice (SURVEY §3, "hot-loop summary") is a
+per-frame recursion
+
+  joint    = tanh(pc + pf[t])                  # [B, S, h]
+  blank    = joint @ blank_w + blank_b         # [B, S]
+  lexical  = joint @ vocab_w + vocab_b         # [B, S, V]
+  alpha'   = alignment_step(alpha, blank, lexical)
+
+where the XLA path writes the O(B*S*V) lexical tensor to HBM every frame and
+reads it back for the semiring reduction (~134 MB/frame at the headline
+config). This kernel keeps the time scan entirely on-chip:
+
+* grid = (T, B-tiles), iterated sequentially on the TPU core; the alpha
+  carry lives in a VMEM scratch buffer across grid steps;
+* per frame, an inner loop over S-tiles computes the joint/heads on the MXU
+  (bfloat16 inputs, float32 accumulation) and folds the lexical block
+  directly into an online (flash-style) logsumexp over source states —
+  the lexical weights never touch HBM;
+* the bigram (FullNGram context_size=1) forward reduction
+  ``alpha'[1+y] = logsumexp_s(alpha[s] + lexical[s, y])`` is exactly this
+  online reduction; FrameLabelDependent runs k such passes per frame
+  (one per expansion), matching ``alignments.FrameLabelDependent.forward``.
+
+Scope: Log semiring, JointWeightFn (globally normalized), FullNGram with
+context_size == 1, FrameDependent / FrameLabelDependent, single batch dim.
+Everything else falls back to the XLA path in ``lattices._forward``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float('-inf')
+
+
+def _round_up(x: int, m: int) -> int:
+  return (x + m - 1) // m * m
+
+
+def _online_logsumexp_update(m, z, chunk):
+  """Folds chunk [Bt, St, V] into running (max m, sumexp z), both [Bt, V]."""
+  cmax = jnp.max(chunk, axis=1)
+  m_new = jnp.maximum(m, cmax)
+  safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+  scale = jnp.where(jnp.isfinite(m), jnp.exp(m - safe), 0.0)
+  z_new = z * scale + jnp.sum(jnp.exp(chunk - safe[:, None, :]), axis=1)
+  return m_new, z_new
+
+
+def _online_logsumexp_final(m, z):
+  safe = jnp.where(jnp.isfinite(m), m, 0.0)
+  return jnp.where(z == 0, NEG_INF, safe + jnp.log(z))
+
+
+def _fused_forward_kernel(
+    # Inputs.
+    is_pad_ref,     # [1, 1, 1, Bt] int32 (1 where t >= num_frames[b])
+    pf_ref,         # [1, Bt, h] projected frame for this (t, b-tile)
+    pc_ref,         # [S_pad, h] projected context table (whole)
+    vw_ref,         # [h, V] vocab head
+    vb_ref,         # [1, V] vocab bias
+    bw_ref,         # [h, 1] blank head
+    bb_ref,         # [1, 1] blank bias
+    alpha0_ref,     # [Bt, S_pad] initial alpha for this b-tile
+    # Outputs.
+    hist_ref,       # [1, Bt, S_pad] alpha before this frame
+    alpha_out_ref,  # [Bt, S_pad] final alpha
+    # Scratch.
+    alpha_scr,      # [B, S_pad] carry across the time grid
+    blank_scr,      # [Bt, S_pad] per-frame blank weights
+    *,
+    batch_tile: int,
+    s_tile: int,
+    num_s_tiles: int,
+    max_expansions: int,
+    frame_dependent: bool,
+    compute_dtype,
+):
+  t = pl.program_id(0)
+  b = pl.program_id(1)
+  b_start = b * batch_tile
+
+  @pl.when(t == 0)
+  def _():
+    alpha_scr[pl.ds(b_start, batch_tile), :] = alpha0_ref[:]
+
+  alpha = alpha_scr[pl.ds(b_start, batch_tile), :]  # [Bt, S_pad]
+  hist_ref[0] = alpha
+  pf = pf_ref[0]  # [Bt, h]
+  vw = vw_ref[:].astype(compute_dtype)
+  bw = bw_ref[:].astype(compute_dtype)
+
+  def tile_joint(i):
+    pc_t = pc_ref[i * s_tile:(i + 1) * s_tile, :]  # [St, h], static slice
+    joint = jnp.tanh(pc_t[None, :, :] + pf[:, None, :])
+    return joint.astype(compute_dtype).reshape(batch_tile * s_tile, -1)
+
+  def lex_pass(in_vec, write_blank):
+    """One online-logsumexp reduction pass over all S tiles, unrolled.
+
+    Computes red[b, y] = logsumexp_s(in_vec[b, s] + lexical[b, s, y]); when
+    ``write_blank``, also stores the per-state blank weights in blank_scr.
+    (Static unroll: Mosaic lacks dynamic slicing of values, and the tile
+    count is small.)
+    """
+    num_lanes = vw.shape[-1]
+    m = jnp.full((batch_tile, num_lanes), NEG_INF, jnp.float32)
+    z = jnp.zeros((batch_tile, num_lanes), jnp.float32)
+    for i in range(num_s_tiles):
+      joint2d = tile_joint(i)
+      lex = jax.lax.dot_general(
+          joint2d, vw, (((1,), (0,)), ((), ())),
+          preferred_element_type=jnp.float32)
+      lex = lex.reshape(batch_tile, s_tile, -1) + vb_ref[0][None, None, :]
+      if write_blank:
+        blank = jax.lax.dot_general(
+            joint2d, bw, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        blank = blank.reshape(batch_tile, s_tile) + bb_ref[0, 0]
+        blank_scr[:, i * s_tile:(i + 1) * s_tile] = blank
+      vec_tile = in_vec[:, i * s_tile:(i + 1) * s_tile]
+      chunk = vec_tile[:, :, None] + lex
+      m, z = _online_logsumexp_update(m, z, chunk)
+    return _online_logsumexp_final(m, z)  # [Bt, V]
+
+  def expand(red):
+    """[Bt, V] lexical-destination weights -> [Bt, S_pad] state vector.
+
+    Bigram state layout: state 0 (empty history) has no incoming lexical
+    arc; states 1..V are the unigram destinations; padded states stay
+    semiring-zero.
+    """
+    s_pad = alpha.shape[-1]
+    pad = jnp.full((batch_tile, s_pad - 1 - red.shape[-1]), NEG_INF,
+                   jnp.float32)
+    start_col = jnp.full((batch_tile, 1), NEG_INF, jnp.float32)
+    return jnp.concatenate([start_col, red, pad], axis=1)
+
+  red0 = lex_pass(alpha, write_blank=True)
+  blank = blank_scr[:, :]
+
+  if frame_dependent:
+    # alpha' = (alpha + blank) logaddexp expand(red0).
+    alpha_new = jnp.logaddexp(alpha + blank, expand(red0))
+  else:
+    # FrameLabelDependent: up to k lexical expansions then a blank.
+    acc = alpha + blank
+    last = expand(red0)
+    for i in range(1, max_expansions + 1):
+      acc = jnp.logaddexp(acc, last + blank)
+      if i < max_expansions:
+        last = expand(lex_pass(last, write_blank=False))
+    alpha_new = acc
+
+  is_pad = is_pad_ref[0, 0, 0, :][:, None] != 0
+  alpha_new = jnp.where(is_pad, alpha, alpha_new)
+  alpha_scr[pl.ds(b_start, batch_tile), :] = alpha_new
+  alpha_out_ref[:] = alpha_new
+
+
+def _fused_backward_kernel(
+    # Inputs (time-reversed index maps: grid step t handles frame T-1-t).
+    is_pad_ref,     # [1, 1, 1, Bt] int32
+    logz_ref,       # [1, 1, Bt] f32
+    g_ref,          # [1, 1, Bt] f32 cotangent of log_z
+    pf_ref,         # [1, Bt, h]
+    pc_ref,         # [S_pad, h]
+    vw_ref,         # [h, V]
+    vb_ref,         # [1, V]
+    bw_ref,         # [h, 1]
+    bb_ref,         # [1, 1] SMEM
+    hist_ref,       # [1, Bt, S_pad] alpha before this frame
+    # Outputs.
+    dpf_ref,        # [1, Bt, h]
+    dpc_ref,        # [S_pad, h]
+    dvw_ref,        # [h, V]
+    dvb_ref,        # [1, V]
+    dbw_ref,        # [h, 1]
+    dbb_ref,        # [1, 1] SMEM
+    # Scratch.
+    beta_scr,       # [B_pad, S_pad] f32 carry
+    blank_scr,      # [Bt, S_pad] f32
+    lex_scr,        # [Bt, S_pad, V] cached lexical weights
+    dpc_scr,        # [S_pad, h] f32
+    dvw_scr,        # [h, V] f32
+    dvb_scr,        # [1, V] f32
+    dbw_scr,        # [h, 1] f32
+    dbb_scr,        # [1, 1] f32 SMEM
+    *,
+    batch_tile: int,
+    s_tile: int,
+    num_s_tiles: int,
+    max_expansions: int,
+    frame_dependent: bool,
+    compute_dtype,
+    cache_dtype,
+):
+  t = pl.program_id(0)
+  b = pl.program_id(1)
+  b_start = b * batch_tile
+  num_b_tiles = pl.num_programs(1)
+  vocab = vw_ref.shape[-1]
+
+  @pl.when(t == 0)
+  def _():
+    # Reversed grid: step 0 is the last frame; beta_T = Log.ones.
+    beta_scr[pl.ds(b_start, batch_tile), :] = jnp.zeros_like(
+        beta_scr[pl.ds(b_start, batch_tile), :])
+
+  @pl.when((t == 0) & (b == 0))
+  def _():
+    dpc_scr[:] = jnp.zeros_like(dpc_scr)
+    dvw_scr[:] = jnp.zeros_like(dvw_scr)
+    dvb_scr[:] = jnp.zeros_like(dvb_scr)
+    dbw_scr[:] = jnp.zeros_like(dbw_scr)
+    dbb_scr[0, 0] = 0.0
+
+  alpha = hist_ref[0]                       # [Bt, S_pad]
+  beta = beta_scr[pl.ds(b_start, batch_tile), :]
+  pf = pf_ref[0]                            # [Bt, h]
+  log_z = logz_ref[0, 0, :][:, None]        # [Bt, 1]
+  pad = is_pad_ref[0, 0, 0, :] != 0         # [Bt]
+  g_eff = jnp.where(pad, 0.0, g_ref[0, 0, :])[:, None]  # [Bt, 1]
+  vw_c = vw_ref[:].astype(compute_dtype)
+  bw_c = bw_ref[:].astype(compute_dtype)
+
+  def tile_joint(i):
+    pc_t = pc_ref[i * s_tile:(i + 1) * s_tile, :]
+    return jnp.tanh(pc_t[None, :, :] + pf[:, None, :])  # [Bt, St, h] f32
+
+  # Pass A: recompute and cache the frame's lexical/blank weights on-chip.
+  for i in range(num_s_tiles):
+    joint2d = tile_joint(i).astype(compute_dtype).reshape(
+        batch_tile * s_tile, -1)
+    lex = jax.lax.dot_general(
+        joint2d, vw_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    lex = lex.reshape(batch_tile, s_tile, vocab) + vb_ref[0][None, None, :]
+    lex_scr[:, i * s_tile:(i + 1) * s_tile, :] = lex.astype(cache_dtype)
+    blank = jax.lax.dot_general(
+        joint2d, bw_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    blank_scr[:, i * s_tile:(i + 1) * s_tile] = blank.reshape(
+        batch_tile, s_tile) + bb_ref[0, 0]
+  blank = blank_scr[:, :]
+
+  def read_lex(i):
+    return lex_scr[:, i * s_tile:(i + 1) * s_tile, :].astype(jnp.float32)
+
+  def sweep_reduce(vec):
+    """red[b, y] = logsumexp_s(vec[b, s] + lex[b, s, y]) from the cache."""
+    m = jnp.full((batch_tile, vocab), NEG_INF, jnp.float32)
+    z = jnp.zeros((batch_tile, vocab), jnp.float32)
+    for i in range(num_s_tiles):
+      chunk = vec[:, i * s_tile:(i + 1) * s_tile, None] + read_lex(i)
+      m, z = _online_logsumexp_update(m, z, chunk)
+    return _online_logsumexp_final(m, z)
+
+  def sweep_lse_y(nb_lex):
+    """out[b, s] = logsumexp_y(lex[b, s, y] + nb_lex[b, y]) (per-s)."""
+    parts = []
+    for i in range(num_s_tiles):
+      x = read_lex(i) + nb_lex[:, None, :]
+      m = jnp.max(x, axis=-1)
+      parts.append(m + jnp.log(jnp.sum(jnp.exp(x - m[..., None]), axis=-1)))
+    return jnp.concatenate(parts, axis=-1)  # [Bt, S_pad]
+
+  def expand(red):
+    s_pad = alpha.shape[-1]
+    pad_cols = jnp.full((batch_tile, s_pad - 1 - vocab), NEG_INF,
+                        jnp.float32)
+    start_col = jnp.full((batch_tile, 1), NEG_INF, jnp.float32)
+    return jnp.concatenate([start_col, red, pad_cols], axis=1)
+
+  if frame_dependent:
+    # alignments.FrameDependent.backward: marginals and next beta.
+    # lm = exp(alpha + lex + beta[1+y] - log_z); bm = exp(alpha+blank+beta-z)
+    a_list = [alpha]
+    nbs = [(0, beta)]
+    bm_total = jnp.exp(alpha + blank + beta - log_z)
+    final_nb = jnp.logaddexp(blank + beta, sweep_lse_y(beta[:, 1:1 + vocab]))
+  else:
+    # alignments.FrameLabelDependent.backward.
+    k = max_expansions
+    a_list = [alpha]
+    for _ in range(k):
+      a_list.append(expand(sweep_reduce(a_list[-1])))
+    bm_total = jnp.zeros_like(alpha)
+    for j in range(k + 1):
+      bm_total = bm_total + jnp.exp(a_list[j] + blank + beta - log_z)
+    nbs = []
+    nb = blank + beta
+    for i in range(k):
+      j = k - 1 - i
+      nbs.append((j, nb))
+      lse = sweep_lse_y(nb[:, 1:1 + vocab])
+      nb = jnp.logaddexp(blank + beta, lse)
+    final_nb = nb
+
+  d_blank_all = g_eff * bm_total            # [Bt, S_pad]
+  bw_row = bw_ref[:, 0]                     # [h]
+
+  # Pass B: per-tile marginal accumulation and head/tanh backward.
+  dpf_acc = jnp.zeros((batch_tile, pf.shape[-1]), jnp.float32)
+  for i in range(num_s_tiles):
+    lex_t = read_lex(i)                     # [Bt, St, V]
+    lm = jnp.zeros_like(lex_t)
+    for (j, nb_j) in nbs:
+      lm = lm + jnp.exp(a_list[j][:, i * s_tile:(i + 1) * s_tile, None] +
+                        lex_t + nb_j[:, None, 1:1 + vocab] -
+                        log_z[:, :, None])
+    d_lex2d = (g_eff[:, :, None] * lm).reshape(batch_tile * s_tile, vocab)
+    d_blank_flat = d_blank_all[:, i * s_tile:(i + 1) * s_tile].reshape(
+        batch_tile * s_tile)
+
+    joint = tile_joint(i)                   # [Bt, St, h] f32
+    joint2d_c = joint.astype(compute_dtype).reshape(batch_tile * s_tile, -1)
+    # Head gradients (accumulated across tiles, b-tiles, and frames).
+    dvw_scr[:, :] += jax.lax.dot_general(
+        joint2d_c, d_lex2d.astype(compute_dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dvb_scr[0, :] += jnp.sum(d_lex2d, axis=0)
+    dbw_scr[:, 0] += jax.lax.dot_general(
+        joint2d_c, d_blank_flat.astype(compute_dtype)[:, None],
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)[:, 0]
+    dbb_scr[0, 0] += jnp.sum(d_blank_flat)
+    # Back through the joint tanh.
+    d_joint2d = jax.lax.dot_general(
+        d_lex2d.astype(compute_dtype), vw_c, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    d_joint2d = d_joint2d + d_blank_flat[:, None] * bw_row[None, :]
+    d_pre = d_joint2d.reshape(batch_tile, s_tile, -1) * (1.0 - joint * joint)
+    dpf_acc = dpf_acc + jnp.sum(d_pre, axis=1)
+    dpc_scr[i * s_tile:(i + 1) * s_tile, :] += jnp.sum(d_pre, axis=0)
+
+  dpf_ref[0] = dpf_acc
+  beta_new = jnp.where(pad[:, None], beta, final_nb)
+  beta_scr[pl.ds(b_start, batch_tile), :] = beta_new
+
+  @pl.when((t == pl.num_programs(0) - 1) & (b == num_b_tiles - 1))
+  def _():
+    dpc_ref[:] = dpc_scr[:]
+    dvw_ref[:] = dvw_scr[:]
+    dvb_ref[:] = dvb_scr[:]
+    dbw_ref[:] = dbw_scr[:]
+    dbb_ref[0, 0] = dbb_scr[0, 0]
+
+
+def fused_shortest_distance_fwd(wf_params: Any,
+                                cache: jnp.ndarray,
+                                frames: jnp.ndarray,
+                                num_frames: jnp.ndarray,
+                                *,
+                                max_expansions: int,
+                                frame_dependent: bool,
+                                num_context_states: int,
+                                batch_tile: int = 8,
+                                s_tile: int = 128,
+                                compute_dtype=jnp.bfloat16,
+                                interpret: bool = False):
+  """Runs the fused forward scan.
+
+  Args:
+    wf_params: JointWeightFn parameter pytree.
+    cache: [num_context_states, embedding_size] context embedding table.
+    frames: [B, T, feature_size] frames.
+    num_frames: [B] int32.
+    max_expansions: k for FrameLabelDependent (ignored if frame_dependent).
+    frame_dependent: FrameDependent vs FrameLabelDependent step.
+    num_context_states: 1 + vocab_size (bigram).
+    batch_tile: Batch tile size (must divide the padded batch).
+    s_tile: Context-state tile size.
+    compute_dtype: MXU input dtype (bfloat16 for speed, float32 for tests).
+    interpret: Run the kernel in interpreter mode (CPU testing).
+
+  Returns:
+    (log_z [B], alpha_history [B, T, S]) — matching ``lattices._forward``
+    under the Log semiring.
+  """
+  batch, max_t, _ = frames.shape
+  vocab = wf_params['vocab_w'].shape[-1]
+  s = num_context_states
+  assert s == vocab + 1, 'fused kernel requires bigram FullNGram'
+  s_pad = _round_up(s, s_tile)
+  b_pad = _round_up(batch, batch_tile)
+
+  # Frame-independent precomputation (one big MXU matmul each; XLA).
+  pf = jnp.einsum('btf,fh->tbh', frames, wf_params['frame_proj'])
+  pc = cache @ wf_params['context_proj']  # [S, h]
+  hidden = pc.shape[-1]
+  pc = jnp.pad(pc, ((0, s_pad - s), (0, 0)))
+  if b_pad != batch:
+    pf = jnp.pad(pf, ((0, 0), (0, b_pad - batch), (0, 0)))
+
+  is_pad = (jnp.arange(max_t)[:, None] >=
+            jnp.asarray(num_frames, jnp.int32)[None, :]).astype(jnp.int32)
+  if b_pad != batch:
+    is_pad = jnp.pad(is_pad, ((0, 0), (0, b_pad - batch)),
+                     constant_values=1)
+  # [T, num_b_tiles, 1, Bt]: per-(t, b-tile) blocks with static in-kernel
+  # reads (Mosaic cannot slice the lane dim at non-128-aligned offsets).
+  is_pad = is_pad.reshape(max_t, b_pad // batch_tile, 1, batch_tile)
+
+  alpha0 = jnp.full((b_pad, s_pad), NEG_INF, jnp.float32)
+  alpha0 = alpha0.at[:, 0].set(0.0)
+
+  num_b_tiles = b_pad // batch_tile
+  num_s_tiles = s_pad // s_tile
+
+  kernel = functools.partial(
+      _fused_forward_kernel,
+      batch_tile=batch_tile,
+      s_tile=s_tile,
+      num_s_tiles=num_s_tiles,
+      max_expansions=max_expansions,
+      frame_dependent=frame_dependent,
+      compute_dtype=compute_dtype)
+
+  hist, alpha_t = pl.pallas_call(
+      kernel,
+      grid=(max_t, num_b_tiles),
+      in_specs=[
+          pl.BlockSpec((1, 1, 1, batch_tile), lambda t, b: (t, b, 0, 0)),
+          pl.BlockSpec((1, batch_tile, hidden), lambda t, b: (t, b, 0)),
+          pl.BlockSpec((s_pad, hidden), lambda t, b: (0, 0)),
+          pl.BlockSpec((hidden, vocab), lambda t, b: (0, 0)),
+          pl.BlockSpec((1, vocab), lambda t, b: (0, 0)),
+          pl.BlockSpec((hidden, 1), lambda t, b: (0, 0)),
+          pl.BlockSpec((1, 1), lambda t, b: (0, 0),
+                       memory_space=pltpu.SMEM),
+          pl.BlockSpec((batch_tile, s_pad), lambda t, b: (b, 0)),
+      ],
+      out_specs=[
+          pl.BlockSpec((1, batch_tile, s_pad), lambda t, b: (t, b, 0)),
+          pl.BlockSpec((batch_tile, s_pad), lambda t, b: (b, 0)),
+      ],
+      out_shape=[
+          jax.ShapeDtypeStruct((max_t, b_pad, s_pad), jnp.float32),
+          jax.ShapeDtypeStruct((b_pad, s_pad), jnp.float32),
+      ],
+      scratch_shapes=[
+          pltpu.VMEM((b_pad, s_pad), jnp.float32),
+          pltpu.VMEM((batch_tile, s_pad), jnp.float32),
+      ],
+      interpret=interpret,
+  )(is_pad, pf, pc, wf_params['vocab_w'],
+    wf_params['vocab_b'][None, :], wf_params['blank_w'][:, None],
+    wf_params['blank_b'][None, None], alpha0)
+
+  # Unpad and reshape to the lattices._forward contract.
+  alpha_t = alpha_t[:batch, :s]
+  log_z = jax.scipy.special.logsumexp(alpha_t, axis=-1)
+  alpha_history = jnp.moveaxis(hist[:, :batch, :s], 0, 1)  # [B, T, S]
+  return log_z, alpha_history
+
+
+def supported(lattice, semiring, blank_mask, lexical_mask, weight_lift,
+              frames, backend: str) -> bool:
+  """Whether the fused kernel covers this _forward invocation."""
+  from last_torch_tpu import alignments, contexts, semirings, weight_fns
+
+  if backend != 'tpu':
+    return False
+  if semiring is not semirings.Log:
+    return False
+  if blank_mask is not None or lexical_mask is not None:
+    return False
+  if weight_lift is not None:
+    return False
+  if type(lattice.weight_fn) is not weight_fns.JointWeightFn:
+    return False
+  if not isinstance(lattice.context, contexts.FullNGram):
+    return False
+  if lattice.context.context_size != 1:
+    return False
+  if not isinstance(
+      lattice.alignment,
+      (alignments.FrameDependent, alignments.FrameLabelDependent)):
+    return False
+  if frames.ndim != 3:  # single batch dim only
+    return False
+  return True

@@ -13,3 +13,6 @@
 # limitations under the License.
 
 """SPMD parallelism over jax.sharding meshes (data/model/sequence axes)."""
+
+from last_torch_tpu.parallel import sequence
+from last_torch_tpu.parallel import sharding

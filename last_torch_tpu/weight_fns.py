@@ -93,6 +93,33 @@ class WeightFn(abc.ABC, Generic[T]):
   def __call__(self, params, cache, frame, state=None):
     return self.apply(params, cache, frame, state)
 
+  def label_weights(self, params, cache, frames, states, next_labels):
+    """Optional fast path for string-intersection weights.
+
+    Computes, for every (label position u, frame t), the blank weight and
+    the lexical weight of ONE specific label — the quantities needed by the
+    numerator DP (``RecognitionLattice._string_forward``). Implementations
+    can avoid materializing the full ``[*, T, vocab_size]`` lexical tensor
+    per position (e.g. by gathering the needed vocab-head column before the
+    joint contraction).
+
+    Args:
+      params: Parameter pytree.
+      cache: Cache data.
+      frames: [batch_dims..., max_num_frames, feature_size] frames.
+      states: [batch_dims..., num_positions] int32 context states.
+      next_labels: [batch_dims..., num_positions] int32 labels in
+        [0, vocab_size]; position weights for label 0 may be arbitrary
+        (they are masked out downstream).
+
+    Returns:
+      None (no fast path; the caller falls back to the generic route), or
+      (blank, lexical) of shape [batch_dims..., num_positions,
+      max_num_frames] each.
+    """
+    del params, cache, frames, states, next_labels
+    return None
+
 
 class WeightFnCacher(abc.ABC, Generic[T]):
   """Interface for weight function cachers."""
@@ -205,10 +232,22 @@ class JointWeightFn(WeightFn[jnp.ndarray]):
   Attributes:
     vocab_size: Size of the lexical output vocabulary (excluding blank).
     hidden_size: Hidden layer size of the joint network.
+    compute_dtype: Optional dtype for matmul inputs (e.g. jnp.bfloat16 to
+      run the MXU at full rate); accumulation stays float32. None keeps
+      the input dtype (full float32 precision).
   """
 
   vocab_size: int
   hidden_size: int
+  compute_dtype: Any = None
+
+  def _mm(self, a, b):
+    """Matmul over the last axis of a: [..., i] @ [i, o] -> [..., o]."""
+    if self.compute_dtype is not None:
+      a = a.astype(self.compute_dtype)
+      b = b.astype(self.compute_dtype)
+    return jnp.einsum('...i,io->...o', a, b,
+                      preferred_element_type=jnp.float32)
 
   def init(self, key, cache, frame):
     embedding_size = cache.shape[-1]
@@ -229,17 +268,53 @@ class JointWeightFn(WeightFn[jnp.ndarray]):
     context_embeddings = cache
     if state is None:
       # [batch..., 1, hidden] + [num_states, hidden] broadcast.
-      projected_frame = (frame @ params['frame_proj'])[..., None, :]
-      projected_context = context_embeddings @ params['context_proj']
+      projected_frame = self._mm(frame, params['frame_proj'])[..., None, :]
+      projected_context = self._mm(context_embeddings,
+                                   params['context_proj'])
     else:
       state = jnp.broadcast_to(state, frame.shape[:-1])
-      projected_frame = frame @ params['frame_proj']
-      projected_context = (
-          context_embeddings[state] @ params['context_proj'])
+      projected_frame = self._mm(frame, params['frame_proj'])
+      projected_context = self._mm(context_embeddings[state],
+                                   params['context_proj'])
     joint = jnp.tanh(projected_context + projected_frame)
-    blank = joint @ params['blank_w'] + params['blank_b']
-    lexical = joint @ params['vocab_w'] + params['vocab_b']
+    blank = self._mm(joint, params['blank_w'][:, None])[..., 0] + params[
+        'blank_b']
+    lexical = self._mm(joint, params['vocab_w']) + params['vocab_b']
     return blank, lexical
+
+  def label_weights(self, params, cache, frames, states, next_labels):
+    # Fast numerator path: the lexical weight of one known label is
+    # joint . vocab_w[:, y], so gather the vocab-head column FIRST and
+    # contract — O(h) per (position, frame) instead of the O(h*V) full
+    # head matmul the generic route would compute and discard.
+    y = jnp.maximum(next_labels, 1) - 1  # [batch..., U1]
+    projected_frames = self._mm(frames, params['frame_proj'])
+    projected_context = self._mm(cache, params['context_proj'])[states]
+    vocab_cols = params['vocab_w'].T[y]  # [batch..., U1, h]
+    vocab_bias = params['vocab_b'][y]  # [batch..., U1]
+
+    def per_position(carry, inputs):
+      pc_u, w_u, b_u = inputs  # [batch..., h], [batch..., h], [batch...]
+      joint = jnp.tanh(pc_u[..., None, :] + projected_frames)
+      blank = self._mm(joint, params['blank_w'][:, None])[..., 0] + params[
+          'blank_b']
+      lexical = jnp.einsum('...th,...h->...t', joint, w_u,
+                           preferred_element_type=jnp.float32) + b_u[
+                               ..., None]
+      return carry, (blank, lexical)
+
+    to_front = lambda x: jnp.moveaxis(x, -2, 0)
+    # Rematerialize: without this, reverse-mode autodiff saves the
+    # [batch, T, h] joint activation for every label position.
+    _, (blank, lexical) = jax.lax.scan(
+        jax.checkpoint(per_position,
+                       policy=jax.checkpoint_policies.nothing_saveable),
+        (),
+        (to_front(projected_context), to_front(vocab_cols),
+         jnp.moveaxis(vocab_bias, -1, 0)))
+    # [U1, batch..., T] -> [batch..., U1, T]
+    from_front = lambda x: jnp.moveaxis(x, 0, -2)
+    return from_front(blank), from_front(lexical)
 
 
 @dataclasses.dataclass(frozen=True)

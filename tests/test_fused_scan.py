@@ -1,0 +1,118 @@
+"""Tests for the fused Pallas forward scan (interpret mode on CPU).
+
+The fused kernel must match the XLA lax.scan path bit-for-tolerance on the
+same inputs: log_z and the alpha history, with frame padding, for both
+FrameDependent and FrameLabelDependent alignments.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+import last_torch_tpu
+from last_torch_tpu import alignments, contexts, semirings, weight_fns
+
+
+def build(alignment, fused):
+  context = contexts.FullNGram(vocab_size=4, context_size=1)
+  return last_torch_tpu.RecognitionLattice(
+      context=context,
+      alignment=alignment,
+      weight_fn_cacher_factory=lambda ctx: weight_fns.SharedEmbCacher(
+          num_context_states=ctx.shape()[0], embedding_size=8),
+      weight_fn_factory=lambda ctx: weight_fns.JointWeightFn(
+          vocab_size=ctx.shape()[1], hidden_size=8),
+      fused=fused)
+
+
+@pytest.mark.parametrize('alignment_factory', [
+    alignments.FrameDependent,
+    lambda: alignments.FrameLabelDependent(max_expansions=2),
+])
+def test_fused_forward_matches_xla(alignment_factory):
+  fused_lattice = build(alignment_factory(), fused='interpret')
+  xla_lattice = build(alignment_factory(), fused='never')
+  params = fused_lattice.init(jax.random.PRNGKey(0), feature_size=6)
+  cache = fused_lattice.build_cache(params)
+
+  frames = jax.random.normal(jax.random.PRNGKey(1), (3, 5, 6))
+  num_frames = jnp.array([5, 3, 0])
+
+  log_z_fused, hist_fused = fused_lattice._forward(
+      params=params, cache=cache, frames=frames, num_frames=num_frames,
+      semiring=semirings.Log)
+  log_z_xla, hist_xla = xla_lattice._forward(
+      params=params, cache=cache, frames=frames, num_frames=num_frames,
+      semiring=semirings.Log)
+
+  npt.assert_allclose(log_z_fused, log_z_xla, rtol=1e-5, atol=1e-6)
+  npt.assert_allclose(hist_fused, hist_xla, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_gating():
+  """The fused path must not fire for unsupported configurations."""
+  from last_torch_tpu.ops import fused_scan
+
+  lattice = build(alignments.FrameDependent(), fused='auto')
+  frames3 = jnp.zeros((2, 4, 6))
+
+  # Covered configuration on a TPU backend.
+  assert fused_scan.supported(lattice, semirings.Log, None, None, None,
+                              frames3, 'tpu')
+  # CPU backend: no.
+  assert not fused_scan.supported(lattice, semirings.Log, None, None, None,
+                                  frames3, 'cpu')
+  # Tropical semiring (decode path): no.
+  assert not fused_scan.supported(lattice, semirings.MaxTropical, None,
+                                  None, None, frames3, 'tpu')
+  # Masks (marginal/decode tricks): no.
+  assert not fused_scan.supported(lattice, semirings.Log, [jnp.zeros(())],
+                                  None, None, frames3, 'tpu')
+  # Extra batch dims: no.
+  assert not fused_scan.supported(lattice, semirings.Log, None, None, None,
+                                  jnp.zeros((2, 2, 4, 6)), 'tpu')
+
+  # Trigram context: no.
+  trigram = last_torch_tpu.RecognitionLattice(
+      context=contexts.FullNGram(vocab_size=4, context_size=2),
+      alignment=alignments.FrameDependent(),
+      weight_fn_cacher_factory=lambda ctx: weight_fns.SharedEmbCacher(
+          num_context_states=ctx.shape()[0], embedding_size=8),
+      weight_fn_factory=lambda ctx: weight_fns.JointWeightFn(
+          vocab_size=ctx.shape()[1], hidden_size=8))
+  assert not fused_scan.supported(trigram, semirings.Log, None, None, None,
+                                  frames3, 'tpu')
+
+  # Locally-normalized weight fn: no.
+  ln = build(alignments.FrameDependent(), fused='auto')
+  ln.weight_fn = weight_fns.LocallyNormalizedWeightFn(ln.weight_fn)
+  assert not fused_scan.supported(ln, semirings.Log, None, None, None,
+                                  frames3, 'tpu')
+
+
+def test_fused_loss_end_to_end_interpret():
+  """Globally-normalized loss via the fused forward (+ XLA backward)."""
+  fused_lattice = build(alignments.FrameLabelDependent(max_expansions=1),
+                        fused='interpret')
+  xla_lattice = build(alignments.FrameLabelDependent(max_expansions=1),
+                      fused='never')
+  params = fused_lattice.init(jax.random.PRNGKey(2), feature_size=6)
+  frames = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 6))
+  num_frames = jnp.array([4, 2])
+  labels = jnp.array([[1, 2], [3, 0]])
+  num_labels = jnp.array([2, 1])
+
+  loss_fused = fused_lattice(params, frames, num_frames, labels, num_labels)
+  loss_xla = xla_lattice(params, frames, num_frames, labels, num_labels)
+  npt.assert_allclose(loss_fused, loss_xla, rtol=1e-5, atol=1e-6)
+
+  # Gradients flow through the custom-VJP backward with the fused forward.
+  g_fused = jax.grad(lambda p: jnp.sum(
+      fused_lattice(p, frames, num_frames, labels, num_labels)))(params)
+  g_xla = jax.grad(lambda p: jnp.sum(
+      xla_lattice(p, frames, num_frames, labels, num_labels)))(params)
+  jax.tree.map(
+      lambda a, b: npt.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
+      g_fused, g_xla)

@@ -223,7 +223,7 @@ class TestRecognitionLatticeCorrectness:
           frames=frames,
           num_frames=num_frames,
           semiring=semiring)
-      npt.assert_allclose(actual, expected, rtol=1e-6)
+      npt.assert_allclose(actual, expected, rtol=2e-4, atol=1e-5)
 
   def test_shortest_path(self):
     lattice, params, frames, num_frames = build_table_lattice()
@@ -260,7 +260,7 @@ class TestRecognitionLatticeCorrectness:
           labels=labels,
           num_labels=num_labels,
           semiring=semiring)
-      npt.assert_allclose(actual, expected, rtol=1e-6)
+      npt.assert_allclose(actual, expected, rtol=2e-4, atol=1e-5)
 
     # Non-reachable label counts give semiring zero.
     for semiring in [semirings.MaxTropical, semirings.Real, semirings.Log]:
@@ -293,7 +293,7 @@ class TestRecognitionLatticeCorrectness:
             logsumexp([-1 + 11, -2 + 13]),
             logsumexp([19, 20, 21]) - 21., 0.
         ],
-        rtol=1e-6)
+        rtol=2e-4, atol=1e-5)
 
   def test_arc_marginals(self):
     """_backward marginals match autodiff of the masked _forward.
@@ -390,7 +390,7 @@ class TestRecognitionLatticeCorrectness:
     expected_grads = jax.grad(autodiff_log_z, argnums=(0, 1))(params, frames)
     actual_grads = jax.grad(fb_log_z, argnums=(0, 1))(params, frames)
     jax.tree.map(
-        lambda a, b: npt.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
+        lambda a, b: npt.assert_allclose(a, b, rtol=1e-3, atol=1e-5),
         actual_grads, expected_grads)
 
   def test_loss_grad_locally_normalized(self):

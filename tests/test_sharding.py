@@ -73,6 +73,42 @@ def test_sharded_train_step_matches_single_device(eight_devices):
   npt.assert_allclose(float(loss_sharded), float(loss_single), rtol=1e-4)
 
 
+def test_time_sharded_shortest_distance(eight_devices):
+  """Alpha-relay time sharding == single-device forward."""
+  import last_torch_tpu
+  from last_torch_tpu import alignments, contexts, semirings, weight_fns
+  from last_torch_tpu.parallel import sequence
+
+  context = contexts.FullNGram(vocab_size=3, context_size=1)
+  lattice = last_torch_tpu.RecognitionLattice(
+      context=context,
+      alignment=alignments.FrameDependent(),
+      weight_fn_cacher_factory=lambda ctx: weight_fns.SharedEmbCacher(
+          num_context_states=ctx.shape()[0], embedding_size=8),
+      weight_fn_factory=lambda ctx: weight_fns.JointWeightFn(
+          vocab_size=ctx.shape()[1], hidden_size=8))
+  params = lattice.init(jax.random.PRNGKey(0), feature_size=4)
+  frames = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 4))
+  num_frames = jnp.array([8, 5])
+
+  expected, _ = lattice._forward(
+      params=params,
+      cache=lattice.build_cache(params),
+      frames=frames,
+      num_frames=num_frames,
+      semiring=semirings.Log)
+
+  mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), axis_names=('seq',))
+  actual = sequence.shortest_distance_time_sharded(
+      lattice, params, frames, num_frames, mesh=mesh, axis_name='seq')
+  npt.assert_allclose(actual, expected, rtol=1e-5)
+
+  with pytest.raises(ValueError, match='divisible'):
+    sequence.shortest_distance_time_sharded(
+        lattice, params, frames[:, :6], num_frames, mesh=mesh,
+        axis_name='seq')
+
+
 def test_graft_entry_dryrun(eight_devices):
   """The driver-facing multichip dry run executes."""
   import __graft_entry__
