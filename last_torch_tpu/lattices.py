@@ -496,7 +496,8 @@ class RecognitionLattice(Generic[T]):
 
     if self.fused != 'never':
       from last_torch_tpu.ops import fused_scan
-      backend = 'tpu' if self.fused == 'interpret' else jax.default_backend()
+      backend = ('interpret' if self.fused == 'interpret' else
+                 jax.default_backend())
       if fused_scan.supported(self, semiring, blank_mask, lexical_mask,
                               weight_lift, frames, backend):
         frame_dependent = isinstance(self.alignment,
@@ -587,6 +588,26 @@ class RecognitionLattice(Generic[T]):
       [batch_dims...] log-semiring shortest distance (the log-normalizer).
     """
     num_frames = jnp.asarray(num_frames, jnp.int32)
+
+    if self.fused != 'never':
+      from last_torch_tpu.ops import fused_scan
+      backend = ('interpret' if self.fused == 'interpret' else
+                 jax.default_backend())
+      if fused_scan.supported(self, semirings.Log, None, None, None, frames,
+                              backend):
+        frame_dependent = isinstance(self.alignment,
+                                     alignments.FrameDependent)
+        dtype = (jnp.float32 if self.fused == 'interpret' else
+                 jnp.bfloat16)
+        return fused_scan.log_partition(
+            params['weight_fn'], cache, frames, num_frames,
+            max_expansions=(0 if frame_dependent else
+                            self.alignment.max_expansions),
+            frame_dependent=frame_dependent,
+            num_context_states=self.context.shape()[0],
+            compute_dtype=dtype,
+            cache_dtype=dtype,
+            interpret=self.fused == 'interpret')
 
     @jax.custom_vjp
     def forward_backward(wf_params, cache, frames, num_frames):

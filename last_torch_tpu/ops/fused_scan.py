@@ -49,6 +49,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -182,31 +183,32 @@ def _fused_forward_kernel(
 
 def _fused_backward_kernel(
     # Inputs (time-reversed index maps: grid step t handles frame T-1-t).
-    is_pad_ref,     # [1, 1, 1, Bt] int32
-    logz_ref,       # [1, 1, Bt] f32
-    g_ref,          # [1, 1, Bt] f32 cotangent of log_z
-    pf_ref,         # [1, Bt, h]
+    is_pad_ref,     # [1, 1, Bt, 1] int32
+    logz_ref,       # [1, Bt, 1] f32
+    g_ref,          # [1, Bt, 1] f32 cotangent of log_z
+    pf_ref,         # [1, 1, Bt, h]
     pc_ref,         # [S_pad, h]
     vw_ref,         # [h, V]
     vb_ref,         # [1, V]
     bw_ref,         # [h, 1]
+    bwt_ref,        # [1, h] (blank head, transposed copy)
     bb_ref,         # [1, 1] SMEM
-    hist_ref,       # [1, Bt, S_pad] alpha before this frame
+    hist_ref,       # [1, 1, Bt, S_pad] alpha before this frame
     # Outputs.
-    dpf_ref,        # [1, Bt, h]
+    dpf_ref,        # [1, 1, Bt, h]
     dpc_ref,        # [S_pad, h]
     dvw_ref,        # [h, V]
     dvb_ref,        # [1, V]
-    dbw_ref,        # [h, 1]
+    dbw_ref,        # [1, h]
     dbb_ref,        # [1, 1] SMEM
     # Scratch.
-    beta_scr,       # [B_pad, S_pad] f32 carry
+    beta_scr,       # [num_b_tiles, Bt, S_pad] f32 carry
     blank_scr,      # [Bt, S_pad] f32
-    lex_scr,        # [Bt, S_pad, V] cached lexical weights
+    lex_scr,        # [Bt * S_pad, V] cached lexical weights (2-D layout)
     dpc_scr,        # [S_pad, h] f32
     dvw_scr,        # [h, V] f32
     dvb_scr,        # [1, V] f32
-    dbw_scr,        # [h, 1] f32
+    dbw_scr,        # [1, h] f32
     dbb_scr,        # [1, 1] f32 SMEM
     *,
     batch_tile: int,
@@ -217,32 +219,43 @@ def _fused_backward_kernel(
     compute_dtype,
     cache_dtype,
 ):
+  # Mosaic constraints shape this kernel (found empirically; this jax
+  # version):
+  # - values read from 3-D scratch cannot feed axis-1 reductions (invalid
+  #   relayout) -> the lexical cache is stored 2-D [Bt*S_pad, V] and
+  #   reshaped after reading, mirroring the layout of a dot output;
+  # - combined slice+newaxis indexing (x[:, a:b, None]) lowers to an
+  #   unsupported gather -> lax.slice_in_dim then [:, :, None];
+  # - merging 3-D values to 2-D ([Bt, St, V] -> [Bt*St, V]) is an
+  #   unsupported shape cast -> head gradients use per-batch-row 2-D dots
+  #   and batched 3-D dot_general;
+  # - lane slices must start at multiples of 128 -> state->label shifts use
+  #   pltpu.roll;
+  # - [Bt, V] partial reduces of 3-D values relayout-fail when chained ->
+  #   single multi-axis keepdims reductions.
   t = pl.program_id(0)
   b = pl.program_id(1)
-  b_start = b * batch_tile
-  num_b_tiles = pl.num_programs(1)
   vocab = vw_ref.shape[-1]
+  s_pad = blank_scr.shape[-1]
 
   @pl.when(t == 0)
   def _():
-    # Reversed grid: step 0 is the last frame; beta_T = Log.ones.
-    beta_scr[pl.ds(b_start, batch_tile), :] = jnp.zeros_like(
-        beta_scr[pl.ds(b_start, batch_tile), :])
+    beta_scr[b] = jnp.zeros((batch_tile, s_pad), jnp.float32)
 
   @pl.when((t == 0) & (b == 0))
   def _():
-    dpc_scr[:] = jnp.zeros_like(dpc_scr)
-    dvw_scr[:] = jnp.zeros_like(dvw_scr)
-    dvb_scr[:] = jnp.zeros_like(dvb_scr)
-    dbw_scr[:] = jnp.zeros_like(dbw_scr)
+    dpc_scr[:] = jnp.zeros(dpc_scr.shape, jnp.float32)
+    dvw_scr[:] = jnp.zeros(dvw_scr.shape, jnp.float32)
+    dvb_scr[:] = jnp.zeros(dvb_scr.shape, jnp.float32)
+    dbw_scr[:] = jnp.zeros(dbw_scr.shape, jnp.float32)
     dbb_scr[0, 0] = 0.0
 
-  alpha = hist_ref[0]                       # [Bt, S_pad]
-  beta = beta_scr[pl.ds(b_start, batch_tile), :]
-  pf = pf_ref[0]                            # [Bt, h]
-  log_z = logz_ref[0, 0, :][:, None]        # [Bt, 1]
-  pad = is_pad_ref[0, 0, 0, :] != 0         # [Bt]
-  g_eff = jnp.where(pad, 0.0, g_ref[0, 0, :])[:, None]  # [Bt, 1]
+  alpha = hist_ref[0, 0]                    # [Bt, S_pad]
+  beta = beta_scr[b]                        # [Bt, S_pad]
+  pf = pf_ref[0, 0]                         # [Bt, h]
+  log_z = logz_ref[0]                       # [Bt, 1]
+  pad = is_pad_ref[0, 0] != 0               # [Bt, 1]
+  g_eff = jnp.where(pad, 0.0, g_ref[0])     # [Bt, 1]
   vw_c = vw_ref[:].astype(compute_dtype)
   bw_c = bw_ref[:].astype(compute_dtype)
 
@@ -250,15 +263,19 @@ def _fused_backward_kernel(
     pc_t = pc_ref[i * s_tile:(i + 1) * s_tile, :]
     return jnp.tanh(pc_t[None, :, :] + pf[:, None, :])  # [Bt, St, h] f32
 
+  def to_lex_space(x):
+    """x[:, 1:1+vocab] via a lane-aligned rotate."""
+    return pltpu.roll(x, shift=x.shape[1] - 1, axis=1)[:, :vocab]
+
   # Pass A: recompute and cache the frame's lexical/blank weights on-chip.
+  n = batch_tile * s_tile
   for i in range(num_s_tiles):
-    joint2d = tile_joint(i).astype(compute_dtype).reshape(
-        batch_tile * s_tile, -1)
+    joint2d = tile_joint(i).astype(compute_dtype).reshape(n, -1)
     lex = jax.lax.dot_general(
         joint2d, vw_c, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    lex = lex.reshape(batch_tile, s_tile, vocab) + vb_ref[0][None, None, :]
-    lex_scr[:, i * s_tile:(i + 1) * s_tile, :] = lex.astype(cache_dtype)
+    lex_scr[i * n:(i + 1) * n, :] = (lex + vb_ref[0][None, :]).astype(
+        cache_dtype)
     blank = jax.lax.dot_general(
         joint2d, bw_c, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -267,15 +284,17 @@ def _fused_backward_kernel(
   blank = blank_scr[:, :]
 
   def read_lex(i):
-    return lex_scr[:, i * s_tile:(i + 1) * s_tile, :].astype(jnp.float32)
+    return lex_scr[i * n:(i + 1) * n, :].astype(jnp.float32).reshape(
+        batch_tile, s_tile, vocab)
 
   def sweep_reduce(vec):
     """red[b, y] = logsumexp_s(vec[b, s] + lex[b, s, y]) from the cache."""
     m = jnp.full((batch_tile, vocab), NEG_INF, jnp.float32)
     z = jnp.zeros((batch_tile, vocab), jnp.float32)
     for i in range(num_s_tiles):
-      chunk = vec[:, i * s_tile:(i + 1) * s_tile, None] + read_lex(i)
-      m, z = _online_logsumexp_update(m, z, chunk)
+      vec_t = jax.lax.slice_in_dim(vec, i * s_tile, (i + 1) * s_tile,
+                                   axis=1)
+      m, z = _online_logsumexp_update(m, z, vec_t[:, :, None] + read_lex(i))
     return _online_logsumexp_final(m, z)
 
   def sweep_lse_y(nb_lex):
@@ -288,7 +307,6 @@ def _fused_backward_kernel(
     return jnp.concatenate(parts, axis=-1)  # [Bt, S_pad]
 
   def expand(red):
-    s_pad = alpha.shape[-1]
     pad_cols = jnp.full((batch_tile, s_pad - 1 - vocab), NEG_INF,
                         jnp.float32)
     start_col = jnp.full((batch_tile, 1), NEG_INF, jnp.float32)
@@ -296,11 +314,10 @@ def _fused_backward_kernel(
 
   if frame_dependent:
     # alignments.FrameDependent.backward: marginals and next beta.
-    # lm = exp(alpha + lex + beta[1+y] - log_z); bm = exp(alpha+blank+beta-z)
     a_list = [alpha]
     nbs = [(0, beta)]
     bm_total = jnp.exp(alpha + blank + beta - log_z)
-    final_nb = jnp.logaddexp(blank + beta, sweep_lse_y(beta[:, 1:1 + vocab]))
+    final_nb = jnp.logaddexp(blank + beta, sweep_lse_y(to_lex_space(beta)))
   else:
     # alignments.FrameLabelDependent.backward.
     k = max_expansions
@@ -315,12 +332,10 @@ def _fused_backward_kernel(
     for i in range(k):
       j = k - 1 - i
       nbs.append((j, nb))
-      lse = sweep_lse_y(nb[:, 1:1 + vocab])
-      nb = jnp.logaddexp(blank + beta, lse)
+      nb = jnp.logaddexp(blank + beta, sweep_lse_y(to_lex_space(nb)))
     final_nb = nb
 
   d_blank_all = g_eff * bm_total            # [Bt, S_pad]
-  bw_row = bw_ref[:, 0]                     # [h]
 
   # Pass B: per-tile marginal accumulation and head/tanh backward.
   dpf_acc = jnp.zeros((batch_tile, pf.shape[-1]), jnp.float32)
@@ -328,39 +343,36 @@ def _fused_backward_kernel(
     lex_t = read_lex(i)                     # [Bt, St, V]
     lm = jnp.zeros_like(lex_t)
     for (j, nb_j) in nbs:
-      lm = lm + jnp.exp(a_list[j][:, i * s_tile:(i + 1) * s_tile, None] +
-                        lex_t + nb_j[:, None, 1:1 + vocab] -
-                        log_z[:, :, None])
-    d_lex2d = (g_eff[:, :, None] * lm).reshape(batch_tile * s_tile, vocab)
-    d_blank_flat = d_blank_all[:, i * s_tile:(i + 1) * s_tile].reshape(
-        batch_tile * s_tile)
-
-    joint = tile_joint(i)                   # [Bt, St, h] f32
-    joint2d_c = joint.astype(compute_dtype).reshape(batch_tile * s_tile, -1)
-    # Head gradients (accumulated across tiles, b-tiles, and frames).
-    dvw_scr[:, :] += jax.lax.dot_general(
-        joint2d_c, d_lex2d.astype(compute_dtype), (((0,), (0,)), ((), ())),
+      a_t = jax.lax.slice_in_dim(a_list[j], i * s_tile, (i + 1) * s_tile,
+                                 axis=1)
+      lm = lm + jnp.exp(a_t[:, :, None] + lex_t +
+                        to_lex_space(nb_j)[:, None, :] - log_z[:, :, None])
+    d_lex3 = (g_eff[:, :, None] * lm).astype(compute_dtype)
+    d_blank3 = jax.lax.slice_in_dim(d_blank_all, i * s_tile,
+                                    (i + 1) * s_tile, axis=1)[:, :, None]
+    joint = tile_joint(i)
+    joint3_c = joint.astype(compute_dtype)
+    for b2 in range(batch_tile):
+      dvw_scr[:, :] += jax.lax.dot_general(
+          joint3_c[b2], d_lex3[b2], (((0,), (0,)), ((), ())),
+          preferred_element_type=jnp.float32)
+    dvb_scr[:, :] += jnp.sum(
+        d_lex3.astype(jnp.float32), axis=(0, 1), keepdims=True)[0]
+    dbw_scr[:, :] += jnp.sum(
+        joint * d_blank3, axis=(0, 1), keepdims=True)[0]
+    dbb_scr[0, 0] += jnp.sum(d_blank3)
+    d_joint3 = jax.lax.dot_general(
+        d_lex3, vw_c, (((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    dvb_scr[0, :] += jnp.sum(d_lex2d, axis=0)
-    dbw_scr[:, 0] += jax.lax.dot_general(
-        joint2d_c, d_blank_flat.astype(compute_dtype)[:, None],
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)[:, 0]
-    dbb_scr[0, 0] += jnp.sum(d_blank_flat)
-    # Back through the joint tanh.
-    d_joint2d = jax.lax.dot_general(
-        d_lex2d.astype(compute_dtype), vw_c, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    d_joint2d = d_joint2d + d_blank_flat[:, None] * bw_row[None, :]
-    d_pre = d_joint2d.reshape(batch_tile, s_tile, -1) * (1.0 - joint * joint)
+    d_joint3 = d_joint3 + d_blank3 * bwt_ref[:][None, :, :]
+    d_pre = d_joint3 * (1.0 - joint * joint)
     dpf_acc = dpf_acc + jnp.sum(d_pre, axis=1)
     dpc_scr[i * s_tile:(i + 1) * s_tile, :] += jnp.sum(d_pre, axis=0)
 
-  dpf_ref[0] = dpf_acc
-  beta_new = jnp.where(pad[:, None], beta, final_nb)
-  beta_scr[pl.ds(b_start, batch_tile), :] = beta_new
+  dpf_ref[0, 0] = dpf_acc
+  beta_scr[b] = jnp.where(pad, beta, final_nb)
 
-  @pl.when((t == pl.num_programs(0) - 1) & (b == num_b_tiles - 1))
+  @pl.when((t == pl.num_programs(0) - 1) & (b == pl.num_programs(1) - 1))
   def _():
     dpc_ref[:] = dpc_scr[:]
     dvw_ref[:] = dvw_scr[:]
@@ -477,12 +489,194 @@ def fused_shortest_distance_fwd(wf_params: Any,
   return log_z, alpha_history
 
 
+def log_partition(wf_params: Any,
+                  cache: jnp.ndarray,
+                  frames: jnp.ndarray,
+                  num_frames: jnp.ndarray,
+                  *,
+                  max_expansions: int,
+                  frame_dependent: bool,
+                  num_context_states: int,
+                  batch_tile: int = 8,
+                  bwd_batch_tile: int = 4,
+                  s_tile: int = 128,
+                  compute_dtype=jnp.bfloat16,
+                  cache_dtype=jnp.bfloat16,
+                  interpret: bool = False):
+  """Differentiable log-partition (denominator) via the fused kernel pair.
+
+  Forward: the fused scan kernel (alpha in VMEM, no lexical HBM traffic).
+  Backward: the fused backward kernel — per frame it recomputes and CACHES
+  the lexical block in VMEM, runs the within-frame expansion sweeps from
+  the cache, forms the (cotangent-scaled) arc marginals and pushes them
+  through the joint-network heads and tanh on-chip; only the per-frame
+  d(projected frame) and the small parameter-gradient accumulators leave
+  the core. The XLA backward materializes ~10 [B, S, V] HBM temporaries
+  per frame; this kernel materializes none.
+
+  Returns [batch] log Z; gradients flow to wf_params, cache and frames.
+  """
+  num_frames = jnp.asarray(num_frames, jnp.int32)
+  batch, max_t, _ = frames.shape
+  vocab = wf_params['vocab_w'].shape[-1]
+  s = num_context_states
+  s_pad = _round_up(s, s_tile)
+  hidden = wf_params['frame_proj'].shape[-1]
+
+  def prepare(wf_params, cache, frames, num_frames, tile):
+    b_pad = _round_up(batch, tile)
+    pf = jnp.einsum('btf,fh->tbh', frames, wf_params['frame_proj'],
+                    preferred_element_type=jnp.float32)
+    pc = jnp.pad(cache @ wf_params['context_proj'], ((0, s_pad - s), (0, 0)))
+    is_pad = (jnp.arange(max_t)[:, None] >= num_frames[None, :]).astype(
+        jnp.int32)
+    if b_pad != batch:
+      pf = jnp.pad(pf, ((0, 0), (0, b_pad - batch), (0, 0)))
+      is_pad = jnp.pad(is_pad, ((0, 0), (0, b_pad - batch)),
+                       constant_values=1)
+    is_pad = is_pad.reshape(max_t, b_pad // tile, 1, tile)
+    return pf, pc, is_pad, b_pad
+
+  def run_forward(wf_params, cache, frames, num_frames):
+    return fused_shortest_distance_fwd(
+        wf_params, cache, frames, num_frames,
+        max_expansions=max_expansions,
+        frame_dependent=frame_dependent,
+        num_context_states=s,
+        batch_tile=batch_tile,
+        s_tile=s_tile,
+        compute_dtype=compute_dtype,
+        interpret=interpret)
+
+  @jax.custom_vjp
+  def fn(wf_params, cache, frames, num_frames):
+    log_z, _ = run_forward(wf_params, cache, frames, num_frames)
+    return log_z
+
+  def fn_fwd(wf_params, cache, frames, num_frames):
+    log_z, alpha_history = run_forward(wf_params, cache, frames,
+                                       num_frames)
+    return log_z, (wf_params, cache, frames, num_frames, log_z,
+                   alpha_history)
+
+  def fn_bwd(residuals, g):
+    wf_params, cache, frames, num_frames, log_z, alpha_history = residuals
+    tile = bwd_batch_tile
+    pf, pc, is_pad, b_pad = prepare(wf_params, cache, frames, num_frames,
+                                    tile)
+    num_b_tiles = b_pad // tile
+    num_s_tiles = s_pad // s_tile
+
+    # 4-D [T, num_b_tiles, tile, ...] blocks: per-(t, b-tile) reads are
+    # static and tile-aligned in the kernel.
+    pf = pf.reshape(max_t, num_b_tiles, tile, hidden)
+    hist = jnp.moveaxis(alpha_history, 1, 0)
+    hist = jnp.pad(hist, ((0, 0), (0, b_pad - batch), (0, s_pad - s)),
+                   constant_values=NEG_INF)
+    hist = hist.reshape(max_t, num_b_tiles, tile, s_pad)
+    is_pad = is_pad.reshape(max_t, num_b_tiles, tile, 1)
+    logz_b = jnp.pad(log_z, (0, b_pad - batch)).reshape(num_b_tiles, tile,
+                                                        1)
+    g_b = jnp.pad(g, (0, b_pad - batch)).reshape(num_b_tiles, tile, 1)
+
+    kernel = functools.partial(
+        _fused_backward_kernel,
+        batch_tile=tile,
+        s_tile=s_tile,
+        num_s_tiles=num_s_tiles,
+        max_expansions=max_expansions,
+        frame_dependent=frame_dependent,
+        compute_dtype=compute_dtype,
+        cache_dtype=cache_dtype)
+
+    rev = lambda t: max_t - 1 - t
+    dpf, dpc, dvw, dvb, dbw, dbb = pl.pallas_call(
+        kernel,
+        grid=(max_t, num_b_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, tile, 1), lambda t, b: (rev(t), b, 0, 0)),
+            pl.BlockSpec((1, tile, 1), lambda t, b: (b, 0, 0)),
+            pl.BlockSpec((1, tile, 1), lambda t, b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, tile, hidden),
+                         lambda t, b: (rev(t), b, 0, 0)),
+            pl.BlockSpec((s_pad, hidden), lambda t, b: (0, 0)),
+            pl.BlockSpec((hidden, vocab), lambda t, b: (0, 0)),
+            pl.BlockSpec((1, vocab), lambda t, b: (0, 0)),
+            pl.BlockSpec((hidden, 1), lambda t, b: (0, 0)),
+            pl.BlockSpec((1, hidden), lambda t, b: (0, 0)),
+            pl.BlockSpec((1, 1), lambda t, b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, tile, s_pad),
+                         lambda t, b: (rev(t), b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tile, hidden),
+                         lambda t, b: (rev(t), b, 0, 0)),
+            pl.BlockSpec((s_pad, hidden), lambda t, b: (0, 0)),
+            pl.BlockSpec((hidden, vocab), lambda t, b: (0, 0)),
+            pl.BlockSpec((1, vocab), lambda t, b: (0, 0)),
+            pl.BlockSpec((1, hidden), lambda t, b: (0, 0)),
+            pl.BlockSpec((1, 1), lambda t, b: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((max_t, num_b_tiles, tile, hidden),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((s_pad, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, vocab), jnp.float32),
+            jax.ShapeDtypeStruct((1, vocab), jnp.float32),
+            jax.ShapeDtypeStruct((1, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((num_b_tiles, tile, s_pad), jnp.float32),
+            pltpu.VMEM((tile, s_pad), jnp.float32),
+            pltpu.VMEM((tile * s_pad, vocab), cache_dtype),
+            pltpu.VMEM((s_pad, hidden), jnp.float32),
+            pltpu.VMEM((hidden, vocab), jnp.float32),
+            pltpu.VMEM((1, vocab), jnp.float32),
+            pltpu.VMEM((1, hidden), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(is_pad, logz_b, g_b, pf, pc, wf_params['vocab_w'],
+      wf_params['vocab_b'][None, :], wf_params['blank_w'][:, None],
+      wf_params['blank_w'][None, :], wf_params['blank_b'][None, None],
+      hist)
+
+    dpf = dpf.reshape(max_t, b_pad, hidden)[:, :batch]  # [T, B, h]
+    dpc = dpc[:s]
+    d_wf = {
+        'frame_proj': jnp.einsum('btf,tbh->fh', frames, dpf,
+                                 preferred_element_type=jnp.float32),
+        'context_proj': cache.T @ dpc,
+        'vocab_w': dvw,
+        'vocab_b': dvb[0],
+        'blank_w': dbw[0],
+        'blank_b': dbb[0, 0],
+    }
+    d_cache = dpc @ wf_params['context_proj'].T
+    d_frames = jnp.einsum('tbh,fh->btf', dpf, wf_params['frame_proj'],
+                          preferred_element_type=jnp.float32)
+    return (d_wf, d_cache, d_frames,
+            np.zeros(num_frames.shape, jax.dtypes.float0))
+
+  fn.defvjp(fn_fwd, fn_bwd)
+  return fn(wf_params, cache, frames, num_frames)
+
+
 def supported(lattice, semiring, blank_mask, lexical_mask, weight_lift,
               frames, backend: str) -> bool:
-  """Whether the fused kernel covers this _forward invocation."""
+  """Whether the fused kernel covers this _forward invocation.
+
+  ``backend`` is 'tpu' (real hardware), 'interpret' (CPU interpreter for
+  tests), or anything else (unsupported).
+  """
   from last_torch_tpu import alignments, contexts, semirings, weight_fns
 
-  if backend != 'tpu':
+  if backend not in ('tpu', 'interpret'):
     return False
   if semiring is not semirings.Log:
     return False
@@ -501,5 +695,8 @@ def supported(lattice, semiring, blank_mask, lexical_mask, weight_lift,
       (alignments.FrameDependent, alignments.FrameLabelDependent)):
     return False
   if frames.ndim != 3:  # single batch dim only
+    return False
+  if backend == 'tpu' and lattice.context.shape()[1] % 128 != 0:
+    # Mosaic lane ops in the kernels need a 128-multiple vocabulary.
     return False
   return True

@@ -58,21 +58,35 @@ def test_fused_gating():
   lattice = build(alignments.FrameDependent(), fused='auto')
   frames3 = jnp.zeros((2, 4, 6))
 
-  # Covered configuration on a TPU backend.
+  # Covered in interpret mode; on real TPU hardware the small test vocab
+  # (not a lane multiple) falls back to XLA.
   assert fused_scan.supported(lattice, semirings.Log, None, None, None,
+                              frames3, 'interpret')
+  assert not fused_scan.supported(lattice, semirings.Log, None, None, None,
+                                  frames3, 'tpu')
+
+  # Covered on TPU with a lane-aligned vocabulary.
+  big = last_torch_tpu.RecognitionLattice(
+      context=contexts.FullNGram(vocab_size=128, context_size=1),
+      alignment=alignments.FrameDependent(),
+      weight_fn_cacher_factory=lambda ctx: weight_fns.SharedEmbCacher(
+          num_context_states=ctx.shape()[0], embedding_size=8),
+      weight_fn_factory=lambda ctx: weight_fns.JointWeightFn(
+          vocab_size=ctx.shape()[1], hidden_size=8))
+  assert fused_scan.supported(big, semirings.Log, None, None, None,
                               frames3, 'tpu')
   # CPU backend: no.
   assert not fused_scan.supported(lattice, semirings.Log, None, None, None,
                                   frames3, 'cpu')
   # Tropical semiring (decode path): no.
   assert not fused_scan.supported(lattice, semirings.MaxTropical, None,
-                                  None, None, frames3, 'tpu')
+                                  None, None, frames3, 'interpret')
   # Masks (marginal/decode tricks): no.
   assert not fused_scan.supported(lattice, semirings.Log, [jnp.zeros(())],
-                                  None, None, frames3, 'tpu')
+                                  None, None, frames3, 'interpret')
   # Extra batch dims: no.
   assert not fused_scan.supported(lattice, semirings.Log, None, None, None,
-                                  jnp.zeros((2, 2, 4, 6)), 'tpu')
+                                  jnp.zeros((2, 2, 4, 6)), 'interpret')
 
   # Trigram context: no.
   trigram = last_torch_tpu.RecognitionLattice(
@@ -83,13 +97,44 @@ def test_fused_gating():
       weight_fn_factory=lambda ctx: weight_fns.JointWeightFn(
           vocab_size=ctx.shape()[1], hidden_size=8))
   assert not fused_scan.supported(trigram, semirings.Log, None, None, None,
-                                  frames3, 'tpu')
+                                  frames3, 'interpret')
 
   # Locally-normalized weight fn: no.
   ln = build(alignments.FrameDependent(), fused='auto')
   ln.weight_fn = weight_fns.LocallyNormalizedWeightFn(ln.weight_fn)
   assert not fused_scan.supported(ln, semirings.Log, None, None, None,
-                                  frames3, 'tpu')
+                                  frames3, 'interpret')
+
+
+@pytest.mark.parametrize('alignment_factory', [
+    alignments.FrameDependent,
+    lambda: alignments.FrameLabelDependent(max_expansions=2),
+])
+def test_fused_backward_kernel_matches_xla(alignment_factory):
+  """log_partition (fused fwd+bwd kernels) == XLA forward-backward grads."""
+  fused_lattice = build(alignment_factory(), fused='interpret')
+  xla_lattice = build(alignment_factory(), fused='never')
+  params = fused_lattice.init(jax.random.PRNGKey(4), feature_size=6)
+  frames = jax.random.normal(jax.random.PRNGKey(5), (3, 5, 6))
+  num_frames = jnp.array([5, 3, 0])
+
+  def loss(lattice, params, frames):
+    cache = lattice.build_cache(params)
+    return jnp.sum(
+        jnp.where(num_frames > 0,
+                  lattice._forward_backward(
+                      params=params, cache=cache, frames=frames,
+                      num_frames=num_frames), 0.0))
+
+  value_fused, grads_fused = jax.value_and_grad(
+      lambda p, f: loss(fused_lattice, p, f), argnums=(0, 1))(params, frames)
+  value_xla, grads_xla = jax.value_and_grad(
+      lambda p, f: loss(xla_lattice, p, f), argnums=(0, 1))(params, frames)
+
+  npt.assert_allclose(value_fused, value_xla, rtol=1e-5, atol=1e-6)
+  jax.tree.map(
+      lambda a, b: npt.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
+      grads_fused, grads_xla)
 
 
 def test_fused_loss_end_to_end_interpret():
