@@ -10,7 +10,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``benchmarks/reference_baseline.json``; the reference publishes no numbers
 of its own — see BASELINE.md).
 
-Details (per-config timings) go to stderr.
+``--full`` additionally measures the other BASELINE.json configs (tiny
+loss, Viterbi decode, trigram table lattice, Expectation-semiring entropy)
+and the decode throughput at headline shapes; details go to stderr.
 """
 
 import json
@@ -26,36 +28,48 @@ import numpy as np
 jax.config.update('jax_compilation_cache_dir',
                   os.path.join(os.path.dirname(__file__), '.jax_cache'))
 
-from last_torch_tpu import alignments, contexts, lattices, semirings, weight_fns  # noqa: E402
+import last_torch_tpu  # noqa: E402
+from last_torch_tpu import (alignments, contexts, lattices, semirings,  # noqa: E402
+                            weight_fns)
 
 
 def log(msg):
   print(msg, file=sys.stderr, flush=True)
 
 
-def build_headline_lattice(batch=32, max_frames=1600, vocab=1024,
-                           context_size=1, hidden=512, emb=512, feature=512,
-                           max_labels=100, max_expansions=2, seed=0):
+def build_lattice(vocab, context_size=1, hidden=512, emb=512,
+                  max_expansions=2, feature=512, seed=0,
+                  locally_normalized=False):
   context = contexts.FullNGram(vocab_size=vocab, context_size=context_size)
   num_states, _ = context.shape()
+
+  def wf_factory(ctx):
+    joint = weight_fns.JointWeightFn(
+        vocab_size=vocab, hidden_size=hidden, compute_dtype=jnp.bfloat16)
+    if locally_normalized:
+      return weight_fns.LocallyNormalizedWeightFn(joint)
+    return joint
+
   lattice = lattices.RecognitionLattice(
       context=context,
-      alignment=alignments.FrameLabelDependent(max_expansions=max_expansions),
+      alignment=(alignments.FrameLabelDependent(max_expansions=max_expansions)
+                 if max_expansions else alignments.FrameDependent()),
       weight_fn_cacher_factory=lambda ctx: weight_fns.SharedEmbCacher(
           num_context_states=num_states, embedding_size=emb),
-      weight_fn_factory=lambda ctx: weight_fns.JointWeightFn(
-          vocab_size=vocab, hidden_size=hidden,
-          compute_dtype=jnp.bfloat16))
+      weight_fn_factory=wf_factory)
   params = lattice.init(jax.random.PRNGKey(seed), feature_size=feature)
+  return lattice, params
 
+
+def make_batch(batch, max_frames, max_labels, vocab, feature=512, seed=0):
   rng = np.random.default_rng(seed)
-  frames = jnp.asarray(
-      rng.normal(size=(batch, max_frames, feature)) * 0.1, jnp.float32)
-  num_frames = jnp.full((batch,), max_frames, jnp.int32)
-  labels = jnp.asarray(
-      rng.integers(1, vocab + 1, size=(batch, max_labels)), jnp.int32)
-  num_labels = jnp.full((batch,), max_labels, jnp.int32)
-  return lattice, params, frames, num_frames, labels, num_labels
+  return dict(
+      frames=jnp.asarray(
+          rng.normal(size=(batch, max_frames, feature)) * 0.1, jnp.float32),
+      num_frames=jnp.full((batch,), max_frames, jnp.int32),
+      labels=jnp.asarray(
+          rng.integers(1, vocab + 1, size=(batch, max_labels)), jnp.int32),
+      num_labels=jnp.full((batch,), max_labels, jnp.int32))
 
 
 def time_fn(fn, *args, iters=3, warmup=1):
@@ -70,50 +84,90 @@ def time_fn(fn, *args, iters=3, warmup=1):
 
 
 def bench_headline():
-  """Globally-normalized GNAT loss fwd+bwd, headline config."""
-  lattice, params, frames, num_frames, labels, num_labels = (
-      build_headline_lattice())
+  """Config 5: globally-normalized GNAT loss fwd+bwd, headline config."""
+  lattice, params = build_lattice(vocab=1024)
+  batch = make_batch(32, 1600, 100, 1024)
 
-  def mean_loss(params, frames):
-    loss = lattice(params, frames, num_frames, labels, num_labels)
-    return jnp.sum(loss)
+  def total_loss(params, frames):
+    return jnp.sum(lattice(params, frames, batch['num_frames'],
+                           batch['labels'], batch['num_labels']))
 
-  grad_fn = jax.jit(jax.value_and_grad(mean_loss, argnums=(0, 1)))
+  grad_fn = jax.jit(jax.value_and_grad(total_loss, argnums=(0, 1)))
+  t0 = time.perf_counter()
+  jax.block_until_ready(grad_fn(params, batch['frames']))
+  log(f'headline compile+first-step: {time.perf_counter() - t0:.1f}s')
 
-  t_compile0 = time.perf_counter()
-  jax.block_until_ready(grad_fn(params, frames))
-  log(f'headline compile+first-step: '
-      f'{time.perf_counter() - t_compile0:.1f}s')
-
-  p50 = time_fn(grad_fn, params, frames, iters=3)
-  batch, max_frames = frames.shape[0], frames.shape[1]
-  frames_per_sec = batch * max_frames / p50
+  p50 = time_fn(grad_fn, params, batch['frames'], iters=3)
+  frames_per_sec = 32 * 1600 / p50
   log(f'headline p50 step: {p50 * 1e3:.1f} ms; '
       f'{frames_per_sec:,.0f} frames/s/chip')
   return frames_per_sec, p50
 
 
 def bench_secondary():
-  """Smaller sanity configs from BASELINE.json (reported to stderr only)."""
+  """BASELINE.json configs 1-4 + decode at headline shapes (stderr only)."""
   results = {}
 
-  # Config 1/2: tiny lattice loss + Viterbi.
-  lattice, params, frames, num_frames, labels, num_labels = (
-      build_headline_lattice(batch=2, max_frames=8, vocab=8, hidden=64,
-                             emb=64, feature=64, max_labels=4,
-                             max_expansions=0 or 2))
-  loss_fn = jax.jit(
-      lambda p, f: jnp.sum(lattice(p, f, num_frames, labels, num_labels)))
-  results['tiny_loss_ms'] = time_fn(loss_fn, params, frames) * 1e3
+  # Config 1: tiny FrameDependent + FullNGram(1) log loss, B=2 T=8 U=4 V=8.
+  lattice, params = build_lattice(vocab=8, hidden=64, emb=64, feature=64,
+                                  max_expansions=0)
+  b = make_batch(2, 8, 4, 8, feature=64)
+  loss_fn = jax.jit(lambda p, f: jnp.sum(
+      lattice(p, f, b['num_frames'], b['labels'], b['num_labels'])))
+  results['1_tiny_loss_ms'] = round(
+      time_fn(loss_fn, params, b['frames']) * 1e3, 2)
 
-  sp_fn = jax.jit(lambda p, f: lattice.shortest_path(p, f, num_frames))
-  results['tiny_viterbi_ms'] = time_fn(sp_fn, params, frames) * 1e3
+  # Config 2: MaxTropical Viterbi + backtrace on the same tiny lattice.
+  sp_fn = jax.jit(lambda p, f: lattice.shortest_path(p, f, b['num_frames']))
+  results['2_tiny_viterbi_ms'] = round(
+      time_fn(sp_fn, params, b['frames']) * 1e3, 2)
 
+  # Config 3: globally-normalized loss, FullNGram(2) + TableWeightFn,
+  # B=8 T=100 V=32 (exact-table lattice; 1057 context states).
+  context3 = contexts.FullNGram(vocab_size=32, context_size=2)
+  s3, _ = context3.shape()
+  rng = np.random.default_rng(1)
+  table = jnp.asarray(rng.normal(size=(8, 4, s3, 33)), jnp.float32)
+  lattice3 = lattices.RecognitionLattice(
+      context=context3,
+      alignment=alignments.FrameDependent(),
+      weight_fn_cacher_factory=lambda ctx: weight_fns.NullCacher(),
+      weight_fn_factory=lambda ctx: weight_fns.TableWeightFn(table))
+  params3 = lattice3.init(jax.random.PRNGKey(2), feature_size=1)
+  frames3 = jnp.asarray(rng.integers(0, 4, size=(8, 100, 1)), jnp.float32)
+  nf3 = jnp.full((8,), 100, jnp.int32)
+  labels3 = jnp.asarray(rng.integers(1, 33, size=(8, 20)), jnp.int32)
+  nl3 = jnp.full((8,), 20, jnp.int32)
+  loss3 = jax.jit(
+      lambda p, f: jnp.sum(lattice3(p, f, nf3, labels3, nl3, cache=None)))
+  results['3_trigram_table_loss_ms'] = round(
+      time_fn(loss3, params3, frames3) * 1e3, 2)
+
+  # Config 4: Expectation-semiring shortest distance (path entropy),
+  # B=16 T=400, locally-normalized bigram V=64.
+  lattice4, params4 = build_lattice(vocab=64, hidden=128, emb=128,
+                                    feature=128, max_expansions=0,
+                                    locally_normalized=True)
+  b4 = make_batch(16, 400, 10, 64, feature=128)
+  sr = semirings.LogLogExpectation
+  lift = lambda w: sr.weighted(w, jnp.log(jnp.maximum(-w, 1e-30)))
+  ent_fn = jax.jit(lambda p, f: lattice4.shortest_distance(
+      p, f, b4['num_frames'], semiring=sr, weight_lift=lift))
+  results['4_expectation_entropy_ms'] = round(
+      time_fn(ent_fn, params4, b4['frames']) * 1e3, 2)
+
+  # Decode throughput at headline shapes.
+  lattice5, params5 = build_lattice(vocab=1024)
+  b5 = make_batch(32, 1600, 100, 1024)
+  sp5 = jax.jit(
+      lambda p, f: lattice5.shortest_path(p, f, b5['num_frames']))
+  p50 = time_fn(sp5, params5, b5['frames'])
+  results['5_decode_ms'] = round(p50 * 1e3, 1)
+  results['5_decode_frames_per_sec'] = round(32 * 1600 / p50)
   return results
 
 
 def main():
-  only_headline = '--full' not in sys.argv
   frames_per_sec, p50 = bench_headline()
 
   baseline_path = os.path.join(
@@ -128,8 +182,8 @@ def main():
       log(f'reference (torch CPU): {ref_fps:,.1f} frames/s '
           f'=> {vs_baseline:,.1f}x')
 
-  if not only_headline:
-    log(f'secondary: {bench_secondary()}')
+  if '--full' in sys.argv:
+    log(f'secondary configs: {json.dumps(bench_secondary(), indent=2)}')
 
   print(json.dumps({
       'metric': 'gnat_global_loss_fwd_bwd_frames_per_sec_per_chip',

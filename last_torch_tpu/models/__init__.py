@@ -13,3 +13,6 @@
 # limitations under the License.
 
 """End-to-end GNAT model family (encoder + recognition lattice)."""
+
+from last_torch_tpu.models import encoder
+from last_torch_tpu.models import gnat

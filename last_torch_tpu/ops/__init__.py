@@ -13,3 +13,5 @@
 # limitations under the License.
 
 """Pallas (Mosaic) TPU kernels for the recognition-lattice hot loops."""
+
+from last_torch_tpu.ops import fused_scan

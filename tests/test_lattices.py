@@ -295,6 +295,42 @@ class TestRecognitionLatticeCorrectness:
         ],
         rtol=2e-4, atol=1e-5)
 
+  def test_next_state_table_lattice_matches_full_ngram(self):
+    """A lattice over NextStateTable == the same lattice over FullNGram.
+
+    End-to-end check that the table-driven context (with the
+    semiring-correct segment reduce, SURVEY §2.2-Q4) is a drop-in
+    replacement in loss and decoding.
+    """
+    ngram = contexts.FullNGram(vocab_size=2, context_size=1)
+    table = contexts.NextStateTable(ngram.next_state_table())
+    key = jax.random.PRNGKey(7)
+
+    def build(ctx):
+      return last_torch_tpu.RecognitionLattice(
+          context=ctx,
+          alignment=alignments.FrameDependent(),
+          weight_fn_cacher_factory=lambda c: weight_fns.SharedEmbCacher(
+              num_context_states=c.shape()[0], embedding_size=8),
+          weight_fn_factory=lambda c: weight_fns.JointWeightFn(
+              vocab_size=c.shape()[1], hidden_size=8))
+
+    lat_a, lat_b = build(ngram), build(table)
+    params = lat_a.init(key, feature_size=4)
+    frames = jax.random.uniform(key, (2, 5, 4))
+    num_frames = jnp.array([5, 3])
+    labels = jnp.array([[1, 2, 1], [2, 1, 0]])
+    num_labels = jnp.array([3, 2])
+
+    loss_a = lat_a(params, frames, num_frames, labels, num_labels)
+    loss_b = lat_b(params, frames, num_frames, labels, num_labels)
+    npt.assert_allclose(loss_a, loss_b, rtol=1e-5)
+
+    dec_a = lat_a.shortest_path(params, frames, num_frames)
+    dec_b = lat_b.shortest_path(params, frames, num_frames)
+    npt.assert_array_equal(dec_a[0], dec_b[0])
+    npt.assert_allclose(dec_a[2], dec_b[2], rtol=1e-5)
+
   def test_arc_marginals(self):
     """_backward marginals match autodiff of the masked _forward.
 
