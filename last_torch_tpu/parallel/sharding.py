@@ -38,7 +38,9 @@ import re
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 Params = Any
@@ -160,15 +162,9 @@ def make_sharded_train_step(model, optimizer, mesh: Mesh,
   def shard_state(state):
     params = shard_params(state.params, mesh, rules)
     param_sh = param_shardings(state.params, mesh, rules)
-    # Optimizer state mirrors parameter sharding where shapes match
-    # (Adam moments), otherwise replicate (scalars, counters).
-    flat_params, _ = jax.tree_util.tree_flatten(param_sh)
-
-    def opt_sharding(leaf):
-      return NamedSharding(mesh, P())
-
+    del param_sh  # Optimizer state is replicated (scalars + moments).
     opt_state = jax.tree.map(
-        lambda x: jax.device_put(x, opt_sharding(x)), state.opt_state)
+        lambda x: jax.device_put(x, replicated(mesh)), state.opt_state)
     return gnat_lib.GNATTrainState(
         params=params,
         opt_state=opt_state,
@@ -179,3 +175,59 @@ def make_sharded_train_step(model, optimizer, mesh: Mesh,
       in_shardings=(None, data, data, data, data),
       donate_argnums=(0,))
   return jitted, shard_state
+
+
+def make_shard_map_train_step(model, optimizer, mesh: Mesh,
+                              axis_name: str = 'data'):
+  """Builds a manually data-parallel train step with ``jax.shard_map``.
+
+  Unlike ``make_sharded_train_step`` (jit + sharding constraints, letting
+  the SPMD partitioner place collectives), this runs the whole loss +
+  gradient computation per device on its local batch shard and all-reduces
+  gradients explicitly with ``psum`` over ICI. Use this when the loss
+  contains manually-partitioned kernels (the fused Pallas scan): XLA's
+  auto-partitioner cannot split a custom call across the batch, but under
+  shard_map each device simply runs the kernel on its own shard.
+
+  Parameters and optimizer state are replicated.
+
+  Returns:
+    A jitted callable ``(state, frames, num_frames, labels, num_labels) ->
+    (state, loss)`` with batch args sharded over ``axis_name``.
+  """
+  from last_torch_tpu.models import gnat as gnat_lib  # avoid import cycle
+
+  def local_step(state, frames, num_frames, labels, num_labels):
+    def mean_loss(params):
+      per_seq = model.loss(params, frames, num_frames, labels, num_labels)
+      finite = jnp.isfinite(per_seq)
+      per_seq = jnp.where(finite, per_seq, 0.0)
+      # Sum locally; normalize by the global feasible count after psum.
+      return jnp.sum(per_seq), jnp.sum(finite)
+
+    (loss_sum, count), grads = jax.value_and_grad(
+        mean_loss, has_aux=True)(state.params)
+    loss_sum = jax.lax.psum(loss_sum, axis_name)
+    count = jnp.maximum(jax.lax.psum(count, axis_name), 1)
+    grads = jax.lax.psum(grads, axis_name)
+    grads = jax.tree.map(lambda gr: gr / count, grads)
+    loss = loss_sum / count
+    updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_state = gnat_lib.GNATTrainState(
+        params=new_params, opt_state=new_opt_state, step=state.step + 1)
+    return new_state, loss
+
+  def step(state, frames, num_frames, labels, num_labels):
+    state_spec = jax.tree.map(lambda _: P(), state)
+    fn = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(state_spec, P(axis_name), P(axis_name), P(axis_name),
+                  P(axis_name)),
+        out_specs=(state_spec, P()),
+        check_vma=False)
+    return fn(state, frames, num_frames, labels, num_labels)
+
+  return jax.jit(step, donate_argnums=(0,))

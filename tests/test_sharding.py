@@ -120,3 +120,32 @@ def test_graft_entry_single():
   fn, args = __graft_entry__.entry()
   loss = jax.jit(fn)(*args)
   assert np.isfinite(float(loss))
+
+
+def test_shard_map_train_step_matches_single_device(eight_devices):
+  """Manual shard_map dp step == unsharded step (fused-kernel-safe path)."""
+  model = gnat.GNATModel(tiny_config())
+  optimizer = gnat.make_optimizer(learning_rate=1e-2)
+  frames, num_frames, labels, num_labels = tiny_batch(batch=8)
+  num_frames = jnp.array([6, 4, 5, 6, 6, 4, 5, 6], jnp.int32)
+  labels = jnp.tile(labels[:1], (8, 1))
+  num_labels = jnp.array([3, 2, 3, 1, 3, 2, 3, 1], jnp.int32)
+
+  state0 = gnat.init_train_state(model, jax.random.PRNGKey(0), optimizer)
+  single_state, loss_single = gnat.train_step(
+      model, optimizer, state0, frames, num_frames, labels, num_labels)
+
+  mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), axis_names=('data',))
+  step_fn = sharding.make_shard_map_train_step(model, optimizer, mesh)
+  state = gnat.init_train_state(model, jax.random.PRNGKey(0), optimizer)
+  batch = [
+      jax.device_put(x, jax.sharding.NamedSharding(
+          mesh, jax.sharding.PartitionSpec('data')))
+      for x in (frames, num_frames, labels, num_labels)
+  ]
+  new_state, loss_sharded = step_fn(state, *batch)
+  assert int(new_state.step) == 1
+  npt.assert_allclose(float(loss_sharded), float(loss_single), rtol=1e-5)
+  jax.tree.map(
+      lambda a, b: npt.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
+      jax.device_get(new_state.params), jax.device_get(single_state.params))
