@@ -606,7 +606,6 @@ class RecognitionLattice(Generic[T]):
             frame_dependent=frame_dependent,
             num_context_states=self.context.shape()[0],
             compute_dtype=dtype,
-            cache_dtype=dtype,
             interpret=self.fused == 'interpret')
 
     @jax.custom_vjp

@@ -389,7 +389,7 @@ def fused_shortest_distance_fwd(wf_params: Any,
                                 max_expansions: int,
                                 frame_dependent: bool,
                                 num_context_states: int,
-                                batch_tile: int = 8,
+                                batch_tile: int = 0,
                                 s_tile: int = 128,
                                 compute_dtype=jnp.bfloat16,
                                 interpret: bool = False):
@@ -417,6 +417,10 @@ def fused_shortest_distance_fwd(wf_params: Any,
   s = num_context_states
   assert s == vocab + 1, 'fused kernel requires bigram FullNGram'
   s_pad = _round_up(s, s_tile)
+  if not batch_tile:
+    # Larger batch tiles amortize per-grid-step overhead; VMEM allows up
+    # to 32 rows at the headline config.
+    batch_tile = min(32, _round_up(batch, 8))
   b_pad = _round_up(batch, batch_tile)
 
   # Frame-independent precomputation (one big MXU matmul each; XLA).
@@ -477,6 +481,8 @@ def fused_shortest_distance_fwd(wf_params: Any,
           pltpu.VMEM((b_pad, s_pad), jnp.float32),
           pltpu.VMEM((batch_tile, s_pad), jnp.float32),
       ],
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,
   )(is_pad, pf, pc, wf_params['vocab_w'],
     wf_params['vocab_b'][None, :], wf_params['blank_w'][:, None],
@@ -501,7 +507,7 @@ def log_partition(wf_params: Any,
                   bwd_batch_tile: int = 4,
                   s_tile: int = 128,
                   compute_dtype=jnp.bfloat16,
-                  cache_dtype=jnp.bfloat16,
+                  cache_dtype=jnp.float32,
                   interpret: bool = False):
   """Differentiable log-partition (denominator) via the fused kernel pair.
 
