@@ -25,8 +25,7 @@ shortest path — all shardable over a ``jax.sharding.Mesh`` (see
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

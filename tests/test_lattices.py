@@ -295,6 +295,33 @@ class TestRecognitionLatticeCorrectness:
         ],
         rtol=2e-4, atol=1e-5)
 
+  def test_multiple_batch_dims(self):
+    """Arbitrary leading batch_dims are supported (SURVEY §2.3).
+
+    A [2, 3] batch must behave exactly like the flattened [6] batch for
+    loss and shortest_path.
+    """
+    lattice = build_basic_lattice()
+    key = jax.random.PRNGKey(9)
+    params = lattice.init(key, feature_size=8)
+    frames = jax.random.uniform(key, (2, 3, 5, 8))
+    num_frames = jnp.array([[5, 3, 4], [2, 5, 3]])
+    labels = jnp.array([[[1, 2], [2, 1], [1, 1]], [[2, 2], [1, 2], [2, 1]]])
+    num_labels = jnp.array([[2, 1], [2, 2], [1, 2]]).T.reshape(2, 3)
+
+    loss_2d = lattice(params, frames, num_frames, labels, num_labels)
+    loss_flat = lattice(params, frames.reshape(6, 5, 8),
+                        num_frames.reshape(6), labels.reshape(6, 2),
+                        num_labels.reshape(6))
+    npt.assert_allclose(loss_2d.reshape(6), loss_flat, rtol=1e-5)
+
+    al2, nal2, pw2 = lattice.shortest_path(params, frames, num_frames)
+    alf, nalf, pwf = lattice.shortest_path(
+        params, frames.reshape(6, 5, 8), num_frames.reshape(6))
+    npt.assert_array_equal(al2.reshape(6, -1), alf)
+    npt.assert_array_equal(nal2.reshape(6), nalf)
+    npt.assert_allclose(pw2.reshape(6), pwf, rtol=1e-5)
+
   def test_next_state_table_lattice_matches_full_ngram(self):
     """A lattice over NextStateTable == the same lattice over FullNGram.
 

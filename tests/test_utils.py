@@ -9,7 +9,7 @@ import last_torch_tpu
 from last_torch_tpu import alignments, contexts, semirings, weight_fns
 from last_torch_tpu.models import gnat
 from last_torch_tpu.utils import checkpoint, profiling
-from tests.test_models import tiny_batch, tiny_config
+from tests.test_models import tiny_config
 
 
 def test_checkpoint_roundtrip(tmp_path):
