@@ -91,6 +91,7 @@ def _fused_forward_kernel(
     # Scratch.
     alpha_scr,      # [B, S_pad] carry across the time grid
     blank_scr,      # [Bt, S_pad] per-frame blank weights
+    exp_scr,        # [Bt * S_pad, V] cached exp(lex - rowmax) (2-D layout)
     *,
     batch_tile: int,
     s_tile: int,
@@ -98,10 +99,17 @@ def _fused_forward_kernel(
     max_expansions: int,
     frame_dependent: bool,
     compute_dtype,
+    cache_dtype,
 ):
+  # The expensive joint/vocab-head matmul runs ONCE per frame; its result is
+  # cached on-chip as E = exp(lex - rowmax) and every within-frame semiring
+  # reduction (k of them for FrameLabelDependent) becomes a tiny batched
+  # matvec against E. See _fused_backward_kernel for the Mosaic layout
+  # constraints this code works around.
   t = pl.program_id(0)
   b = pl.program_id(1)
   b_start = b * batch_tile
+  vocab = vw_ref.shape[-1]
 
   @pl.when(t == 0)
   def _():
@@ -113,38 +121,46 @@ def _fused_forward_kernel(
   vw = vw_ref[:].astype(compute_dtype)
   bw = bw_ref[:].astype(compute_dtype)
 
-  def tile_joint(i):
-    pc_t = pc_ref[i * s_tile:(i + 1) * s_tile, :]  # [St, h], static slice
+  # Pass A: one joint + heads computation per frame; cache E and blank.
+  n = batch_tile * s_tile
+  m_tiles = []
+  for i in range(num_s_tiles):
+    pc_t = pc_ref[i * s_tile:(i + 1) * s_tile, :]
     joint = jnp.tanh(pc_t[None, :, :] + pf[:, None, :])
-    return joint.astype(compute_dtype).reshape(batch_tile * s_tile, -1)
+    joint2d = joint.astype(compute_dtype).reshape(n, -1)
+    lex = jax.lax.dot_general(
+        joint2d, vw, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    lex = lex + vb_ref[0][None, :]
+    m2d = jnp.max(lex, axis=1, keepdims=True)
+    exp_scr[i * n:(i + 1) * n, :] = jnp.exp(lex - m2d).astype(cache_dtype)
+    m_tiles.append(m2d.reshape(batch_tile, s_tile))
+    blank = jax.lax.dot_general(
+        joint2d, bw, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    blank_scr[:, i * s_tile:(i + 1) * s_tile] = blank.reshape(
+        batch_tile, s_tile) + bb_ref[0, 0]
+  blank = blank_scr[:, :]
+  m_rows = jnp.concatenate(m_tiles, axis=-1)  # [Bt, S_pad]
 
-  def lex_pass(in_vec, write_blank):
-    """One online-logsumexp reduction pass over all S tiles, unrolled.
+  def read_exp(i):
+    return exp_scr[i * n:(i + 1) * n, :].astype(jnp.float32).reshape(
+        batch_tile, s_tile, vocab)
 
-    Computes red[b, y] = logsumexp_s(in_vec[b, s] + lexical[b, s, y]); when
-    ``write_blank``, also stores the per-state blank weights in blank_scr.
-    (Static unroll: Mosaic lacks dynamic slicing of values, and the tile
-    count is small.)
-    """
-    num_lanes = vw.shape[-1]
-    m = jnp.full((batch_tile, num_lanes), NEG_INF, jnp.float32)
-    z = jnp.zeros((batch_tile, num_lanes), jnp.float32)
+  def sweep_reduce(vec):
+    """red[b, y] = logsumexp_s(vec[b, s] + lex[b, s, y]), via E matvecs."""
+    shifted = vec + m_rows
+    c = jnp.max(shifted, axis=1, keepdims=True)
+    c_safe = jnp.where(jnp.isfinite(c), c, 0.0)
+    u = jnp.exp(shifted - c_safe)
+    acc = jnp.zeros((batch_tile, 1, vocab), jnp.float32)
     for i in range(num_s_tiles):
-      joint2d = tile_joint(i)
-      lex = jax.lax.dot_general(
-          joint2d, vw, (((1,), (0,)), ((), ())),
+      u_t = jax.lax.slice_in_dim(u, i * s_tile, (i + 1) * s_tile, axis=1)
+      acc = acc + jax.lax.dot_general(
+          u_t[:, None, :], read_exp(i), (((2,), (1,)), ((0,), (0,))),
           preferred_element_type=jnp.float32)
-      lex = lex.reshape(batch_tile, s_tile, -1) + vb_ref[0][None, None, :]
-      if write_blank:
-        blank = jax.lax.dot_general(
-            joint2d, bw, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        blank = blank.reshape(batch_tile, s_tile) + bb_ref[0, 0]
-        blank_scr[:, i * s_tile:(i + 1) * s_tile] = blank
-      vec_tile = in_vec[:, i * s_tile:(i + 1) * s_tile]
-      chunk = vec_tile[:, :, None] + lex
-      m, z = _online_logsumexp_update(m, z, chunk)
-    return _online_logsumexp_final(m, z)  # [Bt, V]
+    total = acc[:, 0, :]
+    return jnp.where(total == 0, NEG_INF, c_safe + jnp.log(total))
 
   def expand(red):
     """[Bt, V] lexical-destination weights -> [Bt, S_pad] state vector.
@@ -154,25 +170,21 @@ def _fused_forward_kernel(
     semiring-zero.
     """
     s_pad = alpha.shape[-1]
-    pad = jnp.full((batch_tile, s_pad - 1 - red.shape[-1]), NEG_INF,
-                   jnp.float32)
+    pad = jnp.full((batch_tile, s_pad - 1 - vocab), NEG_INF, jnp.float32)
     start_col = jnp.full((batch_tile, 1), NEG_INF, jnp.float32)
     return jnp.concatenate([start_col, red, pad], axis=1)
 
-  red0 = lex_pass(alpha, write_blank=True)
-  blank = blank_scr[:, :]
-
   if frame_dependent:
-    # alpha' = (alpha + blank) logaddexp expand(red0).
-    alpha_new = jnp.logaddexp(alpha + blank, expand(red0))
+    # alpha' = (alpha + blank) logaddexp expand(reduce(alpha)).
+    alpha_new = jnp.logaddexp(alpha + blank, expand(sweep_reduce(alpha)))
   else:
     # FrameLabelDependent: up to k lexical expansions then a blank.
     acc = alpha + blank
-    last = expand(red0)
+    last = expand(sweep_reduce(alpha))
     for i in range(1, max_expansions + 1):
       acc = jnp.logaddexp(acc, last + blank)
       if i < max_expansions:
-        last = expand(lex_pass(last, write_blank=False))
+        last = expand(sweep_reduce(last))
     alpha_new = acc
 
   is_pad = is_pad_ref[0, 0, 0, :][:, None] != 0
@@ -233,6 +245,13 @@ def _fused_backward_kernel(
   #   pltpu.roll;
   # - [Bt, V] partial reduces of 3-D values relayout-fail when chained ->
   #   single multi-axis keepdims reductions.
+  #
+  # Numerics: the cache stores E = exp(lex - rowmax(lex)) once per frame;
+  # every within-frame logsumexp then becomes a tiny batched matvec against
+  # E on the MXU, and the arc marginals become rank-1-scaled elementwise
+  # products of E - no transcendentals ever touch the O(Bt*S*V) tensor
+  # after pass A. Shifts keep every factor within float32 range (each
+  # factor <= exp(max|lex|), products <= 1).
   t = pl.program_id(0)
   b = pl.program_id(1)
   vocab = vw_ref.shape[-1]
@@ -267,43 +286,62 @@ def _fused_backward_kernel(
     """x[:, 1:1+vocab] via a lane-aligned rotate."""
     return pltpu.roll(x, shift=x.shape[1] - 1, axis=1)[:, :vocab]
 
-  # Pass A: recompute and cache the frame's lexical/blank weights on-chip.
+  # Pass A: recompute the frame's weights; cache E = exp(lex - M) on-chip.
   n = batch_tile * s_tile
+  m_tiles = []
   for i in range(num_s_tiles):
     joint2d = tile_joint(i).astype(compute_dtype).reshape(n, -1)
     lex = jax.lax.dot_general(
         joint2d, vw_c, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    lex_scr[i * n:(i + 1) * n, :] = (lex + vb_ref[0][None, :]).astype(
-        cache_dtype)
+    lex = lex + vb_ref[0][None, :]
+    m2d = jnp.max(lex, axis=1, keepdims=True)          # [n, 1]
+    lex_scr[i * n:(i + 1) * n, :] = jnp.exp(lex - m2d).astype(cache_dtype)
+    m_tiles.append(m2d.reshape(batch_tile, s_tile))
     blank = jax.lax.dot_general(
         joint2d, bw_c, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     blank_scr[:, i * s_tile:(i + 1) * s_tile] = blank.reshape(
         batch_tile, s_tile) + bb_ref[0, 0]
   blank = blank_scr[:, :]
+  m_rows = jnp.concatenate(m_tiles, axis=-1)           # [Bt, S_pad]
 
-  def read_lex(i):
+  def read_exp(i):
     return lex_scr[i * n:(i + 1) * n, :].astype(jnp.float32).reshape(
         batch_tile, s_tile, vocab)
 
+  batched_dims_sv = (((2,), (1,)), ((0,), (0,)))       # [Bt,1,S]x[Bt,S,V]
+  batched_dims_vs = (((2,), (2,)), ((0,), (0,)))       # [Bt,1,V]x[Bt,S,V]
+
   def sweep_reduce(vec):
-    """red[b, y] = logsumexp_s(vec[b, s] + lex[b, s, y]) from the cache."""
-    m = jnp.full((batch_tile, vocab), NEG_INF, jnp.float32)
-    z = jnp.zeros((batch_tile, vocab), jnp.float32)
+    """red[b, y] = logsumexp_s(vec[b, s] + lex[b, s, y]), via E matvecs."""
+    shifted = vec + m_rows
+    c = jnp.max(shifted, axis=1, keepdims=True)        # [Bt, 1]
+    c_safe = jnp.where(jnp.isfinite(c), c, 0.0)
+    u = jnp.exp(shifted - c_safe)                      # [Bt, S_pad]
+    acc = jnp.zeros((batch_tile, 1, vocab), jnp.float32)
     for i in range(num_s_tiles):
-      vec_t = jax.lax.slice_in_dim(vec, i * s_tile, (i + 1) * s_tile,
-                                   axis=1)
-      m, z = _online_logsumexp_update(m, z, vec_t[:, :, None] + read_lex(i))
-    return _online_logsumexp_final(m, z)
+      u_t = jax.lax.slice_in_dim(u, i * s_tile, (i + 1) * s_tile, axis=1)
+      acc = acc + jax.lax.dot_general(
+          u_t[:, None, :], read_exp(i), batched_dims_sv,
+          preferred_element_type=jnp.float32)
+    total = acc[:, 0, :]
+    return jnp.where(total == 0, NEG_INF, c_safe + jnp.log(total))
 
   def sweep_lse_y(nb_lex):
-    """out[b, s] = logsumexp_y(lex[b, s, y] + nb_lex[b, y]) (per-s)."""
+    """out[b, s] = logsumexp_y(lex[b, s, y] + nb_lex[b, y]), via E."""
+    d = jnp.max(nb_lex, axis=1, keepdims=True)         # [Bt, 1]
+    d_safe = jnp.where(jnp.isfinite(d), d, 0.0)
+    v = jnp.exp(nb_lex - d_safe)[:, None, :]           # [Bt, 1, V]
     parts = []
     for i in range(num_s_tiles):
-      x = read_lex(i) + nb_lex[:, None, :]
-      m = jnp.max(x, axis=-1)
-      parts.append(m + jnp.log(jnp.sum(jnp.exp(x - m[..., None]), axis=-1)))
+      w = jax.lax.dot_general(
+          v, read_exp(i), batched_dims_vs,
+          preferred_element_type=jnp.float32)[:, 0, :]  # [Bt, St]
+      m_t = jax.lax.slice_in_dim(m_rows, i * s_tile, (i + 1) * s_tile,
+                                 axis=1)
+      parts.append(
+          jnp.where(w == 0, NEG_INF, m_t + d_safe + jnp.log(w)))
     return jnp.concatenate(parts, axis=-1)  # [Bt, S_pad]
 
   def expand(red):
@@ -337,16 +375,29 @@ def _fused_backward_kernel(
 
   d_blank_all = g_eff * bm_total            # [Bt, S_pad]
 
+  # Per-(j) rank-1 factors of the lexical marginals:
+  # lm_j = E * exp(a_j + M - A_j)[:, :, None] *
+  #        (exp(nb_j - N_j) * exp(A_j + N_j - log_z))[:, None, :].
+  factors = []
+  for (j, nb_j) in nbs:
+    shifted = a_list[j] + m_rows
+    a_max = jnp.max(shifted, axis=1, keepdims=True)
+    a_max = jnp.where(jnp.isfinite(a_max), a_max, 0.0)
+    ws = jnp.exp(shifted - a_max)                      # [Bt, S_pad]
+    nb_lex = to_lex_space(nb_j)
+    n_max = jnp.max(nb_lex, axis=1, keepdims=True)
+    n_max = jnp.where(jnp.isfinite(n_max), n_max, 0.0)
+    wy = jnp.exp(nb_lex - n_max) * jnp.exp(a_max + n_max - log_z)
+    factors.append((ws, wy))
+
   # Pass B: per-tile marginal accumulation and head/tanh backward.
   dpf_acc = jnp.zeros((batch_tile, pf.shape[-1]), jnp.float32)
   for i in range(num_s_tiles):
-    lex_t = read_lex(i)                     # [Bt, St, V]
-    lm = jnp.zeros_like(lex_t)
-    for (j, nb_j) in nbs:
-      a_t = jax.lax.slice_in_dim(a_list[j], i * s_tile, (i + 1) * s_tile,
-                                 axis=1)
-      lm = lm + jnp.exp(a_t[:, :, None] + lex_t +
-                        to_lex_space(nb_j)[:, None, :] - log_z[:, :, None])
+    exp_t = read_exp(i)                     # [Bt, St, V]
+    lm = jnp.zeros_like(exp_t)
+    for (ws, wy) in factors:
+      ws_t = jax.lax.slice_in_dim(ws, i * s_tile, (i + 1) * s_tile, axis=1)
+      lm = lm + exp_t * ws_t[:, :, None] * wy[:, None, :]
     d_lex3 = (g_eff[:, :, None] * lm).astype(compute_dtype)
     d_blank3 = jax.lax.slice_in_dim(d_blank_all, i * s_tile,
                                     (i + 1) * s_tile, axis=1)[:, :, None]
@@ -392,6 +443,7 @@ def fused_shortest_distance_fwd(wf_params: Any,
                                 batch_tile: int = 0,
                                 s_tile: int = 128,
                                 compute_dtype=jnp.bfloat16,
+                                cache_dtype=jnp.float32,
                                 interpret: bool = False):
   """Runs the fused forward scan.
 
@@ -418,9 +470,11 @@ def fused_shortest_distance_fwd(wf_params: Any,
   assert s == vocab + 1, 'fused kernel requires bigram FullNGram'
   s_pad = _round_up(s, s_tile)
   if not batch_tile:
-    # Larger batch tiles amortize per-grid-step overhead; VMEM allows up
-    # to 32 rows at the headline config.
-    batch_tile = min(32, _round_up(batch, 8))
+    # The on-chip E cache is [batch_tile * S_pad, V] floats; size the batch
+    # tile to keep it within ~40MB of VMEM (8 rows at the headline config).
+    cache_bytes = _round_up(s, s_tile) * vocab * 4
+    batch_tile = max(8, min(32, (40 * 1024 * 1024) // max(cache_bytes, 1)
+                            // 8 * 8))
   b_pad = _round_up(batch, batch_tile)
 
   # Frame-independent precomputation (one big MXU matmul each; XLA).
@@ -453,7 +507,8 @@ def fused_shortest_distance_fwd(wf_params: Any,
       num_s_tiles=num_s_tiles,
       max_expansions=max_expansions,
       frame_dependent=frame_dependent,
-      compute_dtype=compute_dtype)
+      compute_dtype=compute_dtype,
+      cache_dtype=cache_dtype)
 
   hist, alpha_t = pl.pallas_call(
       kernel,
@@ -480,6 +535,7 @@ def fused_shortest_distance_fwd(wf_params: Any,
       scratch_shapes=[
           pltpu.VMEM((b_pad, s_pad), jnp.float32),
           pltpu.VMEM((batch_tile, s_pad), jnp.float32),
+          pltpu.VMEM((batch_tile * s_pad, vocab), cache_dtype),
       ],
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
