@@ -403,10 +403,10 @@ def _fused_backward_kernel(
                                     (i + 1) * s_tile, axis=1)[:, :, None]
     joint = tile_joint(i)
     joint3_c = joint.astype(compute_dtype)
-    for b2 in range(batch_tile):
-      dvw_scr[:, :] += jax.lax.dot_general(
-          joint3_c[b2], d_lex3[b2], (((0,), (0,)), ((), ())),
-          preferred_element_type=jnp.float32)
+    dvw_scr[:, :] += jnp.sum(
+        jax.lax.dot_general(
+            joint3_c, d_lex3, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32), axis=0)
     dvb_scr[:, :] += jnp.sum(
         d_lex3.astype(jnp.float32), axis=(0, 1), keepdims=True)[0]
     dbw_scr[:, :] += jnp.sum(
