@@ -250,6 +250,25 @@ class RecognitionLattice(Generic[T]):
     if cache is None:
       cache = self.build_cache(params)
 
+    if self.fused != 'never':
+      from last_torch_tpu.ops import fused_scan, viterbi
+      backend = ('interpret' if self.fused == 'interpret' else
+                 jax.default_backend())
+      # Structural support matches the Log kernel's gating.
+      if fused_scan.supported(self, semirings.Log, None, None, None, frames,
+                              backend):
+        frame_dependent = isinstance(self.alignment,
+                                     alignments.FrameDependent)
+        return viterbi.viterbi_decode(
+            params['weight_fn'], cache, frames, num_frames,
+            max_expansions=(0 if frame_dependent else
+                            self.alignment.max_expansions),
+            frame_dependent=frame_dependent,
+            num_context_states=self.context.shape()[0],
+            compute_dtype=(jnp.float32 if self.fused == 'interpret' else
+                           jnp.bfloat16),
+            interpret=self.fused == 'interpret')
+
     def forward_fn(lexical_mask):
       path_weights, _ = self._forward(
           params=params,

@@ -1,0 +1,284 @@
+# Copyright 2026.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+
+"""Fused tropical (Viterbi) forward kernel + gather-only backtrace.
+
+The XLA decode path differentiates the MaxTropical shortest distance
+(reference ``lattices.py:219-247``), which re-runs the weight matmuls in the
+tropical backward pass. Here the forward Viterbi scan runs as a Mosaic
+kernel (same structure as ``fused_scan._fused_forward_kernel`` but with
+running-max reductions and argmax tracking), emitting per-frame backtrace
+tables; the backtrace itself is then a cheap reverse ``lax.scan`` of pure
+gathers — no second pass over the weights.
+
+Scope matches ``fused_scan.supported``: MaxTropical over a bigram FullNGram
+with JointWeightFn and FrameDependent / FrameLabelDependent.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float('-inf')
+
+
+def _round_up(x: int, m: int) -> int:
+  return (x + m - 1) // m * m
+
+
+def _viterbi_forward_kernel(
+    # Inputs.
+    is_pad_ref,     # [1, 1, 1, Bt] int32
+    pf_ref,         # [1, Bt, h]
+    pc_ref,         # [S_pad, h]
+    vw_ref,         # [h, V]
+    vb_ref,         # [1, V]
+    bw_ref,         # [h, 1]
+    bb_ref,         # [1, 1] SMEM
+    alpha0_ref,     # [Bt, S_pad]
+    # Outputs.
+    arg_ref,        # [1, 1, K, Bt, V] int32: best source per (expansion, y)
+    jstar_ref,      # [1, Bt, S_pad] int32: best expansion count per state
+    alpha_out_ref,  # [Bt, S_pad]
+    # Scratch.
+    alpha_scr,      # [B_pad, S_pad] f32
+    *,
+    batch_tile: int,
+    s_tile: int,
+    num_s_tiles: int,
+    max_expansions: int,
+    frame_dependent: bool,
+    compute_dtype,
+):
+  t = pl.program_id(0)
+  b = pl.program_id(1)
+  b_start = b * batch_tile
+  vocab = vw_ref.shape[-1]
+
+  @pl.when(t == 0)
+  def _():
+    alpha_scr[pl.ds(b_start, batch_tile), :] = alpha0_ref[:]
+
+  alpha = alpha_scr[pl.ds(b_start, batch_tile), :]  # [Bt, S_pad]
+  pf = pf_ref[0]
+  vw = vw_ref[:].astype(compute_dtype)
+  bw = bw_ref[:].astype(compute_dtype)
+
+  def tile_joint(i):
+    pc_t = pc_ref[i * s_tile:(i + 1) * s_tile, :]
+    joint = jnp.tanh(pc_t[None, :, :] + pf[:, None, :])
+    return joint.astype(compute_dtype).reshape(batch_tile * s_tile, -1)
+
+  def max_pass(in_vec, write_blank, blank_store):
+    """red[b, y], arg[b, y] = max/argmax_s(in_vec[b, s] + lex[b, s, y])."""
+    m = jnp.full((batch_tile, vocab), NEG_INF, jnp.float32)
+    arg = jnp.zeros((batch_tile, vocab), jnp.int32)
+    for i in range(num_s_tiles):
+      joint2d = tile_joint(i)
+      lex = jax.lax.dot_general(
+          joint2d, vw, (((1,), (0,)), ((), ())),
+          preferred_element_type=jnp.float32)
+      lex = lex.reshape(batch_tile, s_tile, -1) + vb_ref[0][None, None, :]
+      if write_blank:
+        blank = jax.lax.dot_general(
+            joint2d, bw, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        blank_store.append(blank.reshape(batch_tile, s_tile) + bb_ref[0, 0])
+      vec_t = jax.lax.slice_in_dim(in_vec, i * s_tile, (i + 1) * s_tile,
+                                   axis=1)
+      chunk = vec_t[:, :, None] + lex
+      tile_max = jnp.max(chunk, axis=1)
+      tile_arg = jnp.argmax(chunk, axis=1).astype(jnp.int32) + i * s_tile
+      better = tile_max > m
+      m = jnp.where(better, tile_max, m)
+      arg = jnp.where(better, tile_arg, arg)
+    return m, arg
+
+  def expand(red):
+    s_pad = alpha.shape[-1]
+    pad_cols = jnp.full((batch_tile, s_pad - 1 - vocab), NEG_INF,
+                        jnp.float32)
+    start_col = jnp.full((batch_tile, 1), NEG_INF, jnp.float32)
+    return jnp.concatenate([start_col, red, pad_cols], axis=1)
+
+  blank_store = []
+  red, arg = max_pass(alpha, True, blank_store)
+  blank = jnp.concatenate(blank_store, axis=-1)  # [Bt, S_pad]
+  arg_ref[0, 0, 0] = arg
+
+  if frame_dependent:
+    # One blank-or-lexical arc per frame: jstar 0 = blank (stay), 1 = the
+    # lexical arc into this state.
+    stay = alpha + blank
+    move = expand(red)
+    alpha_new = jnp.maximum(stay, move)
+    jstar = (move > stay).astype(jnp.int32)
+  else:
+    # Up to k lexical arcs then a blank; jstar = winning expansion count.
+    acc = alpha + blank
+    jstar = jnp.zeros_like(alpha, dtype=jnp.int32)
+    last = expand(red)
+    for j in range(1, max_expansions + 1):
+      cand = last + blank
+      better = cand > acc
+      acc = jnp.where(better, cand, acc)
+      jstar = jnp.where(better, j, jstar)
+      if j < max_expansions:
+        red, arg = max_pass(last, False, None)
+        arg_ref[0, 0, j] = arg
+        last = expand(red)
+    alpha_new = acc
+
+  is_pad = is_pad_ref[0, 0, 0, :][:, None] != 0
+  alpha_new = jnp.where(is_pad, alpha, alpha_new)
+  jstar = jnp.where(is_pad, 0, jstar)
+  jstar_ref[0] = jstar
+  alpha_scr[pl.ds(b_start, batch_tile), :] = alpha_new
+  alpha_out_ref[:] = alpha_new
+
+
+def viterbi_decode(wf_params: Any,
+                   cache: jnp.ndarray,
+                   frames: jnp.ndarray,
+                   num_frames: jnp.ndarray,
+                   *,
+                   max_expansions: int,
+                   frame_dependent: bool,
+                   num_context_states: int,
+                   batch_tile: int = 8,
+                   s_tile: int = 128,
+                   compute_dtype=jnp.bfloat16,
+                   interpret: bool = False):
+  """Kernel Viterbi forward + gather-only backtrace.
+
+  Returns (alignment_labels, num_alignment_labels, path_weights) with the
+  same contract as ``RecognitionLattice.shortest_path``.
+  """
+  num_frames = jnp.asarray(num_frames, jnp.int32)
+  batch, max_t, _ = frames.shape
+  vocab = wf_params['vocab_w'].shape[-1]
+  s = num_context_states
+  assert s == vocab + 1, 'viterbi kernel requires bigram FullNGram'
+  s_pad = _round_up(s, s_tile)
+  b_pad = _round_up(batch, batch_tile)
+  num_b_tiles = b_pad // batch_tile
+  num_s_tiles = s_pad // s_tile
+  num_align = 1 if frame_dependent else max_expansions + 1
+  k_tables = 1 if frame_dependent else max(max_expansions, 1)
+
+  pf = jnp.einsum('btf,fh->tbh', frames, wf_params['frame_proj'],
+                  preferred_element_type=jnp.float32)
+  pc = jnp.pad(cache @ wf_params['context_proj'], ((0, s_pad - s), (0, 0)))
+  hidden = pc.shape[-1]
+  is_pad = (jnp.arange(max_t)[:, None] >= num_frames[None, :]).astype(
+      jnp.int32)
+  if b_pad != batch:
+    pf = jnp.pad(pf, ((0, 0), (0, b_pad - batch), (0, 0)))
+    is_pad = jnp.pad(is_pad, ((0, 0), (0, b_pad - batch)),
+                     constant_values=1)
+  is_pad4 = is_pad.reshape(max_t, num_b_tiles, 1, batch_tile)
+  alpha0 = jnp.full((b_pad, s_pad), NEG_INF, jnp.float32)
+  alpha0 = alpha0.at[:, 0].set(0.0)
+
+  kernel = functools.partial(
+      _viterbi_forward_kernel,
+      batch_tile=batch_tile,
+      s_tile=s_tile,
+      num_s_tiles=num_s_tiles,
+      max_expansions=max_expansions,
+      frame_dependent=frame_dependent,
+      compute_dtype=compute_dtype)
+
+  args_tbl, jstar_tbl, alpha_t = pl.pallas_call(
+      kernel,
+      grid=(max_t, num_b_tiles),
+      in_specs=[
+          pl.BlockSpec((1, 1, 1, batch_tile), lambda t, b: (t, b, 0, 0)),
+          pl.BlockSpec((1, batch_tile, hidden), lambda t, b: (t, b, 0)),
+          pl.BlockSpec((s_pad, hidden), lambda t, b: (0, 0)),
+          pl.BlockSpec((hidden, vocab), lambda t, b: (0, 0)),
+          pl.BlockSpec((1, vocab), lambda t, b: (0, 0)),
+          pl.BlockSpec((hidden, 1), lambda t, b: (0, 0)),
+          pl.BlockSpec((1, 1), lambda t, b: (0, 0),
+                       memory_space=pltpu.SMEM),
+          pl.BlockSpec((batch_tile, s_pad), lambda t, b: (b, 0)),
+      ],
+      out_specs=[
+          pl.BlockSpec((1, 1, k_tables, batch_tile, vocab),
+                       lambda t, b: (t, b, 0, 0, 0)),
+          pl.BlockSpec((1, batch_tile, s_pad), lambda t, b: (t, b, 0)),
+          pl.BlockSpec((batch_tile, s_pad), lambda t, b: (b, 0)),
+      ],
+      out_shape=[
+          jax.ShapeDtypeStruct(
+              (max_t, num_b_tiles, k_tables, batch_tile, vocab), jnp.int32),
+          jax.ShapeDtypeStruct((max_t, b_pad, s_pad), jnp.int32),
+          jax.ShapeDtypeStruct((b_pad, s_pad), jnp.float32),
+      ],
+      scratch_shapes=[
+          pltpu.VMEM((b_pad, s_pad), jnp.float32),
+      ],
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
+      interpret=interpret,
+  )(is_pad4, pf, pc, wf_params['vocab_w'], wf_params['vocab_b'][None, :],
+    wf_params['blank_w'][:, None], wf_params['blank_b'][None, None],
+    alpha0)
+
+  # [T, B, k, V] argmax tables; [T, B, S] winning expansion counts.
+  args_tbl = args_tbl.transpose(0, 1, 3, 2, 4).reshape(
+      max_t, b_pad, k_tables, vocab)[:, :batch]
+  jstar_tbl = jstar_tbl[:, :batch, :s]
+  alpha_t = alpha_t[:batch, :s]
+
+  path_weights = jnp.max(alpha_t, axis=-1)
+  q_final = jnp.argmax(alpha_t, axis=-1).astype(jnp.int32)  # [B]
+  is_padding = is_pad[:, :batch].astype(bool)  # [T, B]
+
+  def backtrace_step(q, inputs):
+    args_t, jstar_t, pad_t = inputs  # [B,k,V], [B,S], [B]
+    jstar = jnp.take_along_axis(jstar_t, q[:, None], axis=1)[:, 0]  # [B]
+    # Walk the within-frame expansion chain backwards; bigram: the label
+    # entering state q (q in 1..V) is q itself.
+    slots = []
+    q_cur = q
+    steps = 1 if frame_dependent else max_expansions
+    for i in range(steps, 0, -1):
+      active = (i <= jstar) & ~pad_t
+      y = jnp.where(active, q_cur, 0)
+      src = jnp.take_along_axis(
+          args_t[:, i - 1], jnp.maximum(q_cur - 1, 0)[:, None],
+          axis=1)[:, 0]
+      q_cur = jnp.where(active, src, q_cur)
+      slots.append(y)
+    slots.reverse()  # slot order: expansion 1..k, then trailing blank(s)
+    labels = jnp.stack(slots, axis=-1)  # [B, steps]
+    if not frame_dependent:
+      labels = jnp.pad(labels, ((0, 0), (0, 1)))  # trailing blank slot
+    return q_cur, labels
+
+  q0, labels_tm = jax.lax.scan(
+      backtrace_step, q_final,
+      (args_tbl, jstar_tbl, jnp.asarray(is_padding)), reverse=True)
+  del q0
+  # [T, B, A] -> [B, T*A]
+  alignment_labels = jnp.moveaxis(labels_tm, 0, 1).reshape(batch, -1)
+  num_alignment_labels = num_align * num_frames
+  return alignment_labels, num_alignment_labels, path_weights

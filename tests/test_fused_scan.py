@@ -137,6 +137,28 @@ def test_fused_backward_kernel_matches_xla(alignment_factory):
       grads_fused, grads_xla)
 
 
+@pytest.mark.parametrize('alignment_factory', [
+    alignments.FrameDependent,
+    lambda: alignments.FrameLabelDependent(max_expansions=2),
+])
+def test_viterbi_kernel_matches_xla_decode(alignment_factory):
+  """Kernel Viterbi forward + gather backtrace == the XLA vjp decode."""
+  fused_lattice = build(alignment_factory(), fused='interpret')
+  xla_lattice = build(alignment_factory(), fused='never')
+  params = fused_lattice.init(jax.random.PRNGKey(6), feature_size=6)
+  frames = jax.random.normal(jax.random.PRNGKey(7), (3, 6, 6))
+  num_frames = jnp.array([6, 4, 0])
+
+  labels_f, num_f, weights_f = fused_lattice.shortest_path(
+      params, frames, num_frames)
+  labels_x, num_x, weights_x = xla_lattice.shortest_path(
+      params, frames, num_frames)
+
+  npt.assert_allclose(weights_f, weights_x, rtol=1e-5, atol=1e-6)
+  npt.assert_array_equal(num_f, num_x)
+  npt.assert_array_equal(labels_f, labels_x)
+
+
 def test_fused_loss_end_to_end_interpret():
   """Globally-normalized loss via the fused forward (+ XLA backward)."""
   fused_lattice = build(alignments.FrameLabelDependent(max_expansions=1),
