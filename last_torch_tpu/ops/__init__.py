@@ -15,3 +15,4 @@
 """Pallas (Mosaic) TPU kernels for the recognition-lattice hot loops."""
 
 from last_torch_tpu.ops import fused_scan
+from last_torch_tpu.ops import viterbi
