@@ -582,6 +582,13 @@ def log_partition(wf_params: Any,
   batch, max_t, _ = frames.shape
   vocab = wf_params['vocab_w'].shape[-1]
   s = num_context_states
+  # Auto-tune (measured on v5e): when the padded state count divides into
+  # 384-wide tiles, fewer/larger reduction matvecs and batch tile 8 are
+  # ~4% faster end-to-end and still fit VMEM.
+  if (s_tile == 128 and bwd_batch_tile == 4 and
+      _round_up(s, 128) % 384 == 0):
+    s_tile = 384
+    bwd_batch_tile = 8
   s_pad = _round_up(s, s_tile)
   hidden = wf_params['frame_proj'].shape[-1]
 
