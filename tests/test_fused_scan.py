@@ -159,6 +159,32 @@ def test_viterbi_kernel_matches_xla_decode(alignment_factory):
   npt.assert_array_equal(labels_f, labels_x)
 
 
+def test_fused_kernels_edge_shapes():
+  """T=1, batch-1, and all-padding batches run and match XLA."""
+  fused_lattice = build(alignments.FrameLabelDependent(max_expansions=2),
+                        fused='interpret')
+  xla_lattice = build(alignments.FrameLabelDependent(max_expansions=2),
+                      fused='never')
+  params = fused_lattice.init(jax.random.PRNGKey(8), feature_size=6)
+
+  for batch, max_t, nf in [(1, 1, [1]), (2, 1, [1, 0]), (1, 3, [0])]:
+    frames = jax.random.normal(jax.random.PRNGKey(9), (batch, max_t, 6))
+    num_frames = jnp.array(nf)
+    cache = fused_lattice.build_cache(params)
+    lz_f, _ = fused_lattice._forward(
+        params=params, cache=cache, frames=frames, num_frames=num_frames,
+        semiring=semirings.Log)
+    lz_x, _ = xla_lattice._forward(
+        params=params, cache=cache, frames=frames, num_frames=num_frames,
+        semiring=semirings.Log)
+    npt.assert_allclose(lz_f, lz_x, rtol=1e-5, atol=1e-6)
+
+    dec_f = fused_lattice.shortest_path(params, frames, num_frames)
+    dec_x = xla_lattice.shortest_path(params, frames, num_frames)
+    npt.assert_array_equal(dec_f[0], dec_x[0])
+    npt.assert_allclose(dec_f[2], dec_x[2], rtol=1e-5, atol=1e-6)
+
+
 def test_fused_loss_end_to_end_interpret():
   """Globally-normalized loss via the fused forward (+ XLA backward)."""
   fused_lattice = build(alignments.FrameLabelDependent(max_expansions=1),
