@@ -326,6 +326,14 @@ class RecognitionLattice(Generic[T]):
     semiring = semiring if semiring is not None else semirings.Log
     if cache is None:
       cache = self.build_cache(params)
+    if semiring is semirings.Log and weight_lift is None:
+      # The forward-backward route is differentiable (custom VJP) and uses
+      # the fused kernels on TPU; the plain fused forward is not.
+      return self._forward_backward(
+          params=params,
+          cache=cache,
+          frames=frames,
+          num_frames=jnp.asarray(num_frames))
     distance, _ = self._forward(
         params=params,
         cache=cache,

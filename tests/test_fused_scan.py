@@ -159,6 +159,20 @@ def test_viterbi_kernel_matches_xla_decode(alignment_factory):
   npt.assert_array_equal(labels_f, labels_x)
 
 
+def test_public_shortest_distance_differentiable_with_kernels():
+  """grad(shortest_distance) works when the fused kernels are active."""
+  lattice = build(alignments.FrameLabelDependent(max_expansions=1),
+                  fused='interpret')
+  params = lattice.init(jax.random.PRNGKey(10), feature_size=6)
+  frames = jax.random.normal(jax.random.PRNGKey(11), (2, 4, 6))
+  num_frames = jnp.array([4, 2])
+
+  grads = jax.grad(lambda p: jnp.sum(
+      lattice.shortest_distance(p, frames, num_frames)))(params)
+  for leaf in jax.tree.leaves(grads):
+    assert np.all(np.isfinite(np.asarray(leaf)))
+
+
 def test_fused_kernels_edge_shapes():
   """T=1, batch-1, and all-padding batches run and match XLA."""
   fused_lattice = build(alignments.FrameLabelDependent(max_expansions=2),
