@@ -60,21 +60,6 @@ def _round_up(x: int, m: int) -> int:
   return (x + m - 1) // m * m
 
 
-def _online_logsumexp_update(m, z, chunk):
-  """Folds chunk [Bt, St, V] into running (max m, sumexp z), both [Bt, V]."""
-  cmax = jnp.max(chunk, axis=1)
-  m_new = jnp.maximum(m, cmax)
-  safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
-  scale = jnp.where(jnp.isfinite(m), jnp.exp(m - safe), 0.0)
-  z_new = z * scale + jnp.sum(jnp.exp(chunk - safe[:, None, :]), axis=1)
-  return m_new, z_new
-
-
-def _online_logsumexp_final(m, z):
-  safe = jnp.where(jnp.isfinite(m), m, 0.0)
-  return jnp.where(z == 0, NEG_INF, safe + jnp.log(z))
-
-
 def _fused_forward_kernel(
     # Inputs.
     is_pad_ref,     # [1, 1, 1, Bt] int32 (1 where t >= num_frames[b])
@@ -239,8 +224,8 @@ def _fused_backward_kernel(
   # - combined slice+newaxis indexing (x[:, a:b, None]) lowers to an
   #   unsupported gather -> lax.slice_in_dim then [:, :, None];
   # - merging 3-D values to 2-D ([Bt, St, V] -> [Bt*St, V]) is an
-  #   unsupported shape cast -> head gradients use per-batch-row 2-D dots
-  #   and batched 3-D dot_general;
+  #   unsupported shape cast -> head gradients use batched 3-D dot_general
+  #   plus an outer-axis sum;
   # - lane slices must start at multiples of 128 -> state->label shifts use
   #   pltpu.roll;
   # - [Bt, V] partial reduces of 3-D values relayout-fail when chained ->
