@@ -102,6 +102,7 @@ def train(model_config: gnat.GNATConfig,
           learning_rate: float = 1e-3,
           checkpoint_every: int = 50,
           log_every: int = 10,
+          eval_every: int = 0,
           model_parallel: int = 1,
           seed: int = 0,
           log_fn=print) -> gnat.GNATTrainState:
@@ -136,6 +137,8 @@ def train(model_config: gnat.GNATConfig,
 
   timer = profiling.StepTimer(skip_first=1)
   data = synthetic_batches(data_config)
+  eval_batch = next(data)
+  decode_fn = jax.jit(lambda p, f, nf: model.decode(p, f, nf))
   start = int(state.step)
   for step in range(start, num_steps):
     batch = place(next(data))
@@ -144,19 +147,46 @@ def train(model_config: gnat.GNATConfig,
                             batch['labels'], batch['num_labels'])
       loss = float(loss)
     if (step + 1) % log_every == 0 or step + 1 == num_steps:
-      log_fn(json.dumps({
+      record = {
           'event': 'train',
           'step': step + 1,
           'loss': round(loss, 4),
           **{k: round(v, 2) for k, v in timer.summary().items()
              if k != 'steps'},
-      }))
+      }
+      if eval_every and (step + 1) % eval_every == 0:
+        record['eval_label_accuracy'] = round(
+            label_accuracy(model, decode_fn, jax.device_get(state).params,
+                           eval_batch), 4)
+      log_fn(json.dumps(record))
     if manager and ((step + 1) % checkpoint_every == 0 or
                     step + 1 == num_steps):
       manager.save(step + 1, jax.device_get(state))
   if manager:
     manager.close()
   return state
+
+
+def label_accuracy(model, decode_fn, params, batch) -> float:
+  """Fraction of reference labels recovered by greedy Viterbi decoding.
+
+  Blank slots are stripped from the decoded alignment; the remaining
+  lexical labels are compared position-wise against the (unpadded)
+  reference sequence.
+  """
+  alignment_labels, _, _ = decode_fn(params, batch['frames'],
+                                     batch['num_frames'])
+  alignment_labels = np.asarray(alignment_labels)
+  labels = np.asarray(batch['labels'])
+  num_labels = np.asarray(batch['num_labels'])
+  correct, total = 0, 0
+  for b in range(labels.shape[0]):
+    decoded = alignment_labels[b][alignment_labels[b] > 0]
+    reference = labels[b, :num_labels[b]]
+    n = min(len(decoded), len(reference))
+    correct += int(np.sum(decoded[:n] == reference[:n]))
+    total += int(len(reference))
+  return correct / max(total, 1)
 
 
 def main(argv=None):
@@ -169,6 +199,9 @@ def main(argv=None):
   parser.add_argument('--locally-normalized', action='store_true')
   parser.add_argument('--model-parallel', type=int, default=1)
   parser.add_argument('--learning-rate', type=float, default=1e-3)
+  parser.add_argument('--eval-every', type=int, default=0,
+                      help='decode the eval batch every N steps and log '
+                           'label accuracy')
   args = parser.parse_args(argv)
 
   model_config = gnat.GNATConfig(
@@ -180,7 +213,7 @@ def main(argv=None):
       batch_size=args.batch_size, vocab_size=args.vocab_size)
   train(model_config, data_config, num_steps=args.steps,
         workdir=args.workdir, learning_rate=args.learning_rate,
-        model_parallel=args.model_parallel)
+        eval_every=args.eval_every, model_parallel=args.model_parallel)
 
 
 if __name__ == '__main__':
