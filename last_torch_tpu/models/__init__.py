@@ -16,3 +16,4 @@
 
 from last_torch_tpu.models import encoder
 from last_torch_tpu.models import gnat
+from last_torch_tpu.models import presets

@@ -176,6 +176,9 @@ def viterbi_decode(wf_params: Any,
   vocab = wf_params['vocab_w'].shape[-1]
   s = num_context_states
   assert s == vocab + 1, 'viterbi kernel requires bigram FullNGram'
+  # Fewer, larger reduction tiles when the padded state count allows.
+  if s_tile == 128 and _round_up(s, 128) % 384 == 0:
+    s_tile = 384
   s_pad = _round_up(s, s_tile)
   b_pad = _round_up(batch, batch_tile)
   num_b_tiles = b_pad // batch_tile

@@ -102,3 +102,33 @@ def test_gnat_globally_normalized_train_step():
   state, loss0 = step(state, frames, num_frames, labels, num_labels)
   state, loss1 = step(state, frames, num_frames, labels, num_labels)
   assert np.isfinite(float(loss0)) and np.isfinite(float(loss1))
+
+
+def test_model_presets():
+  """Named model-family presets build, train a step, and decode."""
+  from last_torch_tpu.models import presets
+
+  for config in [
+      presets.ctc_like(vocab_size=4, feature_size=8, encoder_size=16,
+                       encoder_layers=1, encoder_heads=2,
+                       encoder_ffn_size=32, hidden_size=16,
+                       embedding_size=16),
+      presets.hat_bigram(vocab_size=4, feature_size=8, encoder_size=16,
+                         encoder_layers=1, encoder_heads=2,
+                         encoder_ffn_size=32, hidden_size=16,
+                         embedding_size=16, max_expansions=1),
+      presets.gnat_global_bigram(vocab_size=4, feature_size=8,
+                                 encoder_size=16, encoder_layers=1,
+                                 encoder_heads=2, encoder_ffn_size=32,
+                                 hidden_size=16, embedding_size=16,
+                                 max_expansions=1),
+  ]:
+    model = gnat.GNATModel(config)
+    optimizer = gnat.make_optimizer()
+    state = gnat.init_train_state(model, jax.random.PRNGKey(0), optimizer)
+    frames, num_frames, labels, num_labels = tiny_batch()
+    state, loss = gnat.train_step(model, optimizer, state, frames,
+                                  num_frames, labels, num_labels)
+    assert np.isfinite(float(loss))
+    decoded, _, _ = model.decode(state.params, frames, num_frames)
+    assert np.all(np.asarray(decoded) >= 0)
