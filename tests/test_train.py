@@ -1,0 +1,68 @@
+"""Tests for the example trainer (models/train.py)."""
+
+import json
+
+import numpy as np
+
+from last_torch_tpu.models import gnat, train
+
+
+def tiny_model_config():
+  return gnat.GNATConfig(
+      feature_size=8,
+      vocab_size=4,
+      context_size=1,
+      encoder_size=16,
+      encoder_layers=1,
+      encoder_heads=2,
+      encoder_ffn_size=32,
+      hidden_size=16,
+      embedding_size=16,
+      max_expansions=1,
+      locally_normalized=True)
+
+
+def tiny_data_config():
+  return train.DataConfig(
+      batch_size=8, max_num_frames=10, max_num_labels=3, feature_size=8,
+      vocab_size=4)
+
+
+def test_synthetic_batches_shapes():
+  config = tiny_data_config()
+  batch = next(train.synthetic_batches(config))
+  assert batch['frames'].shape == (8, 10, 8)
+  assert batch['labels'].shape == (8, 3)
+  assert np.all(np.asarray(batch['num_labels']) >= 1)
+  assert np.all(
+      np.asarray(batch['num_frames']) >= np.asarray(batch['num_labels']))
+
+
+def test_train_loop_with_eval_and_resume(tmp_path):
+  logs = []
+  state = train.train(
+      tiny_model_config(),
+      tiny_data_config(),
+      num_steps=4,
+      workdir=str(tmp_path / 'run'),
+      checkpoint_every=2,
+      log_every=2,
+      eval_every=2,
+      log_fn=lambda s: logs.append(json.loads(s)))
+  assert int(state.step) == 4
+  train_events = [l for l in logs if l['event'] == 'train']
+  assert train_events and all(np.isfinite(l['loss']) for l in train_events)
+  assert any('eval_label_accuracy' in l for l in train_events)
+
+  # Resume continues from the checkpoint.
+  logs2 = []
+  state2 = train.train(
+      tiny_model_config(),
+      tiny_data_config(),
+      num_steps=6,
+      workdir=str(tmp_path / 'run'),
+      checkpoint_every=2,
+      log_every=2,
+      log_fn=lambda s: logs2.append(json.loads(s)))
+  assert logs2[0] == {'event': 'restored', 'step': 4}
+  assert int(state2.step) == 6
