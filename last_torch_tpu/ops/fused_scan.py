@@ -417,6 +417,26 @@ def _fused_backward_kernel(
     dbb_ref[0, 0] = dbb_scr[0, 0]
 
 
+def _pad_vocab(wf_params):
+  """Pads the vocab head to a 128-lane multiple.
+
+  Padded labels carry a -inf bias, so they are exact semiring zeros
+  everywhere downstream (exp-cache entries 0, reductions unaffected,
+  marginals/gradients 0); callers trim the returned gradients back.
+  Returns (wf_params, padded_vocab).
+  """
+  vocab = wf_params['vocab_w'].shape[-1]
+  v_pad = _round_up(vocab, 128)
+  if v_pad != vocab:
+    wf_params = dict(
+        wf_params,
+        vocab_w=jnp.pad(wf_params['vocab_w'],
+                        ((0, 0), (0, v_pad - vocab))),
+        vocab_b=jnp.pad(wf_params['vocab_b'], (0, v_pad - vocab),
+                        constant_values=NEG_INF))
+  return wf_params, v_pad
+
+
 def fused_shortest_distance_fwd(wf_params: Any,
                                 cache: jnp.ndarray,
                                 frames: jnp.ndarray,
@@ -453,7 +473,9 @@ def fused_shortest_distance_fwd(wf_params: Any,
   vocab = wf_params['vocab_w'].shape[-1]
   s = num_context_states
   assert s == vocab + 1, 'fused kernel requires bigram FullNGram'
-  s_pad = _round_up(s, s_tile)
+  wf_params, vocab = _pad_vocab(wf_params)
+  # expand() writes the padded label block into states 1..vocab.
+  s_pad = _round_up(max(s, 1 + vocab), s_tile)
   if not batch_tile:
     # The on-chip E cache is [batch_tile * S_pad, V] floats; size the batch
     # tile to keep it within ~40MB of VMEM (8 rows at the headline config).
@@ -565,16 +587,17 @@ def log_partition(wf_params: Any,
   """
   num_frames = jnp.asarray(num_frames, jnp.int32)
   batch, max_t, _ = frames.shape
-  vocab = wf_params['vocab_w'].shape[-1]
+  true_vocab = wf_params['vocab_w'].shape[-1]
   s = num_context_states
+  vocab = _round_up(true_vocab, 128)  # static; padding happens in fn_bwd
   # Auto-tune (measured on v5e): when the padded state count divides into
   # 384-wide tiles, fewer/larger reduction matvecs and batch tile 8 are
   # ~4% faster end-to-end and still fit VMEM.
   if (s_tile == 128 and bwd_batch_tile == 4 and
-      _round_up(s, 128) % 384 == 0):
+      _round_up(max(s, 1 + vocab), 128) % 384 == 0):
     s_tile = 384
     bwd_batch_tile = 8
-  s_pad = _round_up(s, s_tile)
+  s_pad = _round_up(max(s, 1 + vocab), s_tile)
   hidden = wf_params['frame_proj'].shape[-1]
 
   def prepare(wf_params, cache, frames, num_frames, tile):
@@ -643,6 +666,7 @@ def log_partition(wf_params: Any,
         compute_dtype=compute_dtype,
         cache_dtype=cache_dtype)
 
+    padded_params, _ = _pad_vocab(wf_params)
     rev = lambda t: max_t - 1 - t
     dpf, dpc, dvw, dvb, dbw, dbb = pl.pallas_call(
         kernel,
@@ -695,8 +719,8 @@ def log_partition(wf_params: Any,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(is_pad, logz_b, g_b, pf, pc, wf_params['vocab_w'],
-      wf_params['vocab_b'][None, :], wf_params['blank_w'][:, None],
+    )(is_pad, logz_b, g_b, pf, pc, padded_params['vocab_w'],
+      padded_params['vocab_b'][None, :], wf_params['blank_w'][:, None],
       wf_params['blank_w'][None, :], wf_params['blank_b'][None, None],
       hist)
 
@@ -706,8 +730,8 @@ def log_partition(wf_params: Any,
         'frame_proj': jnp.einsum('btf,tbh->fh', frames, dpf,
                                  preferred_element_type=jnp.float32),
         'context_proj': cache.T @ dpc,
-        'vocab_w': dvw,
-        'vocab_b': dvb[0],
+        'vocab_w': dvw[:, :true_vocab],
+        'vocab_b': dvb[0, :true_vocab],
         'blank_w': dbw[0],
         'blank_b': dbb[0, 0],
     }
@@ -750,7 +774,8 @@ def supported(lattice, semiring, blank_mask, lexical_mask, weight_lift,
     return False
   if frames.ndim != 3:  # single batch dim only
     return False
-  if backend == 'tpu' and lattice.context.shape()[1] % 128 != 0:
-    # Mosaic lane ops in the kernels need a 128-multiple vocabulary.
+  if backend == 'tpu' and lattice.context.shape()[1] < 64:
+    # Tiny vocabularies pad to a 128-lane block; the XLA path is faster
+    # there (measured: V=16 trainer step 33ms XLA vs 62ms kernels).
     return False
   return True

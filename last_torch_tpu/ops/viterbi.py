@@ -171,15 +171,18 @@ def viterbi_decode(wf_params: Any,
   Returns (alignment_labels, num_alignment_labels, path_weights) with the
   same contract as ``RecognitionLattice.shortest_path``.
   """
+  from last_torch_tpu.ops import fused_scan
+
   num_frames = jnp.asarray(num_frames, jnp.int32)
   batch, max_t, _ = frames.shape
-  vocab = wf_params['vocab_w'].shape[-1]
+  true_vocab = wf_params['vocab_w'].shape[-1]
   s = num_context_states
-  assert s == vocab + 1, 'viterbi kernel requires bigram FullNGram'
+  assert s == true_vocab + 1, 'viterbi kernel requires bigram FullNGram'
+  wf_params, vocab = fused_scan._pad_vocab(wf_params)
   # Fewer, larger reduction tiles when the padded state count allows.
-  if s_tile == 128 and _round_up(s, 128) % 384 == 0:
+  if s_tile == 128 and _round_up(max(s, 1 + vocab), 128) % 384 == 0:
     s_tile = 384
-  s_pad = _round_up(s, s_tile)
+  s_pad = _round_up(max(s, 1 + vocab), s_tile)
   b_pad = _round_up(batch, batch_tile)
   num_b_tiles = b_pad // batch_tile
   num_s_tiles = s_pad // s_tile

@@ -58,16 +58,15 @@ def test_fused_gating():
   lattice = build(alignments.FrameDependent(), fused='auto')
   frames3 = jnp.zeros((2, 4, 6))
 
-  # Covered in interpret mode; on real TPU hardware the small test vocab
-  # (not a lane multiple) falls back to XLA.
+  # Covered in interpret mode at any vocab; on hardware, non-lane-multiple
+  # vocabularies are padded inside the kernel wrappers but tiny ones stay
+  # on the (faster) XLA path.
   assert fused_scan.supported(lattice, semirings.Log, None, None, None,
                               frames3, 'interpret')
   assert not fused_scan.supported(lattice, semirings.Log, None, None, None,
                                   frames3, 'tpu')
-
-  # Covered on TPU with a lane-aligned vocabulary.
   big = last_torch_tpu.RecognitionLattice(
-      context=contexts.FullNGram(vocab_size=128, context_size=1),
+      context=contexts.FullNGram(vocab_size=100, context_size=1),
       alignment=alignments.FrameDependent(),
       weight_fn_cacher_factory=lambda ctx: weight_fns.SharedEmbCacher(
           num_context_states=ctx.shape()[0], embedding_size=8),
