@@ -55,6 +55,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float('-inf')
 
+# Mosaic lane width; vocab heads are padded to a multiple of this.
+_LANES = 128
+
 
 def _round_up(x: int, m: int) -> int:
   return (x + m - 1) // m * m
@@ -215,6 +218,7 @@ def _fused_backward_kernel(
     frame_dependent: bool,
     compute_dtype,
     cache_dtype,
+    num_real_states: int,
 ):
   # Mosaic constraints shape this kernel (found empirically; this jax
   # version):
@@ -289,6 +293,13 @@ def _fused_backward_kernel(
     blank_scr[:, i * s_tile:(i + 1) * s_tile] = blank.reshape(
         batch_tile, s_tile) + bb_ref[0, 0]
   blank = blank_scr[:, :]
+  # Padded states (beyond the real state count) must be semiring-dead:
+  # their zero-padded pc rows give FINITE blank weights, and the beta
+  # recursion nb = blank + beta would otherwise grow them without bound
+  # over long sequences, blowing up the max-shifts of the padded-label
+  # columns that to_lex_space now exposes (0 * inf = NaN marginals).
+  col = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1)
+  blank = jnp.where(col < num_real_states, blank, NEG_INF)
   m_rows = jnp.concatenate(m_tiles, axis=-1)           # [Bt, S_pad]
 
   def read_exp(i):
@@ -426,7 +437,7 @@ def _pad_vocab(wf_params):
   Returns (wf_params, padded_vocab).
   """
   vocab = wf_params['vocab_w'].shape[-1]
-  v_pad = _round_up(vocab, 128)
+  v_pad = _round_up(vocab, _LANES)
   if v_pad != vocab:
     wf_params = dict(
         wf_params,
@@ -477,9 +488,10 @@ def fused_shortest_distance_fwd(wf_params: Any,
   # expand() writes the padded label block into states 1..vocab.
   s_pad = _round_up(max(s, 1 + vocab), s_tile)
   if not batch_tile:
-    # The on-chip E cache is [batch_tile * S_pad, V] floats; size the batch
-    # tile to keep it within ~40MB of VMEM (8 rows at the headline config).
-    cache_bytes = _round_up(s, s_tile) * vocab * 4
+    # The on-chip E cache is [batch_tile * S_pad, V_pad] floats; size the
+    # batch tile to keep it within ~40MB of VMEM (8 rows at the headline
+    # config).
+    cache_bytes = s_pad * vocab * jnp.dtype(cache_dtype).itemsize
     batch_tile = max(8, min(32, (40 * 1024 * 1024) // max(cache_bytes, 1)
                             // 8 * 8))
   b_pad = _round_up(batch, batch_tile)
@@ -589,7 +601,7 @@ def log_partition(wf_params: Any,
   batch, max_t, _ = frames.shape
   true_vocab = wf_params['vocab_w'].shape[-1]
   s = num_context_states
-  vocab = _round_up(true_vocab, 128)  # static; padding happens in fn_bwd
+  vocab = _round_up(true_vocab, _LANES)  # static; padded in fn_bwd
   # Auto-tune (measured on v5e): when the padded state count divides into
   # 384-wide tiles, fewer/larger reduction matvecs and batch tile 8 are
   # ~4% faster end-to-end and still fit VMEM.
@@ -664,7 +676,8 @@ def log_partition(wf_params: Any,
         max_expansions=max_expansions,
         frame_dependent=frame_dependent,
         compute_dtype=compute_dtype,
-        cache_dtype=cache_dtype)
+        cache_dtype=cache_dtype,
+        num_real_states=s)
 
     padded_params, _ = _pad_vocab(wf_params)
     rev = lambda t: max_t - 1 - t

@@ -158,6 +158,42 @@ def test_viterbi_kernel_matches_xla_decode(alignment_factory):
   npt.assert_array_equal(labels_f, labels_x)
 
 
+def test_backward_kernel_padded_vocab_long_sequence_no_nan():
+  """Regression: padded-state betas must not poison the backward shifts.
+
+  With a padded vocabulary, zero-padded context rows give FINITE blank
+  weights to the padded states; left unmasked, the beta recursion grows
+  them over long sequences until the max-shifts of the (padded) label
+  columns overflow and the marginals turn 0*inf = NaN. Saturated
+  embeddings + T=80 reproduce it.
+  """
+  lattice = build(alignments.FrameDependent(), fused='interpret')
+  xla_lattice = build(alignments.FrameDependent(), fused='never')
+  params = lattice.init(jax.random.PRNGKey(12), feature_size=6)
+  params['cacher']['embedding'] = 100.0 * jnp.ones_like(
+      params['cacher']['embedding'])
+  params['weight_fn']['blank_b'] = jnp.asarray(-3.0)
+  params['weight_fn']['vocab_b'] = -5.0 * jnp.ones_like(
+      params['weight_fn']['vocab_b'])
+  frames = jax.random.normal(jax.random.PRNGKey(13), (2, 80, 6))
+  num_frames = jnp.array([80, 80])
+
+  def log_z_sum(lattice, params, frames):
+    cache = lattice.build_cache(params)
+    return jnp.sum(lattice._forward_backward(
+        params=params, cache=cache, frames=frames, num_frames=num_frames))
+
+  value_f, grads_f = jax.value_and_grad(
+      lambda p: log_z_sum(lattice, p, frames))(params)
+  value_x, grads_x = jax.value_and_grad(
+      lambda p: log_z_sum(xla_lattice, p, frames))(params)
+  npt.assert_allclose(value_f, value_x, rtol=1e-5)
+  for leaf_f, leaf_x in zip(jax.tree.leaves(grads_f),
+                            jax.tree.leaves(grads_x)):
+    assert np.all(np.isfinite(np.asarray(leaf_f)))
+    npt.assert_allclose(leaf_f, leaf_x, rtol=1e-3, atol=1e-5)
+
+
 def test_public_shortest_distance_differentiable_with_kernels():
   """grad(shortest_distance) works when the fused kernels are active."""
   lattice = build(alignments.FrameLabelDependent(max_expansions=1),
