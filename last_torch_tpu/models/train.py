@@ -122,11 +122,21 @@ def train(model_config: gnat.GNATConfig,
       log_fn(json.dumps({'event': 'restored',
                          'step': int(manager.latest_step())}))
 
-  if model_parallel > 1 or len(jax.devices()) > 1:
+  if model_parallel > 1:
+    # Tensor parallelism relies on XLA's auto-partitioner, which cannot
+    # split the fused Pallas kernels; force the XLA lattice path.
+    model.lattice.fused = 'never'
     mesh = sharding.make_mesh(model_parallel=model_parallel)
     step_fn, shard_state = sharding.make_sharded_train_step(
         model, optimizer, mesh)
     state = shard_state(state)
+    place = lambda b: sharding.shard_batch(b, mesh)
+  elif len(jax.devices()) > 1:
+    # Pure data parallelism: shard_map runs the loss (and its Pallas
+    # kernels) per device on the local batch shard.
+    mesh = sharding.make_mesh(model_parallel=1)
+    step_fn = sharding.make_shard_map_train_step(model, optimizer, mesh)
+    state = jax.device_put(state, sharding.replicated(mesh))
     place = lambda b: sharding.shard_batch(b, mesh)
   else:
     step_fn = jax.jit(
@@ -146,7 +156,7 @@ def train(model_config: gnat.GNATConfig,
       state, loss = step_fn(state, batch['frames'], batch['num_frames'],
                             batch['labels'], batch['num_labels'])
       loss = float(loss)
-    if (step + 1) % log_every == 0 or step + 1 == num_steps:
+    if (log_every and (step + 1) % log_every == 0) or step + 1 == num_steps:
       record = {
           'event': 'train',
           'step': step + 1,
@@ -159,8 +169,8 @@ def train(model_config: gnat.GNATConfig,
             label_accuracy(model, decode_fn, jax.device_get(state).params,
                            eval_batch), 4)
       log_fn(json.dumps(record))
-    if manager and ((step + 1) % checkpoint_every == 0 or
-                    step + 1 == num_steps):
+    if manager and ((checkpoint_every and (step + 1) % checkpoint_every == 0)
+                    or step + 1 == num_steps):
       manager.save(step + 1, jax.device_get(state))
   if manager:
     manager.close()

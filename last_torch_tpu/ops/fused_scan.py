@@ -373,17 +373,19 @@ def _fused_backward_kernel(
 
   # Per-(j) rank-1 factors of the lexical marginals:
   # lm_j = E * exp(a_j + M - A_j)[:, :, None] *
-  #        (exp(nb_j - N_j) * exp(A_j + N_j - log_z))[:, None, :].
+  #        exp(nb_j + A_j - log_z)[:, None, :].
+  # Each factor of the true marginal exp(a_j + lex + nb_j - log_z) <= 1 is
+  # individually bounded only by the within-row lexical spread; the wy
+  # exponent is clipped so it can never overflow float32 (where the clip
+  # bites, the matching E*ws factor has already underflowed to 0, so the
+  # product is 0 either way instead of 0 * inf = NaN).
   factors = []
   for (j, nb_j) in nbs:
     shifted = a_list[j] + m_rows
     a_max = jnp.max(shifted, axis=1, keepdims=True)
     a_max = jnp.where(jnp.isfinite(a_max), a_max, 0.0)
     ws = jnp.exp(shifted - a_max)                      # [Bt, S_pad]
-    nb_lex = to_lex_space(nb_j)
-    n_max = jnp.max(nb_lex, axis=1, keepdims=True)
-    n_max = jnp.where(jnp.isfinite(n_max), n_max, 0.0)
-    wy = jnp.exp(nb_lex - n_max) * jnp.exp(a_max + n_max - log_z)
+    wy = jnp.exp(jnp.minimum(to_lex_space(nb_j) + a_max - log_z, 80.0))
     factors.append((ws, wy))
 
   # Pass B: per-tile marginal accumulation and head/tanh backward.

@@ -275,7 +275,10 @@ def viterbi_decode(wf_params: Any,
       q_cur = jnp.where(active, src, q_cur)
       slots.append(y)
     slots.reverse()  # slot order: expansion 1..k, then trailing blank(s)
-    labels = jnp.stack(slots, axis=-1)  # [B, steps]
+    if slots:
+      labels = jnp.stack(slots, axis=-1)  # [B, steps]
+    else:  # FrameLabelDependent(max_expansions=0): blank-only frames.
+      labels = jnp.zeros((q.shape[0], 0), jnp.int32)
     if not frame_dependent:
       labels = jnp.pad(labels, ((0, 0), (0, 1)))  # trailing blank slot
     return q_cur, labels

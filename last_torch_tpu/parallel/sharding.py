@@ -161,8 +161,7 @@ def make_sharded_train_step(model, optimizer, mesh: Mesh,
 
   def shard_state(state):
     params = shard_params(state.params, mesh, rules)
-    param_sh = param_shardings(state.params, mesh, rules)
-    del param_sh  # Optimizer state is replicated (scalars + moments).
+    # Optimizer state is replicated (scalars + moments).
     opt_state = jax.tree.map(
         lambda x: jax.device_put(x, replicated(mesh)), state.opt_state)
     return gnat_lib.GNATTrainState(
