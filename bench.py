@@ -72,6 +72,11 @@ def make_batch(batch, max_frames, max_labels, vocab, feature=512, seed=0):
       num_labels=jnp.full((batch,), max_labels, jnp.int32))
 
 
+def _decode_checksum(decoded):
+  labels, num, path_weights = decoded
+  return jnp.sum(labels) + jnp.sum(num) + jnp.sum(path_weights)
+
+
 def time_fn(fn, *args, iters=3, warmup=1):
   for _ in range(warmup):
     jax.block_until_ready(fn(*args))
@@ -118,7 +123,10 @@ def bench_secondary():
       time_fn(loss_fn, params, b['frames']) * 1e3, 2)
 
   # Config 2: MaxTropical Viterbi + backtrace on the same tiny lattice.
-  sp_fn = jax.jit(lambda p, f: lattice.shortest_path(p, f, b['num_frames']))
+  # Decode outputs reduce to a scalar inside jit: on the tunneled backend
+  # block_until_ready does not reliably block on multi-array int outputs.
+  sp_fn = jax.jit(lambda p, f: _decode_checksum(
+      lattice.shortest_path(p, f, b['num_frames'])))
   results['2_tiny_viterbi_ms'] = round(
       time_fn(sp_fn, params, b['frames']) * 1e3, 2)
 
@@ -156,11 +164,11 @@ def bench_secondary():
   results['4_expectation_entropy_ms'] = round(
       time_fn(ent_fn, params4, b4['frames']) * 1e3, 2)
 
-  # Decode throughput at headline shapes.
+  # Decode throughput at headline shapes (scalar checksum, see config 2).
   lattice5, params5 = build_lattice(vocab=1024)
   b5 = make_batch(32, 1600, 100, 1024)
-  sp5 = jax.jit(
-      lambda p, f: lattice5.shortest_path(p, f, b5['num_frames']))
+  sp5 = jax.jit(lambda p, f: _decode_checksum(
+      lattice5.shortest_path(p, f, b5['num_frames'])))
   p50 = time_fn(sp5, params5, b5['frames'])
   results['5_decode_ms'] = round(p50 * 1e3, 1)
   results['5_decode_frames_per_sec'] = round(32 * 1600 / p50)

@@ -59,6 +59,8 @@ def _viterbi_forward_kernel(
     alpha_out_ref,  # [Bt, S_pad]
     # Scratch.
     alpha_scr,      # [B_pad, S_pad] f32
+    lex_scr=None,   # [Bt * S_pad, V] f32 — per-frame lexical-score cache,
+                    # only allocated when >= 2 max-passes run per frame.
     *,
     batch_tile: int,
     s_tile: int,
@@ -86,21 +88,35 @@ def _viterbi_forward_kernel(
     joint = jnp.tanh(pc_t[None, :, :] + pf[:, None, :])
     return joint.astype(compute_dtype).reshape(batch_tile * s_tile, -1)
 
-  def max_pass(in_vec, write_blank, blank_store):
-    """red[b, y], arg[b, y] = max/argmax_s(in_vec[b, s] + lex[b, s, y])."""
+  def max_pass(in_vec, first_pass, blank_store):
+    """red[b, y], arg[b, y] = max/argmax_s(in_vec[b, s] + lex[b, s, y]).
+
+    The first pass of a frame computes the lexical scores on the MXU (and
+    the blank head); when ``lex_scr`` is allocated it also fills the VMEM
+    cache, which later passes of the same frame read back instead of
+    re-running tanh + matmul (2-D cache layout, split-reshaped after the
+    read — Mosaic cannot reduce over axis 1 of a 3-D scratch read).
+    """
     m = jnp.full((batch_tile, vocab), NEG_INF, jnp.float32)
     arg = jnp.zeros((batch_tile, vocab), jnp.int32)
     for i in range(num_s_tiles):
-      joint2d = tile_joint(i)
-      lex = jax.lax.dot_general(
-          joint2d, vw, (((1,), (0,)), ((), ())),
-          preferred_element_type=jnp.float32)
-      lex = lex.reshape(batch_tile, s_tile, -1) + vb_ref[0][None, None, :]
-      if write_blank:
-        blank = jax.lax.dot_general(
-            joint2d, bw, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        blank_store.append(blank.reshape(batch_tile, s_tile) + bb_ref[0, 0])
+      rows = pl.ds(i * batch_tile * s_tile, batch_tile * s_tile)
+      if first_pass or lex_scr is None:
+        joint2d = tile_joint(i)
+        lex2d = jax.lax.dot_general(
+            joint2d, vw, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + vb_ref[0][None, :]
+        if first_pass and lex_scr is not None:
+          lex_scr[rows, :] = lex2d
+        if first_pass:
+          blank = jax.lax.dot_general(
+              joint2d, bw, (((1,), (0,)), ((), ())),
+              preferred_element_type=jnp.float32)
+          blank_store.append(
+              blank.reshape(batch_tile, s_tile) + bb_ref[0, 0])
+      else:
+        lex2d = lex_scr[rows, :]
+      lex = lex2d.reshape(batch_tile, s_tile, -1)
       vec_t = jax.lax.slice_in_dim(in_vec, i * s_tile, (i + 1) * s_tile,
                                    axis=1)
       chunk = vec_t[:, :, None] + lex
@@ -238,9 +254,11 @@ def viterbi_decode(wf_params: Any,
           jax.ShapeDtypeStruct((max_t, b_pad, s_pad), jnp.int32),
           jax.ShapeDtypeStruct((b_pad, s_pad), jnp.float32),
       ],
-      scratch_shapes=[
-          pltpu.VMEM((b_pad, s_pad), jnp.float32),
-      ],
+      scratch_shapes=[pltpu.VMEM((b_pad, s_pad), jnp.float32)] + (
+          # Lexical-score cache pays off only when a frame runs >= 2
+          # max-passes (FrameLabelDependent with k >= 2).
+          [pltpu.VMEM((batch_tile * s_pad, vocab), jnp.float32)]
+          if not frame_dependent and max_expansions >= 2 else []),
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,
