@@ -484,3 +484,48 @@ class TestRecognitionLatticeCorrectness:
     # Gradients on padding frames are zero.
     frame_grads = grads[1]
     npt.assert_array_equal(frame_grads[1, 3:], np.zeros((2, 8)))
+
+
+class TestEmptyAndInfeasibleEdges:
+  """Degenerate-input contract (reference SURVEY §2.3 padding rules).
+
+  Empty label strings, zero-length utterances, and infeasible
+  (num_labels > num_frames under FrameDependent) pairs must produce
+  finite / zero / +inf losses respectively, and zero-length utterances
+  must decode to an empty (all-blank, zero-weight) path.
+  """
+
+  def test_empty_and_infeasible_losses(self):
+    lattice = build_basic_lattice()
+    params = lattice.init(jax.random.PRNGKey(0), feature_size=5)
+    frames = jax.random.normal(jax.random.PRNGKey(1), (3, 6, 5))
+    labels = jnp.array([[1, 2], [1, 2], [1, 2]], jnp.int32)
+
+    # Empty label string: finite positive loss (-log P(empty)).
+    loss = lattice(params, frames, jnp.array([6, 6, 6]), labels,
+                   jnp.array([0, 2, 2]))
+    assert np.all(np.isfinite(np.asarray(loss)))
+    assert float(loss[0]) > 0
+
+    # Empty utterance x empty string: exactly zero loss (log P = 0).
+    loss = lattice(params, frames, jnp.array([0, 6, 6]), labels,
+                   jnp.array([0, 2, 2]))
+    npt.assert_array_equal(np.asarray(loss[0]), 0.0)
+    assert np.all(np.isfinite(np.asarray(loss)))
+
+    # Infeasible: more labels than frames under FrameDependent -> +inf.
+    loss = lattice(params, frames, jnp.array([1, 6, 6]), labels,
+                   jnp.array([2, 2, 2]))
+    assert np.isposinf(np.asarray(loss)[0])
+    assert np.all(np.isfinite(np.asarray(loss)[1:]))
+
+  def test_decode_zero_length_utterance(self):
+    lattice = build_basic_lattice()
+    params = lattice.init(jax.random.PRNGKey(0), feature_size=5)
+    frames = jax.random.normal(jax.random.PRNGKey(1), (3, 6, 5))
+    labels, num, weights = lattice.shortest_path(
+        params, frames, jnp.array([0, 3, 6]))
+    npt.assert_array_equal(np.asarray(num), [0, 3, 6])
+    npt.assert_array_equal(np.asarray(labels[0]), np.zeros(6))
+    npt.assert_array_equal(np.asarray(weights[0]), 0.0)
+    assert np.all(np.isfinite(np.asarray(weights)))
