@@ -491,10 +491,10 @@ def fused_shortest_distance_fwd(wf_params: Any,
   s_pad = _round_up(max(s, 1 + vocab), s_tile)
   if not batch_tile:
     # The on-chip E cache is [batch_tile * S_pad, V_pad] floats; size the
-    # batch tile to keep it within ~40MB of VMEM (8 rows at the headline
-    # config).
+    # batch tile to keep it within ~80MB of VMEM (16 rows at the headline
+    # config — measured ~2% faster end-to-end than 8 on v5e).
     cache_bytes = s_pad * vocab * jnp.dtype(cache_dtype).itemsize
-    batch_tile = max(8, min(32, (40 * 1024 * 1024) // max(cache_bytes, 1)
+    batch_tile = max(8, min(32, (80 * 1024 * 1024) // max(cache_bytes, 1)
                             // 8 * 8))
   b_pad = _round_up(batch, batch_tile)
 
@@ -580,7 +580,7 @@ def log_partition(wf_params: Any,
                   max_expansions: int,
                   frame_dependent: bool,
                   num_context_states: int,
-                  batch_tile: int = 8,
+                  batch_tile: int = 0,
                   bwd_batch_tile: int = 4,
                   s_tile: int = 128,
                   compute_dtype=jnp.bfloat16,
