@@ -178,7 +178,7 @@ def viterbi_decode(wf_params: Any,
                    max_expansions: int,
                    frame_dependent: bool,
                    num_context_states: int,
-                   batch_tile: int = 8,
+                   batch_tile: int = 0,
                    s_tile: int = 128,
                    compute_dtype=jnp.bfloat16,
                    interpret: bool = False):
@@ -199,6 +199,13 @@ def viterbi_decode(wf_params: Any,
   if s_tile == 128 and _round_up(max(s, 1 + vocab), 128) % 384 == 0:
     s_tile = 384
   s_pad = _round_up(max(s, 1 + vocab), s_tile)
+  if not batch_tile:
+    # Size the batch tile so the per-frame lexical cache ([Bt * S_pad, V]
+    # f32) stays within ~80MB of VMEM (16 rows at the headline config —
+    # measured ~5% faster than 8 on v5e; 32 does not compile).
+    cache_bytes = s_pad * vocab * 4
+    batch_tile = max(8, min(16, (80 * 1024 * 1024) // max(cache_bytes, 1)
+                            // 8 * 8))
   b_pad = _round_up(batch, batch_tile)
   num_b_tiles = b_pad // batch_tile
   num_s_tiles = s_pad // s_tile
