@@ -529,3 +529,26 @@ class TestEmptyAndInfeasibleEdges:
     npt.assert_array_equal(np.asarray(labels[0]), np.zeros(6))
     npt.assert_array_equal(np.asarray(weights[0]), 0.0)
     assert np.all(np.isfinite(np.asarray(weights)))
+
+
+def test_loss_grad_nan_free_under_debug_nans():
+  """SURVEY §5 numerics guard: loss + grads run clean under jax.debug_nans.
+
+  The Log-semiring safe-gradient contract means -inf lattice paths (padded
+  frames, infeasible expansions) must produce hard zeros, never NaN, in
+  every intermediate gradient.
+  """
+  lattice = build_basic_lattice(
+      alignment=alignments.FrameLabelDependent(max_expansions=2))
+  params = lattice.init(jax.random.PRNGKey(0), feature_size=5)
+  frames = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 5))
+  labels = jnp.array([[1, 2, 1], [2, 1, 1]], jnp.int32)
+
+  def total(params):
+    return jnp.sum(lattice(params, frames, jnp.array([5, 3]), labels,
+                           jnp.array([3, 2])))
+
+  with jax.debug_nans(True):
+    loss, grads = jax.jit(jax.value_and_grad(total))(params)
+    jax.block_until_ready(grads)
+  assert np.isfinite(float(loss))

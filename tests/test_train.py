@@ -66,3 +66,18 @@ def test_train_loop_with_eval_and_resume(tmp_path):
       log_fn=lambda s: logs2.append(json.loads(s)))
   assert logs2[0] == {'event': 'restored', 'step': 4}
   assert int(state2.step) == 6
+
+
+def test_train_loop_model_parallel():
+  """The tensor-parallel trainer branch runs on a dp x tp virtual mesh."""
+  logs = []
+  state = train.train(
+      tiny_model_config(),
+      tiny_data_config(),
+      num_steps=2,
+      checkpoint_every=0,
+      log_every=1,
+      model_parallel=2,
+      log_fn=lambda s: logs.append(json.loads(s)))
+  assert int(state.step) == 2
+  assert all(np.isfinite(l['loss']) for l in logs if l['event'] == 'train')
