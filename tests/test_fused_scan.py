@@ -258,3 +258,47 @@ def test_fused_loss_end_to_end_interpret():
   jax.tree.map(
       lambda a, b: npt.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
       g_fused, g_xla)
+
+
+@pytest.mark.parametrize('seed,max_expansions,batch,max_t', [
+    (0, None, 1, 1),
+    (1, None, 3, 4),
+    (2, 1, 2, 5),
+    (3, 2, 1, 6),
+    (4, 3, 2, 3),
+    (5, 0, 2, 4),
+])
+def test_fuzz_kernel_pair_matches_xla(seed, max_expansions, batch, max_t):
+  """Seeded sweep: loss value + all grads agree between kernels and XLA."""
+  alignment = (alignments.FrameDependent() if max_expansions is None else
+               alignments.FrameLabelDependent(max_expansions))
+  fused_lattice = build(alignment, fused='interpret')
+  xla_lattice = build(alignment, fused='never')
+  params = fused_lattice.init(jax.random.PRNGKey(seed), feature_size=6)
+  rng = np.random.default_rng(seed)
+  frames = jnp.asarray(rng.normal(size=(batch, max_t, 6)) * 2.0,
+                       jnp.float32)
+  num_frames = jnp.asarray(rng.integers(0, max_t + 1, size=batch),
+                           jnp.int32)
+
+  def total(lattice, params, frames):
+    cache = lattice.build_cache(params)
+    return jnp.sum(lattice._forward_backward(params, cache, frames,
+                                             num_frames))
+
+  vf, gf = jax.value_and_grad(
+      lambda p, f: total(fused_lattice, p, f), argnums=(0, 1))(
+          params, frames)
+  vx, gx = jax.value_and_grad(
+      lambda p, f: total(xla_lattice, p, f), argnums=(0, 1))(
+          params, frames)
+  npt.assert_allclose(vf, vx, rtol=1e-5, atol=1e-6)
+  for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gx)):
+    npt.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
+
+  # Viterbi decode parity on the same lattice.
+  dec_f = fused_lattice.shortest_path(params, frames, num_frames)
+  dec_x = xla_lattice.shortest_path(params, frames, num_frames)
+  npt.assert_array_equal(np.asarray(dec_f[0]), np.asarray(dec_x[0]))
+  npt.assert_array_equal(np.asarray(dec_f[1]), np.asarray(dec_x[1]))
+  npt.assert_allclose(dec_f[2], dec_x[2], rtol=1e-5, atol=1e-6)
