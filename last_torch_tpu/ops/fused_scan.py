@@ -496,6 +496,9 @@ def fused_shortest_distance_fwd(wf_params: Any,
     cache_bytes = s_pad * vocab * jnp.dtype(cache_dtype).itemsize
     batch_tile = max(8, min(32, (80 * 1024 * 1024) // max(cache_bytes, 1)
                             // 8 * 8))
+    # Never pad a small batch up to the tile: cap at the 8-row-aligned
+    # true batch so e.g. B=4 runs one 8-row tile, not a 16-row one.
+    batch_tile = min(batch_tile, _round_up(batch, 8))
   b_pad = _round_up(batch, batch_tile)
 
   # Frame-independent precomputation (one big MXU matmul each; XLA).

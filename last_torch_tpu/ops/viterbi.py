@@ -206,6 +206,9 @@ def viterbi_decode(wf_params: Any,
     cache_bytes = s_pad * vocab * 4
     batch_tile = max(8, min(16, (80 * 1024 * 1024) // max(cache_bytes, 1)
                             // 8 * 8))
+    # Never pad a small batch up to the tile: cap at the 8-row-aligned
+    # true batch so e.g. B=4 runs one 8-row tile, not a 16-row one.
+    batch_tile = min(batch_tile, _round_up(batch, 8))
   b_pad = _round_up(batch, batch_tile)
   num_b_tiles = b_pad // batch_tile
   num_s_tiles = s_pad // s_tile
