@@ -25,6 +25,7 @@ context-dependency DFA, and neural arc weights.
 from last_torch_tpu import alignments
 from last_torch_tpu import contexts
 from last_torch_tpu import semirings
+from last_torch_tpu import streaming
 from last_torch_tpu import weight_fns
 from last_torch_tpu.lattices import RecognitionLattice
 

@@ -1,0 +1,125 @@
+"""Tests for frame-synchronous streaming greedy decoding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+import last_torch_tpu
+from last_torch_tpu import alignments, contexts, streaming, weight_fns
+
+
+def build(alignment, vocab=3):
+  context = contexts.FullNGram(vocab_size=vocab, context_size=1)
+  return last_torch_tpu.RecognitionLattice(
+      context=context,
+      alignment=alignment,
+      weight_fn_cacher_factory=lambda ctx: weight_fns.SharedEmbCacher(
+          num_context_states=ctx.shape()[0], embedding_size=8),
+      weight_fn_factory=lambda ctx: weight_fns.JointWeightFn(
+          vocab_size=ctx.shape()[1], hidden_size=8))
+
+
+def greedy_oracle(lattice, params, cache, frames, num_frames,
+                  max_emissions, trailing_blank):
+  """Per-stream numpy replay of the greedy search."""
+  out = []
+  for b in range(frames.shape[0]):
+    q = lattice.context.start()
+    slots = []
+    for t in range(frames.shape[1]):
+      open_ = t < int(num_frames[b])
+      for _ in range(max_emissions):
+        blank, lexical = lattice.weight_fn.apply(
+            params['weight_fn'], cache, frames[b, t],
+            state=jnp.asarray(q, jnp.int32))
+        best = int(np.argmax(np.asarray(lexical)))
+        emit = open_ and float(lexical[best]) > float(blank)
+        slots.append(best + 1 if emit else 0)
+        if emit:
+          q = int(lattice.context.next_state(
+              jnp.asarray(q, jnp.int32), jnp.asarray(best + 1, jnp.int32)))
+        open_ = open_ and emit
+      if trailing_blank:
+        slots.append(0)
+    out.append(slots)
+  return np.asarray(out, np.int32)
+
+
+@pytest.mark.parametrize('alignment_factory,max_emissions,trailing', [
+    (alignments.FrameDependent, 1, False),
+    (lambda: alignments.FrameLabelDependent(max_expansions=2), 2, True),
+    (lambda: alignments.FrameLabelDependent(max_expansions=0), 0, True),
+])
+def test_streaming_matches_oracle(alignment_factory, max_emissions,
+                                  trailing):
+  lattice = build(alignment_factory())
+  params = lattice.init(jax.random.PRNGKey(0), feature_size=5)
+  cache = lattice.build_cache(params)
+  frames = jax.random.normal(jax.random.PRNGKey(1), (3, 6, 5))
+  num_frames = jnp.array([6, 4, 0])
+
+  decoder = streaming.StreamingGreedyDecoder(lattice)
+  state = decoder.init_state(3)
+  _, labels, num_labels = jax.jit(decoder.step)(params, state, frames,
+                                                num_frames, cache)
+  expected = greedy_oracle(lattice, params, cache, frames, num_frames,
+                           max_emissions, trailing)
+  npt.assert_array_equal(np.asarray(labels), expected)
+  npt.assert_array_equal(np.asarray(num_labels),
+                         decoder.slots_per_frame * np.asarray(num_frames))
+
+
+def test_chunked_equals_whole_utterance():
+  """Arbitrary chunk boundaries change nothing: state carries correctly."""
+  lattice = build(alignments.FrameLabelDependent(max_expansions=1))
+  params = lattice.init(jax.random.PRNGKey(0), feature_size=5)
+  cache = lattice.build_cache(params)
+  frames = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 5))
+  num_frames = jnp.array([8, 8])
+
+  decoder = streaming.StreamingGreedyDecoder(lattice)
+  state = decoder.init_state(2)
+  _, whole, _ = decoder.step(params, state, frames, num_frames, cache)
+
+  state = decoder.init_state(2)
+  chunks = []
+  for lo, hi in [(0, 3), (3, 4), (4, 8)]:
+    state, labels, _ = decoder.step(
+        params, state, frames[:, lo:hi],
+        jnp.full((2,), hi - lo, jnp.int32), cache)
+    chunks.append(np.asarray(labels))
+  npt.assert_array_equal(np.concatenate(chunks, axis=1),
+                         np.asarray(whole))
+
+
+def test_greedy_matches_viterbi_on_peaky_lattice():
+  """With per-frame-dominant weights, greedy == global Viterbi."""
+  vocab = 2
+  context = contexts.FullNGram(vocab_size=vocab, context_size=1)
+  num_states, _ = context.shape()
+  # One clearly-best arc per (input, state): peaked random table.
+  rng = np.random.default_rng(0)
+  table = np.asarray(rng.normal(size=(3, num_states, 1 + vocab)),
+                     np.float32)
+  table += 10.0 * np.eye(1 + vocab)[rng.integers(0, 1 + vocab,
+                                                 size=(3, num_states))]
+  table = np.broadcast_to(table, (2,) + table.shape)  # shared per-batch
+  lattice = last_torch_tpu.RecognitionLattice(
+      context=context,
+      alignment=alignments.FrameDependent(),
+      weight_fn_cacher_factory=lambda ctx: weight_fns.NullCacher(),
+      weight_fn_factory=lambda ctx: weight_fns.TableWeightFn(
+          jnp.asarray(table)))
+  params = lattice.init(jax.random.PRNGKey(0), feature_size=1)
+  frames_int = rng.integers(0, 3, size=(2, 5))
+  frames = jnp.asarray(frames_int, jnp.float32)[:, :, None]
+  num_frames = jnp.array([5, 3])
+
+  viterbi_labels, _, _ = lattice.shortest_path(params, frames, num_frames)
+  decoder = streaming.StreamingGreedyDecoder(lattice)
+  _, greedy_labels, _ = decoder.step(params, decoder.init_state(2),
+                                     frames, num_frames)
+  npt.assert_array_equal(np.asarray(greedy_labels),
+                         np.asarray(viterbi_labels))
