@@ -125,3 +125,136 @@ class StreamingGreedyDecoder:
         (jnp.moveaxis(frames, 0, 1), jnp.moveaxis(valid, 0, 1)))
     labels = jnp.moveaxis(labels_tm, 0, 1).reshape(batch, -1)
     return q_final, labels, self._slots_per_frame * num_frames
+
+
+class StreamingBeamDecoder:
+  """Time-synchronous beam search over a RecognitionLattice.
+
+  The standard transducer serving decoder (greedy = beam 1 for
+  FrameDependent): per frame each of ``beam_size`` hypotheses either takes
+  the blank arc or extends by a lexical label; FrameLabelDependent frames
+  prune back to ``beam_size`` after every within-frame expansion. State is
+  O(batch * beam * max_labels) and chunk boundaries are transparent, like
+  ``StreamingGreedyDecoder``. Hypotheses carry plain label sequences (no
+  frame alignment); call ``best`` for the top hypothesis.
+
+  Beam search is work the reference does not have; weights come from the
+  same per-state ``WeightFn.apply`` queries (reference
+  ``weight_fns.py:57-82``), so any lattice decodable by ``shortest_path``
+  is beam-decodable.
+  """
+
+  def __init__(self, lattice, beam_size: int, max_labels: int):
+    if beam_size < 1:
+      raise ValueError(f'beam_size must be >= 1, got {beam_size}')
+    self.lattice = lattice
+    self.beam_size = beam_size
+    self.max_labels = max_labels
+    alignment = lattice.alignment
+    if isinstance(alignment, alignments_lib.FrameDependent):
+      self._max_expansions = None
+    elif isinstance(alignment, alignments_lib.FrameLabelDependent):
+      self._max_expansions = alignment.max_expansions
+    else:
+      raise NotImplementedError(
+          f'beam decode not supported for {type(alignment).__name__}')
+
+  def init_state(self, batch_size: int):
+    k, u = self.beam_size, self.max_labels
+    score = jnp.full((batch_size, k), float('-inf'), jnp.float32)
+    return {
+        'context': jnp.full((batch_size, k), self.lattice.context.start(),
+                            jnp.int32),
+        'score': score.at[:, 0].set(0.0),
+        'labels': jnp.zeros((batch_size, k, u), jnp.int32),
+        'num_labels': jnp.zeros((batch_size, k), jnp.int32),
+    }
+
+  def best(self, state):
+    """Top hypothesis per stream: (labels, num_labels, score)."""
+    idx = jnp.argmax(state['score'], axis=-1)
+    take = lambda x: jnp.take_along_axis(
+        x, idx[:, None].reshape(idx.shape + (1,) * (x.ndim - 1)),
+        axis=1)[:, 0]
+    return (take(state['labels']), take(state['num_labels']),
+            take(state['score']))
+
+  def step(self, params, state, frames: jnp.ndarray,
+           num_frames: jnp.ndarray, cache: Any = None):
+    """Advances the beams over one chunk of encoded frames."""
+    lattice = self.lattice
+    if cache is None:
+      cache = lattice.build_cache(params)
+    num_frames = jnp.asarray(num_frames, jnp.int32)
+    batch, chunk_len = frames.shape[0], frames.shape[1]
+    k, u = self.beam_size, self.max_labels
+    wf_params = params['weight_fn']
+
+    def query(ctx, frame):
+      frame_k = jnp.broadcast_to(frame[:, None, :],
+                                 (batch, ctx.shape[1]) + frame.shape[-1:])
+      return lattice.weight_fn.apply(wf_params, cache, frame_k, state=ctx)
+
+    def append(hyp, parent, label):
+      """Gathers parent fields and appends one label (clamped at u)."""
+      take = lambda x: jnp.take_along_axis(
+          x, parent.reshape(parent.shape + (1,) * (x.ndim - 2)), axis=1)
+      ctx = take(hyp['context'])
+      labels, nlab = take(hyp['labels']), take(hyp['num_labels'])
+      pos = jnp.minimum(nlab, u - 1)
+      write = ((jnp.arange(u)[None, None, :] == pos[:, :, None]) &
+               (nlab < u)[:, :, None])
+      return {
+          'context': lattice.context.next_state(ctx, label),
+          'labels': jnp.where(write, label[:, :, None], labels),
+          'num_labels': jnp.minimum(nlab + 1, u),
+      }
+
+    def top_k_merge(pools):
+      """Top-k over a list of candidate pools (fields + score)."""
+      score = jnp.concatenate([p['score'] for p in pools], axis=1)
+      merged = {
+          f: jnp.concatenate([p[f] for p in pools], axis=1)
+          for f in ('context', 'labels', 'num_labels')
+      }
+      best_score, idx = jax.lax.top_k(score, k)
+      take = lambda x: jnp.take_along_axis(
+          x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1)
+      return {'score': best_score, **{f: take(merged[f]) for f in merged}}
+
+    def expand_lexical(hyp, lex):
+      """Top-k lexical extensions of a frontier. lex: [B, K, V]."""
+      vocab = lex.shape[-1]
+      cand = (hyp['score'][:, :, None] + lex).reshape(batch, -1)
+      score, idx = jax.lax.top_k(cand, k)
+      parent = idx // vocab
+      label = (idx % vocab + 1).astype(jnp.int32)
+      return {'score': score, **append(hyp, parent, label)}
+
+    def frame_step(carry, inputs):
+      frame, valid = inputs  # [B, F], [B] bool
+      frontier = carry
+      terminated = []
+      steps = 1 if self._max_expansions is None else self._max_expansions
+      for j in range(steps + 1):
+        blank, lex = query(frontier['context'], frame)
+        terminated.append({**frontier,
+                           'score': frontier['score'] + blank})
+        if self._max_expansions is None:
+          # FrameDependent: one lexical label ends the frame (no trailing
+          # blank), so lexical extensions are terminal too.
+          terminated.append(expand_lexical(frontier, lex))
+          break
+        if j < steps:
+          frontier = expand_lexical(frontier, lex)
+      new = top_k_merge(terminated)
+      keep = lambda a, b: jnp.where(
+          valid.reshape((batch,) + (1,) * (a.ndim - 1)), a, b)
+      new = {f: keep(new[f], carry[f]) for f in carry}
+      return new, None
+
+    valid = jnp.arange(chunk_len)[None, :] < num_frames[:, None]
+    state, _ = jax.lax.scan(
+        frame_step, dict(state),
+        (jnp.moveaxis(frames, 0, 1), jnp.moveaxis(valid, 0, 1)))
+    return state

@@ -123,3 +123,101 @@ def test_greedy_matches_viterbi_on_peaky_lattice():
                                      frames, num_frames)
   npt.assert_array_equal(np.asarray(greedy_labels),
                          np.asarray(viterbi_labels))
+
+
+class TestBeam:
+
+  def test_beam1_equals_greedy_frame_dependent(self):
+    lattice = build(alignments.FrameDependent())
+    params = lattice.init(jax.random.PRNGKey(0), feature_size=5)
+    cache = lattice.build_cache(params)
+    frames = jax.random.normal(jax.random.PRNGKey(3), (3, 7, 5))
+    num_frames = jnp.array([7, 5, 0])
+
+    greedy = streaming.StreamingGreedyDecoder(lattice)
+    _, gl, _ = greedy.step(params, greedy.init_state(3), frames,
+                           num_frames, cache)
+    beam = streaming.StreamingBeamDecoder(lattice, beam_size=1,
+                                          max_labels=7)
+    state = beam.step(params, beam.init_state(3), frames, num_frames,
+                      cache)
+    bl, bn, _ = beam.best(state)
+    for b in range(3):
+      greedy_labels = [int(y) for y in np.asarray(gl)[b] if y > 0]
+      beam_labels = list(np.asarray(bl)[b][:int(bn[b])])
+      assert beam_labels == greedy_labels
+
+  def test_beam_recovers_garden_path(self):
+    """Beam > greedy: a locally-worse label pays off one frame later."""
+    vocab = 1  # states: 0 = start, 1 = after label 1
+    context = contexts.FullNGram(vocab_size=vocab, context_size=1)
+    # [input, state, (blank, y1)]
+    table = np.array([
+        [[0.0, -0.1], [0.0, -10.0]],   # frame input 0
+        [[0.0, -5.0], [5.0, -10.0]],   # frame input 1
+    ], np.float32)
+    def make(table_batch_dims):
+      # The beam decoder queries weights with a [batch, beam] state batch,
+      # which TableWeightFn matches literally; greedy/Viterbi use [batch].
+      t = np.broadcast_to(table, table_batch_dims + table.shape)
+      return last_torch_tpu.RecognitionLattice(
+          context=context,
+          alignment=alignments.FrameDependent(),
+          weight_fn_cacher_factory=lambda ctx: weight_fns.NullCacher(),
+          weight_fn_factory=lambda ctx: weight_fns.TableWeightFn(
+              jnp.asarray(t)))
+
+    lattice = make((1,))
+    params = lattice.init(jax.random.PRNGKey(0), feature_size=1)
+    frames = jnp.array([[[0.0], [1.0]]])
+    num_frames = jnp.array([2])
+
+    greedy = streaming.StreamingGreedyDecoder(lattice)
+    _, gl, _ = greedy.step(params, greedy.init_state(1), frames,
+                           num_frames)
+    assert [int(y) for y in np.asarray(gl)[0] if y > 0] == []  # stuck
+
+    beam_lattice = make((1, 2))
+    beam = streaming.StreamingBeamDecoder(beam_lattice, beam_size=2,
+                                          max_labels=2)
+    state = beam.step(params, beam.init_state(1), frames, num_frames)
+    bl, bn, bs = beam.best(state)
+    assert list(np.asarray(bl)[0][:int(bn[0])]) == [1]
+    npt.assert_allclose(np.asarray(bs)[0], -0.1 + 5.0, rtol=1e-6)
+    # Matches the global optimum.
+    _, _, viterbi_w = lattice.shortest_path(params, frames, num_frames)
+    npt.assert_allclose(np.asarray(bs)[0], np.asarray(viterbi_w)[0],
+                        rtol=1e-6)
+
+  def test_beam_chunk_invariance_and_monotonicity(self):
+    lattice = build(alignments.FrameLabelDependent(max_expansions=2))
+    params = lattice.init(jax.random.PRNGKey(0), feature_size=5)
+    cache = lattice.build_cache(params)
+    frames = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 5))
+    num_frames = jnp.full((2,), 8, jnp.int32)
+
+    def run(beam_size, chunks):
+      beam = streaming.StreamingBeamDecoder(lattice, beam_size,
+                                            max_labels=16)
+      state = beam.init_state(2)
+      for lo, hi in chunks:
+        state = jax.jit(beam.step)(params, state, frames[:, lo:hi],
+                                   jnp.full((2,), hi - lo, jnp.int32),
+                                   cache)
+      return beam.best(state)
+
+    l1, n1, s1 = run(4, [(0, 8)])
+    l2, n2, s2 = run(4, [(0, 3), (3, 8)])
+    npt.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    npt.assert_array_equal(np.asarray(n1), np.asarray(n2))
+    npt.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+
+    # Wider beams never find a worse best path, and never beat Viterbi.
+    _, _, viterbi_w = lattice.shortest_path(params, frames, num_frames)
+    prev = None
+    for k in [1, 2, 4, 8]:
+      _, _, s = run(k, [(0, 8)])
+      if prev is not None:
+        assert np.all(np.asarray(s) >= prev - 1e-5)
+      prev = np.asarray(s)
+      assert np.all(prev <= np.asarray(viterbi_w) + 1e-4)
