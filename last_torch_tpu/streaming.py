@@ -172,12 +172,18 @@ class StreamingBeamDecoder:
 
   def best(self, state):
     """Top hypothesis per stream: (labels, num_labels, score)."""
-    idx = jnp.argmax(state['score'], axis=-1)
+    labels, num_labels, score = self.nbest(state, 1)
+    return labels[:, 0], num_labels[:, 0], score[:, 0]
+
+  def nbest(self, state, n: int):
+    """Top-n hypotheses per stream, score-sorted: each [batch, n, ...]."""
+    if not 1 <= n <= self.beam_size:
+      raise ValueError(f'n must be in [1, beam_size={self.beam_size}], '
+                       f'got {n}')
+    score, idx = jax.lax.top_k(state['score'], n)
     take = lambda x: jnp.take_along_axis(
-        x, idx[:, None].reshape(idx.shape + (1,) * (x.ndim - 1)),
-        axis=1)[:, 0]
-    return (take(state['labels']), take(state['num_labels']),
-            take(state['score']))
+        x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1)
+    return take(state['labels']), take(state['num_labels']), score
 
   def step(self, params, state, frames: jnp.ndarray,
            num_frames: jnp.ndarray, cache: Any = None):

@@ -221,3 +221,21 @@ class TestBeam:
         assert np.all(np.asarray(s) >= prev - 1e-5)
       prev = np.asarray(s)
       assert np.all(prev <= np.asarray(viterbi_w) + 1e-4)
+
+  def test_nbest_sorted_and_consistent_with_best(self):
+    lattice = build(alignments.FrameDependent())
+    params = lattice.init(jax.random.PRNGKey(0), feature_size=5)
+    frames = jax.random.normal(jax.random.PRNGKey(5), (2, 6, 5))
+    num_frames = jnp.full((2,), 6, jnp.int32)
+    beam = streaming.StreamingBeamDecoder(lattice, beam_size=4,
+                                          max_labels=8)
+    state = beam.step(params, beam.init_state(2), frames, num_frames)
+    labels, num_labels, scores = beam.nbest(state, 3)
+    assert labels.shape == (2, 3, 8) and scores.shape == (2, 3)
+    s = np.asarray(scores)
+    assert np.all(s[:, :-1] >= s[:, 1:])  # sorted
+    bl, bn, bs = beam.best(state)
+    npt.assert_array_equal(np.asarray(bl), np.asarray(labels)[:, 0])
+    npt.assert_allclose(np.asarray(bs), s[:, 0])
+    with pytest.raises(ValueError, match='beam_size'):
+      beam.nbest(state, 5)
