@@ -61,6 +61,8 @@ class TransformerEncoder:
   num_heads: int = 4
   ffn_size: int = 1024
   dtype: Any = jnp.float32
+  causal: bool = False
+  window: int = 0  # with causal: left-context limit (0 = unlimited)
 
   def init(self, key: jax.Array) -> Params:
     keys = jax.random.split(key, 2 + self.num_layers)
@@ -106,6 +108,15 @@ class TransformerEncoder:
     x = x + pos
     neg_inf = jnp.asarray(-1e9, self.dtype)
     attn_bias = jnp.where(mask[:, None, None, :], 0.0, neg_inf)
+    if self.causal:
+      # Causal (optionally left-windowed) attention: the offline result
+      # then matches StreamingEncoder's chunked computation (up to float
+      # summation order) — the train/serve parity guarantee.
+      q_pos = jnp.arange(max_t)
+      visible = q_pos[:, None] >= q_pos[None, :]
+      if self.window:
+        visible &= q_pos[:, None] - q_pos[None, :] < self.window
+      attn_bias = attn_bias + jnp.where(visible, 0.0, neg_inf)[None, None]
 
     head_dim = self.model_size // self.num_heads
     for layer in params['layers']:
@@ -135,11 +146,99 @@ class TransformerEncoder:
     return jnp.where(mask[..., None], x, 0.0).astype(jnp.float32)
 
 
-def _sinusoidal_positions(length: int, dim: int) -> jnp.ndarray:
-  position = jnp.arange(length)[:, None].astype(jnp.float32)
+def _sinusoidal_positions_at(position: jnp.ndarray, dim: int) -> jnp.ndarray:
+  """Sinusoidal encodings for given (possibly traced) positions."""
+  position = position[:, None].astype(jnp.float32)
   div = jnp.exp(
       jnp.arange(0, dim, 2).astype(jnp.float32) * (-math.log(10000.0) / dim))
-  pe = jnp.zeros((length, dim))
+  pe = jnp.zeros((position.shape[0], dim))
   pe = pe.at[:, 0::2].set(jnp.sin(position * div))
   pe = pe.at[:, 1::2].set(jnp.cos(position * div))
   return pe
+
+
+def _sinusoidal_positions(length: int, dim: int) -> jnp.ndarray:
+  return _sinusoidal_positions_at(jnp.arange(length), dim)
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamingEncoder:
+  """Chunked inference for a causal, left-windowed TransformerEncoder.
+
+  Carries per-layer key/value caches of the last ``window`` frames plus a
+  frame counter, so encoding arbitrary chunk sizes matches one offline
+  ``encoder.apply`` call with ``causal=True, window=W`` up to float
+  summation order — train offline, serve streaming, no gap.
+
+  All streams in a batch advance together (whole chunks); pad the final
+  partial chunk and mask downstream via the lattice decoders' num_frames.
+  """
+
+  encoder: TransformerEncoder
+
+  def __post_init__(self):
+    if not (self.encoder.causal and self.encoder.window > 0):
+      raise ValueError('StreamingEncoder requires a TransformerEncoder '
+                       'with causal=True and window > 0')
+
+  def init_state(self, batch_size: int):
+    e = self.encoder
+    w, h = e.window, e.model_size // e.num_heads
+    kv = jnp.zeros((batch_size, e.num_layers, w, e.num_heads, h), e.dtype)
+    return {'k': kv, 'v': kv, 'pos': jnp.zeros((), jnp.int32)}
+
+  def step(self, params: Params, state, frames: jnp.ndarray):
+    """Encodes one chunk: [batch, chunk_len, feature] -> model_size."""
+    e = self.encoder
+    chunk = frames.shape[1]
+    w = e.window
+    head_dim = e.model_size // e.num_heads
+    t0 = state['pos']
+
+    x = frames.astype(e.dtype) @ params['input_proj'].astype(e.dtype)
+    x = x + _sinusoidal_positions_at(t0 + jnp.arange(chunk),
+                                     e.model_size).astype(e.dtype)
+
+    q_abs = t0 + jnp.arange(chunk)                      # [C]
+    k_abs = jnp.concatenate([t0 - w + jnp.arange(w),
+                             t0 + jnp.arange(chunk)])   # [W + C]
+    visible = ((q_abs[:, None] >= k_abs[None, :]) &
+               (q_abs[:, None] - k_abs[None, :] < w) &
+               (k_abs[None, :] >= 0))
+    neg_inf = jnp.asarray(-1e9, e.dtype)
+    attn_bias = jnp.where(visible, 0.0, neg_inf)[None, None]  # [1,1,C,W+C]
+
+    new_k, new_v = [], []
+    for i, layer in enumerate(params['layers']):
+      y = _layer_norm(x, layer['ln1_scale'].astype(e.dtype),
+                      layer['ln1_bias'].astype(e.dtype))
+      qkv = y @ layer['qkv'].astype(e.dtype)
+      q, k, v = jnp.split(qkv, 3, axis=-1)
+      split_heads = lambda t: t.reshape(*t.shape[:-1], e.num_heads,
+                                        head_dim)
+      q, k, v = split_heads(q), split_heads(k), split_heads(v)
+      k_full = jnp.concatenate([state['k'][:, i], k], axis=1)
+      v_full = jnp.concatenate([state['v'][:, i], v], axis=1)
+      new_k.append(k_full[:, -w:])
+      new_v.append(v_full[:, -w:])
+      logits = jnp.einsum('bqhd,bkhd->bhqk', q, k_full,
+                          preferred_element_type=jnp.float32)
+      logits = logits / math.sqrt(head_dim) + attn_bias
+      weights = jax.nn.softmax(logits, axis=-1).astype(e.dtype)
+      context = jnp.einsum('bhqk,bkhd->bqhd', weights, v_full)
+      context = context.reshape(*context.shape[:-2], e.model_size)
+      x = x + context @ layer['attn_out'].astype(e.dtype)
+
+      y = _layer_norm(x, layer['ln2_scale'].astype(e.dtype),
+                      layer['ln2_bias'].astype(e.dtype))
+      y = jax.nn.gelu(y @ layer['ffn_in'].astype(e.dtype))
+      x = x + y @ layer['ffn_out'].astype(e.dtype)
+
+    x = _layer_norm(x, params['final_ln_scale'].astype(e.dtype),
+                    params['final_ln_bias'].astype(e.dtype))
+    new_state = {
+        'k': jnp.stack(new_k, axis=1),
+        'v': jnp.stack(new_v, axis=1),
+        'pos': t0 + chunk,
+    }
+    return new_state, x.astype(jnp.float32)

@@ -132,3 +132,88 @@ def test_model_presets():
     assert np.isfinite(float(loss))
     decoded, _, _ = model.decode(state.params, frames, num_frames)
     assert np.all(np.asarray(decoded) >= 0)
+
+
+class TestCausalStreamingEncoder:
+
+  def make(self, window=4):
+    return encoder_lib.TransformerEncoder(
+        feature_size=8, model_size=16, num_layers=2, num_heads=2,
+        ffn_size=32, causal=True, window=window)
+
+  def test_causal_future_invariance(self):
+    enc = self.make()
+    params = enc.init(jax.random.PRNGKey(0))
+    frames = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8))
+    nf = jnp.full((2,), 8, jnp.int32)
+    out = enc.apply(params, frames, nf)
+    frames2 = frames.at[:, 5:].set(99.0)
+    out2 = enc.apply(params, frames2, nf)
+    npt.assert_allclose(out[:, :5], out2[:, :5], atol=1e-5)
+
+  def test_window_limits_left_context(self):
+    enc = self.make(window=3)
+    params = enc.init(jax.random.PRNGKey(0))
+    frames = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8))
+    nf = jnp.full((1,), 8, jnp.int32)
+    out = enc.apply(params, frames, nf)
+    # Changing frames more than (num_layers * (window-1)) steps in the past
+    # cannot reach the last position through 2 layers of width-3 attention.
+    frames2 = frames.at[:, :3].set(-7.0)
+    out2 = enc.apply(params, frames2, nf)
+    npt.assert_allclose(out[:, 7], out2[:, 7], atol=1e-5)
+
+  def test_streaming_matches_offline(self):
+    enc = self.make(window=4)
+    params = enc.init(jax.random.PRNGKey(0))
+    frames = jax.random.normal(jax.random.PRNGKey(2), (2, 9, 8))
+    nf = jnp.full((2,), 9, jnp.int32)
+    offline = enc.apply(params, frames, nf)
+
+    stream = encoder_lib.StreamingEncoder(enc)
+    state = stream.init_state(2)
+    outs = []
+    for lo, hi in [(0, 3), (3, 4), (4, 9)]:
+      state, out = jax.jit(stream.step)(params, state, frames[:, lo:hi])
+      outs.append(np.asarray(out))
+    npt.assert_allclose(np.concatenate(outs, axis=1), np.asarray(offline),
+                        atol=1e-4)
+
+  def test_streaming_requires_causal_window(self):
+    import pytest
+    with pytest.raises(ValueError, match='causal'):
+      encoder_lib.StreamingEncoder(
+          encoder_lib.TransformerEncoder(feature_size=8, model_size=16))
+
+  def test_end_to_end_streaming_pipeline(self):
+    """Streamed encoder + streamed greedy decode == offline pipeline."""
+    from last_torch_tpu import streaming as streaming_lib
+
+    enc = self.make(window=4)
+    enc_params = enc.init(jax.random.PRNGKey(0))
+    model = gnat.GNATModel(tiny_config())
+    params = model.init(jax.random.PRNGKey(1))
+    lattice = model.lattice
+    lat_params = params['lattice']
+    cache = lattice.build_cache(lat_params)
+    raw = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8))
+    nf = jnp.full((2,), 8, jnp.int32)
+
+    # Offline: encode everything, decode everything. The lattice's weight
+    # function consumes encoder_size (16)-dim frames directly.
+    encoded = enc.apply(enc_params, raw, nf)
+    dec = streaming_lib.StreamingGreedyDecoder(lattice)
+    _, offline_labels, _ = dec.step(lat_params, dec.init_state(2),
+                                    encoded, nf, cache)
+
+    # Streaming: chunked encoder + chunked decoder.
+    stream = encoder_lib.StreamingEncoder(enc)
+    es, ds = stream.init_state(2), dec.init_state(2)
+    outs = []
+    for lo, hi in [(0, 5), (5, 8)]:
+      es, chunk = stream.step(enc_params, es, raw[:, lo:hi])
+      ds, labels, _ = dec.step(lat_params, ds, chunk,
+                               jnp.full((2,), hi - lo, jnp.int32), cache)
+      outs.append(np.asarray(labels))
+    npt.assert_array_equal(np.concatenate(outs, axis=1),
+                           np.asarray(offline_labels))
