@@ -60,6 +60,11 @@ class GNATConfig:
       globally normalized (full GNAT forward-backward).
     use_rnn_cacher: Use SharedRNNCacher (shared-rnn weight fn) instead of
       SharedEmbCacher (shared-emb weight fn).
+    encoder_causal: Causal encoder attention — required for online serving
+      with models.encoder.StreamingEncoder; offline and streamed encodes
+      then match.
+    encoder_window: With encoder_causal, the left-context window (frames);
+      bounds the streaming KV cache. 0 = unlimited (not streamable).
   """
 
   feature_size: int = 80
@@ -74,6 +79,8 @@ class GNATConfig:
   max_expansions: int = 2
   locally_normalized: bool = False
   use_rnn_cacher: bool = False
+  encoder_causal: bool = False
+  encoder_window: int = 0
 
 
 class GNATModel:
@@ -92,7 +99,9 @@ class GNATModel:
         model_size=config.encoder_size,
         num_layers=config.encoder_layers,
         num_heads=config.encoder_heads,
-        ffn_size=config.encoder_ffn_size)
+        ffn_size=config.encoder_ffn_size,
+        causal=config.encoder_causal,
+        window=config.encoder_window)
 
     context = contexts.FullNGram(
         vocab_size=config.vocab_size, context_size=config.context_size)

@@ -217,3 +217,43 @@ class TestCausalStreamingEncoder:
       outs.append(np.asarray(labels))
     npt.assert_array_equal(np.concatenate(outs, axis=1),
                            np.asarray(offline_labels))
+
+
+def test_causal_gnat_trains_and_streams():
+  """A causal-encoder GNAT trains offline and serves streamed."""
+  from last_torch_tpu import streaming as streaming_lib
+
+  model = gnat.GNATModel(tiny_config(encoder_causal=True,
+                                     encoder_window=4))
+  optimizer = gnat.make_optimizer(learning_rate=1e-2)
+  state = gnat.init_train_state(model, jax.random.PRNGKey(0), optimizer)
+  frames, num_frames, labels, num_labels = tiny_batch()
+  step = jax.jit(lambda s, f, nf, l, nl: gnat.train_step(
+      model, optimizer, s, f, nf, l, nl))
+  losses = []
+  for _ in range(3):
+    state, loss = step(state, frames, num_frames, labels, num_labels)
+    losses.append(float(loss))
+  assert losses[-1] < losses[0]
+
+  # Serve the trained parameters streamed: encoder chunks + greedy chunks
+  # equals the offline pipeline.
+  enc_stream = encoder_lib.StreamingEncoder(model.encoder)
+  dec = streaming_lib.StreamingGreedyDecoder(model.lattice)
+  lat_params = state.params['lattice']
+  cache = model.lattice.build_cache(lat_params)
+  full_frames = frames
+  nf = jnp.full((2,), 6, jnp.int32)
+
+  encoded = model.encoder.apply(state.params['encoder'], full_frames, nf)
+  _, offline, _ = dec.step(lat_params, dec.init_state(2), encoded, nf,
+                           cache)
+  es, ds = enc_stream.init_state(2), dec.init_state(2)
+  outs = []
+  for lo, hi in [(0, 2), (2, 6)]:
+    es, chunk = enc_stream.step(state.params['encoder'], es,
+                                full_frames[:, lo:hi])
+    ds, lab, _ = dec.step(lat_params, ds, chunk,
+                          jnp.full((2,), hi - lo, jnp.int32), cache)
+    outs.append(np.asarray(lab))
+  npt.assert_array_equal(np.concatenate(outs, axis=1), np.asarray(offline))
