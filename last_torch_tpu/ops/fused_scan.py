@@ -796,4 +796,14 @@ def supported(lattice, semiring, blank_mask, lexical_mask, weight_lift,
     # Tiny vocabularies pad to a 128-lane block; the XLA path is faster
     # there (measured: V=16 trainer step 33ms XLA vs 62ms kernels).
     return False
+  if backend == 'tpu':
+    # The per-frame exp-space cache at the minimum 8-row batch tile must
+    # fit VMEM (v5e: 128MB total; ~80MB budget leaves room for the other
+    # scratch and temporaries). Beyond that (bigram: vocab ~1500+) the
+    # kernels cannot compile — fall back to the XLA scan.
+    num_states, vocab = lattice.context.shape()
+    v_pad = _round_up(vocab, _LANES)
+    s_pad = _round_up(max(num_states, 1 + v_pad), _LANES)
+    if 8 * s_pad * v_pad * 4 > 80 * 1024 * 1024:
+      return False
   return True

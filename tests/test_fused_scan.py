@@ -13,6 +13,7 @@ import pytest
 
 import last_torch_tpu
 from last_torch_tpu import alignments, contexts, semirings, weight_fns
+from last_torch_tpu.ops import fused_scan
 
 
 def build(alignment, fused):
@@ -103,6 +104,28 @@ def test_fused_gating():
   ln.weight_fn = weight_fns.LocallyNormalizedWeightFn(ln.weight_fn)
   assert not fused_scan.supported(ln, semirings.Log, None, None, None,
                                   frames3, 'interpret')
+
+
+def test_gating_rejects_vmem_oversized_vocab():
+  """Bigram V=2048's 8-row E cache exceeds VMEM: must fall back to XLA."""
+  big = build_vocab(2048)
+  small = build_vocab(1024)
+  frames3 = jnp.zeros((2, 3, 6))
+  assert not fused_scan.supported(big, semirings.Log, None, None, None,
+                                  frames3, 'tpu')
+  assert fused_scan.supported(small, semirings.Log, None, None, None,
+                              frames3, 'tpu')
+
+
+def build_vocab(v):
+  context = contexts.FullNGram(vocab_size=v, context_size=1)
+  return last_torch_tpu.RecognitionLattice(
+      context=context,
+      alignment=alignments.FrameDependent(),
+      weight_fn_cacher_factory=lambda ctx: weight_fns.SharedEmbCacher(
+          num_context_states=ctx.shape()[0], embedding_size=8),
+      weight_fn_factory=lambda ctx: weight_fns.JointWeightFn(
+          vocab_size=ctx.shape()[1], hidden_size=8))
 
 
 @pytest.mark.parametrize('alignment_factory', [
