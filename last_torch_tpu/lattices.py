@@ -254,9 +254,17 @@ class RecognitionLattice(Generic[T]):
       from last_torch_tpu.ops import fused_scan, viterbi
       backend = ('interpret' if self.fused == 'interpret' else
                  jax.default_backend())
-      # Structural support matches the Log kernel's gating.
+      # Structural support matches the Log kernel's gating, plus: locally
+      # normalized JointWeightFns decode in-kernel too — hat / log-softmax
+      # normalization is tile-local (the vocab axis is not tiled).
+      inner_wf, normalize = self.weight_fn, 'none'
+      if isinstance(inner_wf, weight_fns.LocallyNormalizedWeightFn):
+        if inner_wf.normalize is weight_fns.hat_normalize:
+          inner_wf, normalize = inner_wf.weight_fn, 'hat'
+        elif inner_wf.normalize is weight_fns.log_softmax_normalize:
+          inner_wf, normalize = inner_wf.weight_fn, 'log_softmax'
       if fused_scan.supported(self, semirings.Log, None, None, None, frames,
-                              backend):
+                              backend, weight_fn=inner_wf):
         frame_dependent = isinstance(self.alignment,
                                      alignments.FrameDependent)
         return viterbi.viterbi_decode(
@@ -267,6 +275,7 @@ class RecognitionLattice(Generic[T]):
             num_context_states=self.context.shape()[0],
             compute_dtype=(jnp.float32 if self.fused == 'interpret' else
                            jnp.bfloat16),
+            normalize=normalize,
             interpret=self.fused == 'interpret')
 
     def forward_fn(lexical_mask):

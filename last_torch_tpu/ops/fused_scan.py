@@ -764,11 +764,14 @@ def log_partition(wf_params: Any,
 
 
 def supported(lattice, semiring, blank_mask, lexical_mask, weight_lift,
-              frames, backend: str) -> bool:
+              frames, backend: str, weight_fn=None) -> bool:
   """Whether the fused kernel covers this _forward invocation.
 
   ``backend`` is 'tpu' (real hardware), 'interpret' (CPU interpreter for
-  tests), or anything else (unsupported).
+  tests), or anything else (unsupported). ``weight_fn`` overrides
+  ``lattice.weight_fn`` for the structural check — the Viterbi kernel
+  supports unwrapped LocallyNormalizedWeightFn(JointWeightFn) by
+  normalizing inside the kernel.
   """
   from last_torch_tpu import alignments, contexts, semirings, weight_fns
 
@@ -780,7 +783,9 @@ def supported(lattice, semiring, blank_mask, lexical_mask, weight_lift,
     return False
   if weight_lift is not None:
     return False
-  if type(lattice.weight_fn) is not weight_fns.JointWeightFn:
+  if weight_fn is None:
+    weight_fn = lattice.weight_fn
+  if type(weight_fn) is not weight_fns.JointWeightFn:
     return False
   if not isinstance(lattice.context, contexts.FullNGram):
     return False

@@ -68,6 +68,7 @@ def _viterbi_forward_kernel(
     max_expansions: int,
     frame_dependent: bool,
     compute_dtype,
+    normalize: str = 'none',
 ):
   t = pl.program_id(0)
   b = pl.program_id(1)
@@ -106,14 +107,32 @@ def _viterbi_forward_kernel(
         lex2d = jax.lax.dot_general(
             joint2d, vw, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) + vb_ref[0][None, :]
+        blank2d = None
+        if first_pass or normalize != 'none':
+          blank2d = jax.lax.dot_general(
+              joint2d, bw, (((1,), (0,)), ((), ())),
+              preferred_element_type=jnp.float32) + bb_ref[0, 0]  # [N, 1]
+        # Local normalization is tile-local: the vocab axis is not tiled,
+        # so each row's normalizer is fully visible here. Padded vocab
+        # columns carry a -inf bias and add exp(-inf) = 0 mass.
+        if normalize == 'hat':
+          mrow = jnp.max(lex2d, axis=-1, keepdims=True)
+          lse = mrow + jnp.log(jnp.sum(jnp.exp(lex2d - mrow), axis=-1,
+                                       keepdims=True))
+          lex2d = lex2d - lse - jax.nn.softplus(blank2d)
+          blank2d = -jax.nn.softplus(-blank2d)
+        elif normalize == 'log_softmax':
+          mrow = jnp.maximum(jnp.max(lex2d, axis=-1, keepdims=True),
+                             blank2d)
+          z = mrow + jnp.log(
+              jnp.exp(blank2d - mrow) +
+              jnp.sum(jnp.exp(lex2d - mrow), axis=-1, keepdims=True))
+          lex2d = lex2d - z
+          blank2d = blank2d - z
         if first_pass and lex_scr is not None:
           lex_scr[rows, :] = lex2d
         if first_pass:
-          blank = jax.lax.dot_general(
-              joint2d, bw, (((1,), (0,)), ((), ())),
-              preferred_element_type=jnp.float32)
-          blank_store.append(
-              blank.reshape(batch_tile, s_tile) + bb_ref[0, 0])
+          blank_store.append(blank2d.reshape(batch_tile, s_tile))
       else:
         lex2d = lex_scr[rows, :]
       lex = lex2d.reshape(batch_tile, s_tile, -1)
@@ -181,6 +200,7 @@ def viterbi_decode(wf_params: Any,
                    batch_tile: int = 0,
                    s_tile: int = 128,
                    compute_dtype=jnp.bfloat16,
+                   normalize: str = 'none',
                    interpret: bool = False):
   """Kernel Viterbi forward + gather-only backtrace.
 
@@ -236,7 +256,8 @@ def viterbi_decode(wf_params: Any,
       num_s_tiles=num_s_tiles,
       max_expansions=max_expansions,
       frame_dependent=frame_dependent,
-      compute_dtype=compute_dtype)
+      compute_dtype=compute_dtype,
+      normalize=normalize)
 
   args_tbl, jstar_tbl, alpha_t = pl.pallas_call(
       kernel,

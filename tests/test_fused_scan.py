@@ -325,3 +325,38 @@ def test_fuzz_kernel_pair_matches_xla(seed, max_expansions, batch, max_t):
   npt.assert_array_equal(np.asarray(dec_f[0]), np.asarray(dec_x[0]))
   npt.assert_array_equal(np.asarray(dec_f[1]), np.asarray(dec_x[1]))
   npt.assert_allclose(dec_f[2], dec_x[2], rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize('normalize_fn',
+                         [weight_fns.hat_normalize,
+                          weight_fns.log_softmax_normalize])
+@pytest.mark.parametrize('alignment_factory', [
+    alignments.FrameDependent,
+    lambda: alignments.FrameLabelDependent(max_expansions=2),
+])
+def test_viterbi_kernel_locally_normalized(normalize_fn, alignment_factory):
+  """In-kernel hat / log-softmax normalization matches the XLA decode."""
+  def build_local(fused):
+    context = contexts.FullNGram(vocab_size=4, context_size=1)
+    return last_torch_tpu.RecognitionLattice(
+        context=context,
+        alignment=alignment_factory(),
+        weight_fn_cacher_factory=lambda ctx: weight_fns.SharedEmbCacher(
+            num_context_states=ctx.shape()[0], embedding_size=8),
+        weight_fn_factory=lambda ctx: weight_fns.LocallyNormalizedWeightFn(
+            weight_fns.JointWeightFn(vocab_size=ctx.shape()[1],
+                                     hidden_size=8),
+            normalize=normalize_fn),
+        fused=fused)
+
+  fused_lattice = build_local('interpret')
+  xla_lattice = build_local('never')
+  params = fused_lattice.init(jax.random.PRNGKey(0), feature_size=6)
+  frames = jax.random.normal(jax.random.PRNGKey(7), (3, 6, 6)) * 2.0
+  num_frames = jnp.array([6, 4, 0])
+
+  dec_f = fused_lattice.shortest_path(params, frames, num_frames)
+  dec_x = xla_lattice.shortest_path(params, frames, num_frames)
+  npt.assert_array_equal(np.asarray(dec_f[0]), np.asarray(dec_x[0]))
+  npt.assert_array_equal(np.asarray(dec_f[1]), np.asarray(dec_x[1]))
+  npt.assert_allclose(dec_f[2], dec_x[2], rtol=1e-5, atol=1e-6)
