@@ -164,6 +164,15 @@ def bench_secondary():
   results['4_expectation_entropy_ms'] = round(
       time_fn(ent_fn, params4, b4['frames']) * 1e3, 2)
 
+  # Config 6: locally-normalized decode at headline shapes (the in-kernel
+  # hat-normalized tropical path).
+  lattice6, params6 = build_lattice(vocab=1024, locally_normalized=True)
+  b6 = make_batch(32, 1600, 100, 1024)
+  sp6 = jax.jit(lambda p, f: _decode_checksum(
+      lattice6.shortest_path(p, f, b6['num_frames'])))
+  results['6_local_decode_ms'] = round(
+      time_fn(sp6, params6, b6['frames']) * 1e3, 1)
+
   # Decode throughput at headline shapes (scalar checksum, see config 2).
   lattice5, params5 = build_lattice(vocab=1024)
   b5 = make_batch(32, 1600, 100, 1024)
