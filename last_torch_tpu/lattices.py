@@ -304,6 +304,53 @@ class RecognitionLattice(Generic[T]):
         num_alignment_states * num_frames.astype(jnp.int32))
     return alignment_labels, num_alignment_labels, path_weights
 
+  def arc_marginals(self, params, frames, num_frames, cache=None):
+    """Arc posterior probabilities via the backward algorithm.
+
+    The marginal probability of taking each arc at each frame under the
+    model's path distribution — the quantity production systems use for
+    confidence scores and frame-level alignments. This is the streaming
+    ``BackwardStepCallback`` machinery (the working version of reference
+    ``lattices.py:644-799``) with an identity callback; one forward + one
+    backward pass, no O(T * S * V) autodiff residuals.
+
+    Args:
+      params: Parameter pytree from ``init``.
+      frames: [batch_dims..., max_num_frames, feature_size] padded frames.
+      num_frames: [batch_dims...] number of frames.
+      cache: Optional weight function cache data.
+
+    Returns:
+      (blank_marginals, lexical_marginals):
+      - blank_marginals: [batch_dims..., max_num_frames,
+        num_context_states] posterior of the blank arc leaving each
+        context state at each frame.
+      - lexical_marginals: [batch_dims..., max_num_frames,
+        num_context_states, vocab_size] posteriors of the lexical arcs.
+      Padding frames have all-zero marginals. For a feasible utterance the
+      arc posteriors at each valid frame sum to the expected number of
+      arcs taken at that frame (exactly 1 for FrameDependent).
+    """
+    if cache is None:
+      cache = self.build_cache(params)
+    log_z, alpha_history = self._forward(
+        params=params,
+        cache=cache,
+        frames=frames,
+        num_frames=num_frames,
+        semiring=semirings.Log)
+    _, marginals = self._backward(
+        params=params,
+        cache=cache,
+        frames=frames,
+        num_frames=num_frames,
+        log_z=log_z,
+        alpha_0_to_T_minus_1=alpha_history,
+        init_callback_carry=None,
+        callback=lambda weight_vjp_fn, carry, blank_marginal,
+        lexical_marginals: (carry, (blank_marginal, lexical_marginals)))
+    return marginals
+
   def shortest_distance(self, params, frames, num_frames, semiring=None,
                         cache=None, weight_lift: WeightLift = None):
     """Shortest distance over all paths in the recognition lattice.

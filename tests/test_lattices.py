@@ -552,3 +552,49 @@ def test_loss_grad_nan_free_under_debug_nans():
     loss, grads = jax.jit(jax.value_and_grad(total))(params)
     jax.block_until_ready(grads)
   assert np.isfinite(float(loss))
+
+
+class TestArcMarginalsAPI:
+  """Public arc_marginals: autodiff parity and probability-mass sanity."""
+
+  @pytest.mark.parametrize('alignment_factory', [
+      alignments.FrameDependent,
+      lambda: alignments.FrameLabelDependent(max_expansions=2),
+  ])
+  def test_matches_autodiff(self, alignment_factory):
+    lattice = build_basic_lattice(alignment_factory())
+    params = lattice.init(jax.random.PRNGKey(3), feature_size=8)
+    frames = jax.random.uniform(jax.random.PRNGKey(4), (3, 5, 8))
+    num_frames = jnp.array([5, 3, 0])
+    cache = lattice.build_cache(params)
+    num_states, vocab_size = lattice.context.shape()
+    num_align = lattice.alignment.num_states()
+
+    def forward(masks):
+      blank_mask, lexical_mask = masks
+      log_z, _ = lattice._forward(
+          params=params, cache=cache, frames=frames, num_frames=num_frames,
+          semiring=semirings.Log,
+          blank_mask=[blank_mask] * num_align,
+          lexical_mask=[lexical_mask] * num_align)
+      return jnp.sum(log_z)
+
+    blank_mask = jnp.zeros((*frames.shape[:-1], num_states))
+    lexical_mask = jnp.zeros((*frames.shape[:-1], num_states, vocab_size))
+    expected = jax.grad(forward)((blank_mask, lexical_mask))
+
+    blank, lexical = lattice.arc_marginals(params, frames, num_frames)
+    npt.assert_allclose(blank, expected[0], rtol=1e-4, atol=1e-6)
+    npt.assert_allclose(lexical, expected[1], rtol=1e-4, atol=1e-6)
+
+  def test_mass_per_frame(self):
+    """FrameDependent: exactly one arc per valid frame, zero on padding."""
+    lattice = build_basic_lattice()
+    params = lattice.init(jax.random.PRNGKey(5), feature_size=8)
+    frames = jax.random.uniform(jax.random.PRNGKey(6), (2, 6, 8))
+    num_frames = jnp.array([6, 2])
+    blank, lexical = lattice.arc_marginals(params, frames, num_frames)
+    total = jnp.sum(blank, axis=-1) + jnp.sum(lexical, axis=(-2, -1))
+    valid = np.arange(6)[None, :] < np.asarray(num_frames)[:, None]
+    npt.assert_allclose(np.asarray(total), valid.astype(np.float32),
+                        rtol=1e-4, atol=1e-6)
