@@ -239,3 +239,38 @@ class TestBeam:
     npt.assert_allclose(np.asarray(bs), s[:, 0])
     with pytest.raises(ValueError, match='beam_size'):
       beam.nbest(state, 5)
+
+
+@pytest.mark.parametrize('make_context', [
+    lambda: contexts.FullNGram(vocab_size=3, context_size=2),
+    lambda: contexts.NextStateTable(
+        contexts.FullNGram(vocab_size=3, context_size=1).next_state_table()),
+])
+def test_streaming_decoders_generic_contexts(make_context):
+  """Greedy and beam work over any ContextDependency (not bigram-gated)."""
+  context = make_context()
+  lattice = last_torch_tpu.RecognitionLattice(
+      context=context,
+      alignment=alignments.FrameDependent(),
+      weight_fn_cacher_factory=lambda ctx: weight_fns.SharedEmbCacher(
+          num_context_states=ctx.shape()[0], embedding_size=8),
+      weight_fn_factory=lambda ctx: weight_fns.JointWeightFn(
+          vocab_size=ctx.shape()[1], hidden_size=8))
+  params = lattice.init(jax.random.PRNGKey(0), feature_size=5)
+  cache = lattice.build_cache(params)
+  frames = jax.random.normal(jax.random.PRNGKey(8), (2, 6, 5))
+  num_frames = jnp.array([6, 4])
+
+  greedy = streaming.StreamingGreedyDecoder(lattice)
+  _, gl, _ = greedy.step(params, greedy.init_state(2), frames, num_frames,
+                         cache)
+  expected = greedy_oracle(lattice, params, cache, frames, num_frames,
+                           max_emissions=1, trailing_blank=False)
+  npt.assert_array_equal(np.asarray(gl), expected)
+
+  beam = streaming.StreamingBeamDecoder(lattice, beam_size=3, max_labels=6)
+  state = beam.step(params, beam.init_state(2), frames, num_frames, cache)
+  _, _, scores = beam.best(state)
+  # Beam's best path weight is bounded by the global Viterbi optimum.
+  _, _, viterbi_w = lattice.shortest_path(params, frames, num_frames)
+  assert np.all(np.asarray(scores) <= np.asarray(viterbi_w) + 1e-4)
