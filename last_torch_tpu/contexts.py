@@ -311,8 +311,11 @@ class NextStateTable(ContextDependency):
     # Semiring-correct segment reduction (fixes reference SURVEY §2.2-Q4):
     # route each (p, y) arc weight to its destination state with a boolean
     # one-hot mask and reduce with semiring.sum. Dense and branch-free, at
-    # the cost of an S*V x S mask; fine for the moderate DFAs this class is
-    # meant for (FullNGram's block reduce is the production path).
+    # the cost of an S*V x S mask — O(S^2 * V) memory/compute per call,
+    # deliberate for the moderate DFAs this class is meant for (FullNGram's
+    # block reduce is the production path). If large NextStateTable DFAs
+    # become a use case, switch to a sorted segment reduce keyed on the
+    # transition table instead of densifying.
     batch_dims = _check_reduce_shape(self.shape(), weights)
     num_states, vocab_size = self.shape()
     num_arcs = num_states * vocab_size

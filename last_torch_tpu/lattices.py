@@ -120,6 +120,23 @@ class RecognitionLattice(Generic[T]):
     # configuration is covered (see ops/fused_scan.py); 'never': always the
     # XLA path; 'interpret': fused kernel in interpreter mode (testing).
     self.fused = fused
+    # Which path the most recent dispatch took: None until the first call,
+    # then 'fused' or 'xla'. Dispatch happens at trace time, so this is
+    # accurate per traced call (see ``last_path``).
+    self._last_path = None
+
+  @property
+  def last_path(self) -> Optional[str]:
+    """Which compute path the last lattice operation dispatched to.
+
+    'fused' when the Pallas kernels were engaged, 'xla' for the generic
+    ``lax.scan`` path, None before any call. The decision is structural
+    (made at trace time from the configuration), so with ``fused='auto'``
+    this is the way to learn which path a given configuration takes —
+    subclassed weight functions, unsupported semirings, masks, or
+    over-budget vocabularies silently fall back to XLA.
+    """
+    return self._last_path
 
   # -------------------------------------------------------------------
   # Parameter / cache management.
@@ -265,6 +282,7 @@ class RecognitionLattice(Generic[T]):
           inner_wf, normalize = inner_wf.weight_fn, 'log_softmax'
       if fused_scan.supported(self, semirings.Log, None, None, None, frames,
                               backend, weight_fn=inner_wf):
+        self._last_path = 'fused'
         frame_dependent = isinstance(self.alignment,
                                      alignments.FrameDependent)
         return viterbi.viterbi_decode(
@@ -294,6 +312,7 @@ class RecognitionLattice(Generic[T]):
     _, vocab_size = self.context.shape()
     lexical_mask = jnp.zeros(
         (*batch_dims, max_num_frames, num_alignment_states, vocab_size))
+    self._last_path = 'xla'
     path_weights, vjp_fn = jax.vjp(forward_fn, lexical_mask)
     viterbi_lexical_mask = vjp_fn(jnp.ones_like(path_weights))[0]
     is_blank = jnp.all(viterbi_lexical_mask == 0, axis=-1)
@@ -330,6 +349,14 @@ class RecognitionLattice(Generic[T]):
       Padding frames have all-zero marginals. For a feasible utterance the
       arc posteriors at each valid frame sum to the expected number of
       arcs taken at that frame (exactly 1 for FrameDependent).
+
+    Note:
+      Both passes run the XLA path (never the fused kernels) so the
+      forward alphas and the backward's recomputed arc weights come from
+      the same float32 computation and the posteriors normalize exactly;
+      mixing a bfloat16 kernel forward with a float32 XLA backward would
+      perturb per-frame sums at bf16 error scale. The dense output is
+      O(T * S * V) — at large shapes prefer ``label_marginals``.
     """
     if cache is None:
       cache = self.build_cache(params)
@@ -338,7 +365,8 @@ class RecognitionLattice(Generic[T]):
         cache=cache,
         frames=frames,
         num_frames=num_frames,
-        semiring=semirings.Log)
+        semiring=semirings.Log,
+        allow_fused=False)
     _, marginals = self._backward(
         params=params,
         cache=cache,
@@ -524,7 +552,8 @@ class RecognitionLattice(Generic[T]):
                semiring,
                blank_mask: Optional[Sequence[jnp.ndarray]] = None,
                lexical_mask: Optional[Sequence[jnp.ndarray]] = None,
-               weight_lift: WeightLift = None):
+               weight_lift: WeightLift = None,
+               allow_fused: bool = True):
     """Shortest distance on the recognition lattice (forward algorithm).
 
     It is often useful to differentiate the shortest distance with respect
@@ -577,12 +606,13 @@ class RecognitionLattice(Generic[T]):
     wf_params = params['weight_fn']
     lift = weight_lift if weight_lift is not None else (lambda w: w)
 
-    if self.fused != 'never':
+    if self.fused != 'never' and allow_fused:
       from last_torch_tpu.ops import fused_scan
       backend = ('interpret' if self.fused == 'interpret' else
                  jax.default_backend())
       if fused_scan.supported(self, semiring, blank_mask, lexical_mask,
                               weight_lift, frames, backend):
+        self._last_path = 'fused'
         frame_dependent = isinstance(self.alignment,
                                      alignments.FrameDependent)
         return fused_scan.fused_shortest_distance_fwd(
@@ -595,6 +625,7 @@ class RecognitionLattice(Generic[T]):
                            jnp.bfloat16),
             interpret=self.fused == 'interpret')
 
+    self._last_path = 'xla'
     xs = {'frame': jnp.moveaxis(frames, -2, 0)}
     if blank_mask is not None:
       # [A, batch_dims..., T, S?] -> [T, A, batch_dims..., S?]
@@ -678,6 +709,7 @@ class RecognitionLattice(Generic[T]):
                  jax.default_backend())
       if fused_scan.supported(self, semirings.Log, None, None, None, frames,
                               backend):
+        self._last_path = 'fused'
         frame_dependent = isinstance(self.alignment,
                                      alignments.FrameDependent)
         dtype = (jnp.float32 if self.fused == 'interpret' else

@@ -30,6 +30,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import time
 from typing import Iterator, Optional
 
@@ -41,6 +42,58 @@ from last_torch_tpu.models import gnat
 from last_torch_tpu.parallel import sharding
 from last_torch_tpu.utils import checkpoint as checkpoint_lib
 from last_torch_tpu.utils import profiling
+
+
+def maybe_initialize_distributed() -> bool:
+  """Standard JAX multi-host initialization, driven by the environment.
+
+  Calls ``jax.distributed.initialize`` when a coordinator address is
+  configured (the standard ``JAX_COORDINATOR_ADDRESS`` /
+  ``COORDINATOR_ADDRESS`` variables, with ``NUM_PROCESSES`` /
+  ``PROCESS_ID`` when the launcher does not provide them
+  automatically, e.g. outside TPU pods). On single-process runs — no
+  coordinator configured — this is a no-op, so the trainer can always
+  call it unconditionally.
+
+  Returns:
+    True if multi-host initialization ran.
+  """
+  coordinator = (os.environ.get('JAX_COORDINATOR_ADDRESS') or
+                 os.environ.get('COORDINATOR_ADDRESS'))
+  if not coordinator:
+    return False
+  kwargs = {'coordinator_address': coordinator}
+  if os.environ.get('NUM_PROCESSES'):
+    kwargs['num_processes'] = int(os.environ['NUM_PROCESSES'])
+  if os.environ.get('PROCESS_ID'):
+    kwargs['process_id'] = int(os.environ['PROCESS_ID'])
+  jax.distributed.initialize(**kwargs)
+  return True
+
+
+def process_local_slice(global_batch_size: int, num_processes: int,
+                        process_index: int) -> tuple[int, int]:
+  """This host's (start, size) slice of the global batch.
+
+  Multi-host data loading is process-local in JAX: each host feeds only
+  its own shard of the global batch and ``jax.make_array_from_process_
+  local_data`` (or equivalent) assembles the global array. The global
+  batch must divide evenly so every device step sees identical shapes.
+
+  Args:
+    global_batch_size: Total batch size across all hosts.
+    num_processes: ``jax.process_count()``.
+    process_index: ``jax.process_index()``.
+
+  Returns:
+    (start, size): this process's contiguous slice of the batch axis.
+  """
+  if global_batch_size % num_processes != 0:
+    raise ValueError(
+        f'global_batch_size={global_batch_size} must be divisible by '
+        f'num_processes={num_processes}')
+  size = global_batch_size // num_processes
+  return process_index * size, size
 
 
 @dataclasses.dataclass(frozen=True)
@@ -110,6 +163,7 @@ def train(model_config: gnat.GNATConfig,
 
   Returns the final train state.
   """
+  maybe_initialize_distributed()
   model = gnat.GNATModel(model_config)
   optimizer = gnat.make_optimizer(learning_rate=learning_rate)
   state = gnat.init_train_state(model, jax.random.PRNGKey(seed), optimizer)

@@ -502,7 +502,11 @@ def fused_shortest_distance_fwd(wf_params: Any,
   b_pad = _round_up(batch, batch_tile)
 
   # Frame-independent precomputation (one big MXU matmul each; XLA).
-  pf = jnp.einsum('btf,fh->tbh', frames, wf_params['frame_proj'])
+  # preferred_element_type keeps the forward residual alphas consistent
+  # with the backward's recomputation (prepare() below), which also
+  # accumulates in float32.
+  pf = jnp.einsum('btf,fh->tbh', frames, wf_params['frame_proj'],
+                  preferred_element_type=jnp.float32)
   pc = cache @ wf_params['context_proj']  # [S, h]
   hidden = pc.shape[-1]
   pc = jnp.pad(pc, ((0, s_pad - s), (0, 0)))

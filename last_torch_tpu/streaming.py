@@ -142,14 +142,28 @@ class StreamingBeamDecoder:
   same per-state ``WeightFn.apply`` queries (reference
   ``weight_fns.py:57-82``), so any lattice decodable by ``shortest_path``
   is beam-decodable.
+
+  Hypothesis recombination: after each frame, hypotheses with identical
+  label sequences (hence identical context states) are merged — the
+  standard transducer recombination, without which duplicate prefixes
+  waste beam slots. ``merge='max'`` (default) keeps the best path score
+  (Viterbi semantics: scores stay comparable to ``shortest_path``);
+  ``merge='logsumexp'`` accumulates total path probability per label
+  sequence (sequence-posterior semantics); ``merge='none'`` disables
+  recombination.
   """
 
-  def __init__(self, lattice, beam_size: int, max_labels: int):
+  def __init__(self, lattice, beam_size: int, max_labels: int,
+               merge: str = 'max'):
     if beam_size < 1:
       raise ValueError(f'beam_size must be >= 1, got {beam_size}')
+    if merge not in ('max', 'logsumexp', 'none'):
+      raise ValueError(f"merge should be 'max', 'logsumexp' or 'none', "
+                       f'but got {merge!r}')
     self.lattice = lattice
     self.beam_size = beam_size
     self.max_labels = max_labels
+    self.merge = merge
     alignment = lattice.alignment
     if isinstance(alignment, alignments_lib.FrameDependent):
       self._max_expansions = None
@@ -216,6 +230,34 @@ class StreamingBeamDecoder:
           'num_labels': jnp.minimum(nlab + 1, u),
       }
 
+    def recombine(pool):
+      """Merges hypotheses with identical label sequences.
+
+      Duplicates (same labels, count and context state) collapse onto
+      their first occurrence — score max'ed or logsumexp'ed per
+      ``self.merge`` — and the remaining copies drop to -inf so top-k
+      never spends multiple beam slots on one label sequence.
+      """
+      if self.merge == 'none':
+        return pool
+      score = pool['score']  # [B, M]
+      m = score.shape[1]
+      same = ((pool['num_labels'][:, :, None] ==
+               pool['num_labels'][:, None, :]) &
+              (pool['context'][:, :, None] == pool['context'][:, None, :]) &
+              jnp.all(pool['labels'][:, :, None, :] ==
+                      pool['labels'][:, None, :, :], axis=-1))  # [B, M, M]
+      pos = jnp.arange(m)
+      is_dup = jnp.any(same & (pos[None, None, :] < pos[None, :, None]),
+                       axis=-1)  # an identical hypothesis appears earlier
+      group = jnp.where(same, score[:, None, :], float('-inf'))
+      if self.merge == 'logsumexp':
+        merged = jax.scipy.special.logsumexp(group, axis=-1)
+      else:
+        merged = jnp.max(group, axis=-1)
+      return {**pool,
+              'score': jnp.where(is_dup, float('-inf'), merged)}
+
     def top_k_merge(pools):
       """Top-k over a list of candidate pools (fields + score)."""
       score = jnp.concatenate([p['score'] for p in pools], axis=1)
@@ -223,15 +265,25 @@ class StreamingBeamDecoder:
           f: jnp.concatenate([p[f] for p in pools], axis=1)
           for f in ('context', 'labels', 'num_labels')
       }
+      merged = recombine({**merged, 'score': score})
+      score = merged.pop('score')
       best_score, idx = jax.lax.top_k(score, k)
       take = lambda x: jnp.take_along_axis(
           x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1)
       return {'score': best_score, **{f: take(merged[f]) for f in merged}}
 
     def expand_lexical(hyp, lex):
-      """Top-k lexical extensions of a frontier. lex: [B, K, V]."""
+      """Top-k lexical extensions of a frontier. lex: [B, K, V].
+
+      Hypotheses that already hold ``max_labels`` labels cannot extend:
+      their lexical candidates are scored -inf so scores always correspond
+      to the returned (complete) label sequences — they survive only via
+      the blank arc.
+      """
       vocab = lex.shape[-1]
-      cand = (hyp['score'][:, :, None] + lex).reshape(batch, -1)
+      full = (hyp['num_labels'] >= u)[:, :, None]
+      cand = jnp.where(full, float('-inf'),
+                       hyp['score'][:, :, None] + lex).reshape(batch, -1)
       score, idx = jax.lax.top_k(cand, k)
       parent = idx // vocab
       label = (idx % vocab + 1).astype(jnp.int32)

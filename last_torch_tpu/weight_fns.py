@@ -210,6 +210,56 @@ class LocallyNormalizedWeightFn(WeightFn[T]):
     blank, lexical = self.weight_fn.apply(params, cache, frame, state)
     return self.normalize(blank, lexical)
 
+  def label_weights(self, params, cache, frames, states, next_labels):
+    # Fast numerator path for the locally normalized (e.g. HAT) loss —
+    # the reference's cheap training path, where the loss is numerator-only
+    # (reference ``lattices.py:178-179``). Per label position u the full
+    # vocab head runs ONCE to obtain the local normalizer, the needed
+    # label column is gathered from the same tensor (so normalizer and
+    # column are exactly consistent), and the per-position [*, T, V]
+    # logits are rematerialized rather than saved for autodiff. Covers
+    # JointWeightFn inner weight functions with the two standard
+    # normalizers; anything else falls back to the generic route.
+    if type(self.weight_fn) is not JointWeightFn:
+      return None
+    if self.normalize not in (hat_normalize, log_softmax_normalize):
+      return None
+    wf = self.weight_fn
+    hat = self.normalize is hat_normalize
+    y = jnp.maximum(next_labels, 1) - 1  # [batch..., U1]
+    projected_frames = wf._mm(frames, params['frame_proj'])
+    projected_context = wf._mm(cache, params['context_proj'])[states]
+
+    def per_position(carry, inputs):
+      pc_u, y_u = inputs  # [batch..., h], [batch...]
+      joint = jnp.tanh(pc_u[..., None, :] + projected_frames)  # [.., T, h]
+      blank = wf._mm(joint, params['blank_w'][:, None])[..., 0] + params[
+          'blank_b']
+      lex = wf._mm(joint, params['vocab_w']) + params['vocab_b']
+      z = jax.scipy.special.logsumexp(lex, axis=-1)  # [batch..., T]
+      lex_y = jnp.take_along_axis(
+          lex, jnp.broadcast_to(y_u[..., None, None],
+                                lex.shape[:-1] + (1,)), axis=-1)[..., 0]
+      if hat:
+        nb = jax.nn.log_sigmoid(blank)
+        nl = lex_y - z + jax.nn.log_sigmoid(-blank)
+      else:
+        z_all = jnp.logaddexp(blank, z)
+        nb = blank - z_all
+        nl = lex_y - z_all
+      return carry, (nb, nl)
+
+    to_front = lambda x: jnp.moveaxis(x, -2, 0)
+    # Rematerialize: the [*, T, V] per-position logits must not be saved.
+    _, (blank, lexical) = jax.lax.scan(
+        jax.checkpoint(per_position,
+                       policy=jax.checkpoint_policies.nothing_saveable),
+        (),
+        (to_front(projected_context), jnp.moveaxis(y, -1, 0)))
+    # [U1, batch..., T] -> [batch..., U1, T]
+    from_front = lambda x: jnp.moveaxis(x, 0, -2)
+    return from_front(blank), from_front(lexical)
+
 
 @dataclasses.dataclass(frozen=True)
 class JointWeightFn(WeightFn[jnp.ndarray]):

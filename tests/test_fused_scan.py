@@ -106,6 +106,33 @@ def test_fused_gating():
                                   frames3, 'interpret')
 
 
+def test_last_path_reports_dispatch():
+  """lattice.last_path exposes which path ('fused'/'xla') a call took."""
+  fused_lattice = build(alignments.FrameDependent(), fused='interpret')
+  xla_lattice = build(alignments.FrameDependent(), fused='never')
+  params = fused_lattice.init(jax.random.PRNGKey(0), feature_size=6)
+  frames = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 6))
+  num_frames = jnp.array([4, 2])
+
+  assert fused_lattice.last_path is None
+  fused_lattice.shortest_distance(params, frames, num_frames)
+  assert fused_lattice.last_path == 'fused'
+  xla_lattice.shortest_distance(params, frames, num_frames)
+  assert xla_lattice.last_path == 'xla'
+  fused_lattice.shortest_path(params, frames, num_frames)
+  assert fused_lattice.last_path == 'fused'
+
+  # A silently-unsupported config (subclassed weight fn) reports 'xla'
+  # even with fused enabled — the observability hook the gating needs.
+  class MyJoint(weight_fns.JointWeightFn):
+    pass
+
+  sub = build(alignments.FrameDependent(), fused='interpret')
+  sub.weight_fn = MyJoint(vocab_size=4, hidden_size=8)
+  sub.shortest_distance(params, frames, num_frames)
+  assert sub.last_path == 'xla'
+
+
 def test_gating_rejects_vmem_oversized_vocab():
   """Bigram V=2048's 8-row E cache exceeds VMEM: must fall back to XLA."""
   big = build_vocab(2048)

@@ -222,6 +222,107 @@ class TestBeam:
       prev = np.asarray(s)
       assert np.all(prev <= np.asarray(viterbi_w) + 1e-4)
 
+  def test_recombination_beats_unmerged_at_equal_beam(self):
+    """Duplicate label prefixes crowd out a needed survivor unless merged.
+
+    At t1 the same sequence [1] is reachable two ways (emit early + stay,
+    or stay + emit late); without recombination both copies fill the
+    2-wide beam and [2] is pruned — missing the large t2 payoff.
+    """
+    vocab = 2  # states: 0 = start, 1 = after label 1, 2 = after label 2
+    context = contexts.FullNGram(vocab_size=vocab, context_size=1)
+    # [input, state, (blank, y1, y2)]
+    table = np.array([
+        [[0.95, 1.0, 0.9], [-10., -10., -10.], [-10., -10., -10.]],
+        [[-1.0, 0.5, 0.4], [0.5, -10., -10.], [0.3, -10., -10.]],
+        [[-10., -10., -10.], [0.1, -10., -10.], [10.0, -10., -10.]],
+    ], np.float32)
+    t = np.broadcast_to(table, (1, 2) + table.shape)
+    lattice = last_torch_tpu.RecognitionLattice(
+        context=context,
+        alignment=alignments.FrameDependent(),
+        weight_fn_cacher_factory=lambda ctx: weight_fns.NullCacher(),
+        weight_fn_factory=lambda ctx: weight_fns.TableWeightFn(
+            jnp.asarray(t)))
+    params = lattice.init(jax.random.PRNGKey(0), feature_size=1)
+    frames = jnp.array([[[0.0], [1.0], [2.0]]])
+    num_frames = jnp.array([3])
+
+    def run(merge):
+      beam = streaming.StreamingBeamDecoder(lattice, beam_size=2,
+                                            max_labels=4, merge=merge)
+      state = beam.step(params, beam.init_state(1), frames, num_frames)
+      return beam.best(state)
+
+    lm, nm, sm = run('max')
+    lu, nu, su = run('none')
+    assert list(np.asarray(lm)[0][:int(nm[0])]) == [2]
+    npt.assert_allclose(np.asarray(sm)[0], 0.95 + 0.4 + 10.0, rtol=1e-6)
+    assert list(np.asarray(lu)[0][:int(nu[0])]) == [1]
+    assert float(sm[0]) > float(su[0])
+
+  def test_logsumexp_recombination_accumulates_path_mass(self):
+    """merge='logsumexp': score is the total mass of the label sequence."""
+    vocab = 1
+    context = contexts.FullNGram(vocab_size=vocab, context_size=1)
+    # Two paths reach [1] over 2 frames: emit(a)+blank(d) or blank(c)+
+    # emit(b'); total mass = logaddexp(a + d, c + b').
+    a, c = 0.7, 0.2       # frame-0 lexical/blank from start
+    b2, d = -0.4, 0.5     # frame-1 lexical from start / blank from state 1
+    table = np.array([
+        [[c, a], [-50., -50.]],
+        [[-50., b2], [d, -50.]],
+    ], np.float32)
+    t = np.broadcast_to(table, (1, 2) + table.shape)
+    lattice = last_torch_tpu.RecognitionLattice(
+        context=context,
+        alignment=alignments.FrameDependent(),
+        weight_fn_cacher_factory=lambda ctx: weight_fns.NullCacher(),
+        weight_fn_factory=lambda ctx: weight_fns.TableWeightFn(
+            jnp.asarray(t)))
+    params = lattice.init(jax.random.PRNGKey(0), feature_size=1)
+    frames = jnp.array([[[0.0], [1.0]]])
+    num_frames = jnp.array([2])
+
+    beam = streaming.StreamingBeamDecoder(lattice, beam_size=2,
+                                          max_labels=2, merge='logsumexp')
+    state = beam.step(params, beam.init_state(1), frames, num_frames)
+    bl, bn, bs = beam.best(state)
+    assert list(np.asarray(bl)[0][:int(bn[0])]) == [1]
+    npt.assert_allclose(np.asarray(bs)[0],
+                        np.logaddexp(a + d, c + b2), rtol=1e-6)
+
+    with pytest.raises(ValueError, match='merge'):
+      streaming.StreamingBeamDecoder(lattice, beam_size=2, max_labels=2,
+                                     merge='sum')
+
+  def test_full_hypotheses_stop_extending(self):
+    """At max_labels, lexical extension stops: scores stay consistent
+    with the returned (complete) label sequences."""
+    vocab = 1
+    context = contexts.FullNGram(vocab_size=vocab, context_size=1)
+    # Lexical (+1) always beats blank (0) from every state.
+    table = np.array([[[0.0, 1.0], [0.0, 1.0]]], np.float32)  # [1, S, 2]
+    t = np.broadcast_to(table, (1, 2) + table.shape)
+    lattice = last_torch_tpu.RecognitionLattice(
+        context=context,
+        alignment=alignments.FrameDependent(),
+        weight_fn_cacher_factory=lambda ctx: weight_fns.NullCacher(),
+        weight_fn_factory=lambda ctx: weight_fns.TableWeightFn(
+            jnp.asarray(t)))
+    params = lattice.init(jax.random.PRNGKey(0), feature_size=1)
+    frames = jnp.zeros((1, 4, 1))
+    num_frames = jnp.array([4])
+
+    beam = streaming.StreamingBeamDecoder(lattice, beam_size=2,
+                                          max_labels=2)
+    state = beam.step(params, beam.init_state(1), frames, num_frames)
+    bl, bn, bs = beam.best(state)
+    # Two labels (+1 each) then two forced blanks (0): score 2, not 4.
+    assert int(bn[0]) == 2
+    npt.assert_array_equal(np.asarray(bl)[0], [1, 1])
+    npt.assert_allclose(np.asarray(bs)[0], 2.0, rtol=1e-6)
+
   def test_nbest_sorted_and_consistent_with_best(self):
     lattice = build(alignments.FrameDependent())
     params = lattice.init(jax.random.PRNGKey(0), feature_size=5)

@@ -28,6 +28,37 @@ def tiny_data_config():
       vocab_size=4)
 
 
+def test_process_local_slice():
+  # 4 hosts x global batch 32: contiguous even slices.
+  slices = [train.process_local_slice(32, 4, i) for i in range(4)]
+  assert slices == [(0, 8), (8, 8), (16, 8), (24, 8)]
+  # Single process: the whole batch.
+  assert train.process_local_slice(8, 1, 0) == (0, 8)
+  # Uneven splits are an error (device steps need identical shapes).
+  import pytest
+  with pytest.raises(ValueError, match='divisible'):
+    train.process_local_slice(10, 4, 0)
+
+
+def test_maybe_initialize_distributed_is_noop_without_coordinator(
+    monkeypatch):
+  monkeypatch.delenv('JAX_COORDINATOR_ADDRESS', raising=False)
+  monkeypatch.delenv('COORDINATOR_ADDRESS', raising=False)
+  assert not train.maybe_initialize_distributed()
+  # With a coordinator configured, the standard initialize call is made
+  # with env-derived arguments (stubbed: no real cluster in tests).
+  calls = {}
+  monkeypatch.setattr(
+      'jax.distributed.initialize',
+      lambda **kw: calls.update(kw))
+  monkeypatch.setenv('COORDINATOR_ADDRESS', 'localhost:1234')
+  monkeypatch.setenv('NUM_PROCESSES', '2')
+  monkeypatch.setenv('PROCESS_ID', '1')
+  assert train.maybe_initialize_distributed()
+  assert calls == {'coordinator_address': 'localhost:1234',
+                   'num_processes': 2, 'process_id': 1}
+
+
 def test_synthetic_batches_shapes():
   config = tiny_data_config()
   batch = next(train.synthetic_batches(config))

@@ -154,3 +154,75 @@ def test_label_weights_fast_path_matches_generic():
         params=params, cache=cache, frames=frames, num_frames=num_frames,
         labels=labels, num_labels=num_labels, semiring=semiring)
     npt.assert_allclose(fast, slow, rtol=1e-5, atol=1e-6)
+
+
+import pytest
+
+
+@pytest.mark.parametrize('normalize_fn', [weight_fns.hat_normalize,
+                                          weight_fns.log_softmax_normalize])
+def test_locally_normalized_label_weights_matches_generic(normalize_fn):
+  """LocallyNormalizedWeightFn.label_weights == the generic route.
+
+  The numerator-only (HAT-style) loss is the cheap training path; the fast
+  path computes the per-(position, frame) normalizer once and gathers the
+  label column from the same logits.
+  """
+  context = contexts.FullNGram(vocab_size=3, context_size=1)
+
+  class NoFastPath(weight_fns.LocallyNormalizedWeightFn):
+
+    def label_weights(self, params, cache, frames, states, next_labels):
+      return None
+
+  def make(wrapper_cls):
+    return last_torch_tpu.RecognitionLattice(
+        context=context,
+        alignment=alignments.FrameLabelDependent(max_expansions=2),
+        weight_fn_cacher_factory=lambda ctx: weight_fns.SharedEmbCacher(
+            num_context_states=ctx.shape()[0], embedding_size=8),
+        weight_fn_factory=lambda ctx: wrapper_cls(
+            weight_fns.JointWeightFn(vocab_size=ctx.shape()[1],
+                                     hidden_size=8),
+            normalize=normalize_fn))
+
+  fast_lattice = make(weight_fns.LocallyNormalizedWeightFn)
+  slow_lattice = make(NoFastPath)
+  params = fast_lattice.init(jax.random.PRNGKey(0), feature_size=4)
+
+  frames = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 4))
+  num_frames = jnp.array([5, 3])
+  labels = jnp.array([[1, 3, 2], [2, 1, 0]])
+  num_labels = jnp.array([3, 2])
+
+  # Sanity: the fast path actually fires for this configuration.
+  cache = fast_lattice.build_cache(params)
+  assert fast_lattice.weight_fn.label_weights(
+      params['weight_fn'], cache, frames,
+      jnp.zeros((2, 4), jnp.int32), jnp.ones((2, 4), jnp.int32)) is not None
+
+  # Loss (numerator-only for locally normalized) and its gradients agree.
+  def loss(lattice, p):
+    return jnp.sum(lattice(p, frames, num_frames, labels, num_labels))
+
+  vf, gf = jax.value_and_grad(lambda p: loss(fast_lattice, p))(params)
+  vs, gs = jax.value_and_grad(lambda p: loss(slow_lattice, p))(params)
+  npt.assert_allclose(vf, vs, rtol=1e-5, atol=1e-6)
+  jax.tree.map(
+      lambda a, b: npt.assert_allclose(a, b, rtol=1e-4, atol=1e-6), gf, gs)
+
+
+def test_locally_normalized_label_weights_gating():
+  """Non-Joint inner weight fns and custom normalizers fall back."""
+  table = jnp.zeros((2, 3, 2, 4))
+  wrapped_table = weight_fns.LocallyNormalizedWeightFn(
+      weight_fns.TableWeightFn(table))
+  assert wrapped_table.label_weights({}, None, jnp.zeros((2, 5, 4)),
+                                     jnp.zeros((2, 3), jnp.int32),
+                                     jnp.ones((2, 3), jnp.int32)) is None
+  custom = weight_fns.LocallyNormalizedWeightFn(
+      weight_fns.JointWeightFn(vocab_size=3, hidden_size=8),
+      normalize=lambda b, l: (b, l))
+  assert custom.label_weights({}, None, jnp.zeros((2, 5, 4)),
+                              jnp.zeros((2, 3), jnp.int32),
+                              jnp.ones((2, 3), jnp.int32)) is None
