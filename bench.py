@@ -181,6 +181,35 @@ def bench_secondary():
   p50 = time_fn(sp5, params5, b5['frames'])
   results['5_decode_ms'] = round(p50 * 1e3, 1)
   results['5_decode_frames_per_sec'] = round(32 * 1600 / p50)
+
+  # Config 7: locally-normalized (HAT) training at headline shapes — the
+  # numerator-only loss via the LocallyNormalizedWeightFn fast path.
+  lattice7, params7 = build_lattice(vocab=1024, locally_normalized=True)
+  b7 = make_batch(32, 1600, 100, 1024)
+  hat_fn = jax.jit(jax.value_and_grad(lambda p, f: jnp.sum(
+      lattice7(p, f, b7['num_frames'], b7['labels'], b7['num_labels']))))
+  p50 = time_fn(lambda p, f: hat_fn(p, f)[0], params7, b7['frames'])
+  results['7_hat_train_ms'] = round(p50 * 1e3, 1)
+  results['7_hat_train_frames_per_sec'] = round(32 * 1600 / p50)
+
+  # Config 8: per-frame label posteriors (confidence API) at headline
+  # shapes — the fused marginals kernel.
+  lm_fn = jax.jit(lambda p, f: sum(
+      jnp.sum(x) for x in lattice5.label_marginals(p, f, b5['num_frames'])))
+  p50 = time_fn(lm_fn, params5, b5['frames'])
+  results['8_label_marginals_ms'] = round(p50 * 1e3, 1)
+
+  # Config 9: V=4096 bigram loss fwd+bwd (16x the headline lexical work)
+  # via the vocab-tiled online kernels — beyond the reference-library
+  # VMEM-cache ceiling; reduced batch/T keep the bench step bounded.
+  lattice9, params9 = build_lattice(vocab=4096)
+  b9 = make_batch(8, 200, 50, 4096)
+  loss9 = jax.jit(jax.value_and_grad(lambda p, f: jnp.sum(
+      lattice9(p, f, b9['num_frames'], b9['labels'], b9['num_labels']))))
+  p50 = time_fn(lambda p, f: loss9(p, f)[0], params9, b9['frames'],
+                iters=2)
+  results['9_v4096_loss_ms'] = round(p50 * 1e3, 1)
+  results['9_v4096_frames_per_sec'] = round(8 * 200 / p50)
   return results
 
 

@@ -379,6 +379,77 @@ class RecognitionLattice(Generic[T]):
         lexical_marginals: (carry, (blank_marginal, lexical_marginals)))
     return marginals
 
+  def label_marginals(self, params, frames, num_frames, cache=None):
+    """Per-frame label and blank posteriors (production confidence API).
+
+    The state-summed projection of ``arc_marginals``: how much posterior
+    mass emits each lexical label at each frame, and how much takes the
+    blank arc out of each context state. Unlike the dense
+    ``arc_marginals`` (O(T * S * V) output — 215 GB at the headline
+    config, physically unmaterializable), these outputs are O(T * (S +
+    V)) and the computation runs in the fused kernels on TPU at
+    near-decode speed.
+
+    Args:
+      params: Parameter pytree from ``init``.
+      frames: [batch_dims..., max_num_frames, feature_size] padded frames.
+      num_frames: [batch_dims...] number of frames.
+      cache: Optional weight function cache data.
+
+    Returns:
+      (blank_marginals, label_marginals):
+      - blank_marginals: [batch_dims..., max_num_frames,
+        num_context_states] posterior of the blank arc leaving each
+        context state at each frame (summed over alignment expansions).
+      - label_marginals: [batch_dims..., max_num_frames, vocab_size]
+        posterior of emitting label y+1 at each frame, summed over
+        source context states and expansions.
+      Padding frames have all-zero posteriors; at each valid frame the
+      blank and label posteriors together sum to the expected number of
+      arcs taken (exactly 1 for FrameDependent).
+    """
+    if cache is None:
+      cache = self.build_cache(params)
+
+    if self.fused != 'never':
+      from last_torch_tpu.ops import fused_scan
+      backend = ('interpret' if self.fused == 'interpret' else
+                 jax.default_backend())
+      if fused_scan.marginals_supported(self, frames, backend):
+        self._last_path = 'fused'
+        frame_dependent = isinstance(self.alignment,
+                                     alignments.FrameDependent)
+        return fused_scan.fused_label_marginals(
+            params['weight_fn'], cache, frames,
+            jnp.asarray(num_frames, jnp.int32),
+            max_expansions=(0 if frame_dependent else
+                            self.alignment.max_expansions),
+            frame_dependent=frame_dependent,
+            num_context_states=self.context.shape()[0],
+            compute_dtype=(jnp.float32 if self.fused == 'interpret' else
+                           jnp.bfloat16),
+            interpret=self.fused == 'interpret')
+
+    log_z, alpha_history = self._forward(
+        params=params,
+        cache=cache,
+        frames=frames,
+        num_frames=num_frames,
+        semiring=semirings.Log,
+        allow_fused=False)
+    _, marginals = self._backward(
+        params=params,
+        cache=cache,
+        frames=frames,
+        num_frames=num_frames,
+        log_z=log_z,
+        alpha_0_to_T_minus_1=alpha_history,
+        init_callback_carry=None,
+        callback=lambda weight_vjp_fn, carry, blank_marginal,
+        lexical_marginals: (carry, (blank_marginal,
+                                    jnp.sum(lexical_marginals, axis=-2))))
+    return marginals
+
   def shortest_distance(self, params, frames, num_frames, semiring=None,
                         cache=None, weight_lift: WeightLift = None):
     """Shortest distance over all paths in the recognition lattice.

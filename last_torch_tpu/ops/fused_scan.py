@@ -430,6 +430,613 @@ def _fused_backward_kernel(
     dbb_ref[0, 0] = dbb_scr[0, 0]
 
 
+def _fused_marginals_kernel(
+    # Inputs (time-reversed index maps, as in _fused_backward_kernel).
+    is_pad_ref,     # [1, 1, Bt, 1] int32
+    logz_ref,       # [1, Bt, 1] f32
+    pf_ref,         # [1, 1, Bt, h]
+    pc_ref,         # [S_pad, h]
+    vw_ref,         # [h, V]
+    vb_ref,         # [1, V]
+    bw_ref,         # [h, 1]
+    bb_ref,         # [1, 1] SMEM
+    hist_ref,       # [1, 1, Bt, S_pad]
+    # Outputs.
+    bm_ref,         # [1, 1, Bt, S_pad] blank posteriors for this frame
+    lex_ref,        # [1, 1, Bt, V] label posteriors (summed over states)
+    # Scratch.
+    beta_scr,       # [num_b_tiles, Bt, S_pad] f32
+    blank_scr,      # [Bt, S_pad] f32
+    lex_scr,        # [Bt * S_pad, V] exp cache (2-D layout)
+    *,
+    batch_tile: int,
+    s_tile: int,
+    num_s_tiles: int,
+    max_expansions: int,
+    frame_dependent: bool,
+    compute_dtype,
+    cache_dtype,
+    num_real_states: int,
+):
+  """Reverse scan emitting per-frame arc posteriors instead of gradients.
+
+  Identical recurrence to ``_fused_backward_kernel`` (alpha replay, beta
+  chain, rank-1-factored marginals over the exp cache) but with an
+  identity cotangent and no head/tanh backward: the per-frame outputs are
+  the blank-arc posterior per context state and the lexical posterior per
+  label SUMMED over source context states — the production confidence
+  quantities. The full dense [T, S, V] lexical posterior is deliberately
+  not emitted: at production shapes it does not fit in HBM (headline
+  config: 32*1600*1025*1024 floats = 215 GB); the state-summed posterior
+  is the per-tile matvec ``ws_j @ E`` the backward already computes.
+  """
+  t = pl.program_id(0)
+  b = pl.program_id(1)
+  vocab = vw_ref.shape[-1]
+  s_pad = blank_scr.shape[-1]
+
+  @pl.when(t == 0)
+  def _():
+    beta_scr[b] = jnp.zeros((batch_tile, s_pad), jnp.float32)
+
+  alpha = hist_ref[0, 0]                    # [Bt, S_pad]
+  beta = beta_scr[b]                        # [Bt, S_pad]
+  pf = pf_ref[0, 0]                         # [Bt, h]
+  log_z = logz_ref[0]                       # [Bt, 1]
+  pad = is_pad_ref[0, 0] != 0               # [Bt, 1]
+  vw_c = vw_ref[:].astype(compute_dtype)
+  bw_c = bw_ref[:].astype(compute_dtype)
+
+  def tile_joint(i):
+    pc_t = pc_ref[i * s_tile:(i + 1) * s_tile, :]
+    return jnp.tanh(pc_t[None, :, :] + pf[:, None, :])
+
+  def to_lex_space(x):
+    return pltpu.roll(x, shift=x.shape[1] - 1, axis=1)[:, :vocab]
+
+  # Pass A: recompute the frame's weights; cache E = exp(lex - M).
+  n = batch_tile * s_tile
+  m_tiles = []
+  for i in range(num_s_tiles):
+    joint2d = tile_joint(i).astype(compute_dtype).reshape(n, -1)
+    lex = jax.lax.dot_general(
+        joint2d, vw_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    lex = lex + vb_ref[0][None, :]
+    m2d = jnp.max(lex, axis=1, keepdims=True)
+    lex_scr[i * n:(i + 1) * n, :] = jnp.exp(lex - m2d).astype(cache_dtype)
+    m_tiles.append(m2d.reshape(batch_tile, s_tile))
+    blank = jax.lax.dot_general(
+        joint2d, bw_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    blank_scr[:, i * s_tile:(i + 1) * s_tile] = blank.reshape(
+        batch_tile, s_tile) + bb_ref[0, 0]
+  blank = blank_scr[:, :]
+  col = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1)
+  blank = jnp.where(col < num_real_states, blank, NEG_INF)
+  m_rows = jnp.concatenate(m_tiles, axis=-1)
+
+  def read_exp(i):
+    return lex_scr[i * n:(i + 1) * n, :].astype(jnp.float32).reshape(
+        batch_tile, s_tile, vocab)
+
+  batched_dims_sv = (((2,), (1,)), ((0,), (0,)))
+  batched_dims_vs = (((2,), (2,)), ((0,), (0,)))
+
+  def sweep_reduce(vec):
+    shifted = vec + m_rows
+    c = jnp.max(shifted, axis=1, keepdims=True)
+    c_safe = jnp.where(jnp.isfinite(c), c, 0.0)
+    u = jnp.exp(shifted - c_safe)
+    acc = jnp.zeros((batch_tile, 1, vocab), jnp.float32)
+    for i in range(num_s_tiles):
+      u_t = jax.lax.slice_in_dim(u, i * s_tile, (i + 1) * s_tile, axis=1)
+      acc = acc + jax.lax.dot_general(
+          u_t[:, None, :], read_exp(i), batched_dims_sv,
+          preferred_element_type=jnp.float32)
+    total = acc[:, 0, :]
+    return jnp.where(total == 0, NEG_INF, c_safe + jnp.log(total))
+
+  def sweep_lse_y(nb_lex):
+    d = jnp.max(nb_lex, axis=1, keepdims=True)
+    d_safe = jnp.where(jnp.isfinite(d), d, 0.0)
+    v = jnp.exp(nb_lex - d_safe)[:, None, :]
+    parts = []
+    for i in range(num_s_tiles):
+      w = jax.lax.dot_general(
+          v, read_exp(i), batched_dims_vs,
+          preferred_element_type=jnp.float32)[:, 0, :]
+      m_t = jax.lax.slice_in_dim(m_rows, i * s_tile, (i + 1) * s_tile,
+                                 axis=1)
+      parts.append(
+          jnp.where(w == 0, NEG_INF, m_t + d_safe + jnp.log(w)))
+    return jnp.concatenate(parts, axis=-1)
+
+  def expand(red):
+    pad_cols = jnp.full((batch_tile, s_pad - 1 - vocab), NEG_INF,
+                        jnp.float32)
+    start_col = jnp.full((batch_tile, 1), NEG_INF, jnp.float32)
+    return jnp.concatenate([start_col, red, pad_cols], axis=1)
+
+  if frame_dependent:
+    a_list = [alpha]
+    nbs = [(0, beta)]
+    bm_total = jnp.exp(alpha + blank + beta - log_z)
+    final_nb = jnp.logaddexp(blank + beta, sweep_lse_y(to_lex_space(beta)))
+  else:
+    k = max_expansions
+    a_list = [alpha]
+    for _ in range(k):
+      a_list.append(expand(sweep_reduce(a_list[-1])))
+    bm_total = jnp.zeros_like(alpha)
+    for j in range(k + 1):
+      bm_total = bm_total + jnp.exp(a_list[j] + blank + beta - log_z)
+    nbs = []
+    nb = blank + beta
+    for i in range(k):
+      j = k - 1 - i
+      nbs.append((j, nb))
+      nb = jnp.logaddexp(blank + beta, sweep_lse_y(to_lex_space(nb)))
+    final_nb = nb
+
+  # Label posteriors: per factor j the state-sum of the rank-1-scaled
+  # marginal tile is a single matvec, sum_s ws_j[s] * E[s, y], times wy_j.
+  lex_total = jnp.zeros((batch_tile, vocab), jnp.float32)
+  for (j, nb_j) in nbs:
+    shifted = a_list[j] + m_rows
+    a_max = jnp.max(shifted, axis=1, keepdims=True)
+    a_max = jnp.where(jnp.isfinite(a_max), a_max, 0.0)
+    ws = jnp.exp(shifted - a_max)
+    wy = jnp.exp(jnp.minimum(to_lex_space(nb_j) + a_max - log_z, 80.0))
+    acc = jnp.zeros((batch_tile, 1, vocab), jnp.float32)
+    for i in range(num_s_tiles):
+      ws_t = jax.lax.slice_in_dim(ws, i * s_tile, (i + 1) * s_tile, axis=1)
+      acc = acc + jax.lax.dot_general(
+          ws_t[:, None, :], read_exp(i), batched_dims_sv,
+          preferred_element_type=jnp.float32)
+    lex_total = lex_total + acc[:, 0, :] * wy
+
+  bm_ref[0, 0] = jnp.where(pad, 0.0, bm_total)
+  lex_ref[0, 0] = jnp.where(pad, 0.0, lex_total)
+  beta_scr[b] = jnp.where(pad, beta, final_nb)
+
+
+def _online_forward_kernel(
+    # Inputs.
+    is_pad_ref,     # [1, 1, 1, Bt] int32
+    pf_ref,         # [1, Bt, h]
+    pc_ref,         # [S_pad, h]
+    vw_ref,         # [h, V]
+    vb_ref,         # [1, V]
+    bw_ref,         # [h, 1]
+    bb_ref,         # [1, 1] SMEM
+    alpha0_ref,     # [Bt, S_pad]
+    # Outputs.
+    hist_ref,       # [1, Bt, S_pad]
+    alpha_out_ref,  # [Bt, S_pad]
+    # Scratch.
+    alpha_scr,      # [B_pad, S_pad]
+    blank_scr,      # [Bt, S_pad]
+    m_scr,          # [Bt, V] running max of the online reduction
+    acc_scr,        # [Bt, V] running scaled sum
+    *,
+    batch_tile: int,
+    s_tile: int,
+    num_s_tiles: int,
+    v_tile: int,
+    num_v_tiles: int,
+    max_expansions: int,
+    frame_dependent: bool,
+    compute_dtype,
+):
+  """Large-vocabulary fused forward scan: vocab-tiled, no on-chip cache.
+
+  When the exp-space lexical cache of ``_fused_forward_kernel`` cannot fit
+  VMEM (bigram vocabularies beyond ~1500), each within-frame semiring
+  reduction instead streams (state-tile, vocab-tile) lexical blocks
+  straight off the MXU and folds them into flash-style online logsumexp
+  accumulators — running max ``m`` and scaled sum per destination label.
+  VMEM stays O(B*S + (S+V)*h) regardless of V; the cost is one full
+  joint/vocab-head matmul pass per within-frame reduction (k passes per
+  frame for FrameLabelDependent(k)) instead of one per frame.
+
+  The running accumulators live in VMEM scratch and are updated tile by
+  tile: carrying them as SSA values across the fully unrolled
+  (state-tile x vocab-tile) loop makes Mosaic's register allocator give
+  every iteration its own spill slot (measured: 152 MB of spill slots at
+  V=2048 — compile-time VMEM OOM).
+  """
+  t = pl.program_id(0)
+  b = pl.program_id(1)
+  b_start = b * batch_tile
+
+  @pl.when(t == 0)
+  def _():
+    alpha_scr[pl.ds(b_start, batch_tile), :] = alpha0_ref[:]
+
+  alpha = alpha_scr[pl.ds(b_start, batch_tile), :]  # [Bt, S_pad]
+  hist_ref[0] = alpha
+  pf = pf_ref[0]  # [Bt, h]
+  bw = bw_ref[:].astype(compute_dtype)
+
+  def tile_joint(i):
+    pc_t = pc_ref[i * s_tile:(i + 1) * s_tile, :]
+    joint = jnp.tanh(pc_t[None, :, :] + pf[:, None, :])
+    return joint.astype(compute_dtype).reshape(batch_tile * s_tile, -1)
+
+  def online_reduce(vec, want_blank):
+    """red[b, y] = logsumexp_s(vec[b, s] + lex[b, s, y]), streamed.
+
+    Loops state tiles outer (one joint recompute each), vocab tiles
+    inner; the per-label running (max, scaled-sum) accumulators live in
+    VMEM scratch. Optionally also produces the frame's blank weights
+    (first pass only).
+    """
+    m_scr[:] = jnp.full((batch_tile, m_scr.shape[-1]), NEG_INF,
+                        jnp.float32)
+    acc_scr[:] = jnp.zeros((batch_tile, acc_scr.shape[-1]), jnp.float32)
+    for i in range(num_s_tiles):
+      joint2d = tile_joint(i)
+      if want_blank:
+        blank2d = jax.lax.dot_general(
+            joint2d, bw, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        blank_scr[:, i * s_tile:(i + 1) * s_tile] = blank2d.reshape(
+            batch_tile, s_tile) + bb_ref[0, 0]
+      vec_t = jax.lax.slice_in_dim(vec, i * s_tile, (i + 1) * s_tile,
+                                   axis=1)
+      for v in range(num_v_tiles):
+        vw_t = vw_ref[:, v * v_tile:(v + 1) * v_tile].astype(compute_dtype)
+        lex2d = jax.lax.dot_general(
+            joint2d, vw_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        lex2d = lex2d + vb_ref[:, v * v_tile:(v + 1) * v_tile]
+        lex = lex2d.reshape(batch_tile, s_tile, v_tile)
+        chunk = vec_t[:, :, None] + lex
+        cm = jnp.max(chunk, axis=1)                 # [Bt, v_tile]
+        m_old = m_scr[:, v * v_tile:(v + 1) * v_tile]
+        new_m = jnp.maximum(m_old, cm)
+        safe = jnp.where(jnp.isfinite(new_m), new_m, 0.0)
+        acc_scr[:, v * v_tile:(v + 1) * v_tile] = (
+            acc_scr[:, v * v_tile:(v + 1) * v_tile] *
+            jnp.exp(m_old - safe) +
+            jnp.sum(jnp.exp(chunk - safe[:, None, :]), axis=1))
+        m_scr[:, v * v_tile:(v + 1) * v_tile] = new_m
+    m_all = m_scr[:, :]
+    acc_all = acc_scr[:, :]
+    red = jnp.where(acc_all == 0, NEG_INF,
+                    jnp.where(jnp.isfinite(m_all), m_all, 0.0) +
+                    jnp.log(acc_all))               # [Bt, V]
+    blank = blank_scr[:, :] if want_blank else None
+    return red, blank
+
+  def expand(red):
+    s_pad = alpha.shape[-1]
+    vocab = red.shape[-1]
+    pad_cols = jnp.full((batch_tile, s_pad - 1 - vocab), NEG_INF,
+                        jnp.float32)
+    start_col = jnp.full((batch_tile, 1), NEG_INF, jnp.float32)
+    return jnp.concatenate([start_col, red, pad_cols], axis=1)
+
+  if frame_dependent:
+    red, blank = online_reduce(alpha, True)
+    alpha_new = jnp.logaddexp(alpha + blank, expand(red))
+  else:
+    red, blank = online_reduce(alpha, True)
+    acc = alpha + blank
+    last = expand(red)
+    for i in range(1, max_expansions + 1):
+      acc = jnp.logaddexp(acc, last + blank)
+      if i < max_expansions:
+        red, _ = online_reduce(last, False)
+        last = expand(red)
+    alpha_new = acc
+
+  is_pad = is_pad_ref[0, 0, 0, :][:, None] != 0
+  alpha_new = jnp.where(is_pad, alpha, alpha_new)
+  alpha_scr[pl.ds(b_start, batch_tile), :] = alpha_new
+  alpha_out_ref[:] = alpha_new
+
+
+def _online_backward_kernel(
+    # Inputs (time-reversed index maps).
+    is_pad_ref,     # [1, 1, Bt, 1] int32
+    logz_ref,       # [1, Bt, 1] f32
+    g_ref,          # [1, Bt, 1] f32
+    pf_ref,         # [1, 1, Bt, h]
+    pc_ref,         # [S_pad, h]
+    vw_ref,         # [h, V]
+    vb_ref,         # [1, V]
+    bw_ref,         # [h, 1]
+    bwt_ref,        # [1, h]
+    bb_ref,         # [1, 1] SMEM
+    hist_ref,       # [1, 1, Bt, S_pad]
+    # Outputs.
+    dpf_ref,        # [1, 1, Bt, h]
+    dpc_ref,        # [S_pad, h]
+    dvw_ref,        # [h, V]
+    dvb_ref,        # [1, V]
+    dbw_ref,        # [1, h]
+    dbb_ref,        # [1, 1] SMEM
+    # Scratch.
+    beta_scr,       # [num_b_tiles, Bt, S_pad] f32
+    blank_scr,      # [Bt, S_pad] f32
+    m_scr,          # [Bt, V] f32 online-reduce running max
+    acc_scr,        # [Bt, V] f32 online-reduce running sum
+    nb_scr,         # [Bt, S_pad] f32 lse_y assembly
+    djoint_scr,     # [Bt * s_tile, h] f32 per-s-tile d(joint) accumulator
+    dpc_scr,        # [S_pad, h] f32
+    dvw_scr,        # [h, V] f32
+    dvb_scr,        # [1, V] f32
+    dbw_scr,        # [1, h] f32
+    dbb_scr,        # [1, 1] f32 SMEM
+    *,
+    batch_tile: int,
+    s_tile: int,
+    num_s_tiles: int,
+    v_tile: int,
+    num_v_tiles: int,
+    max_expansions: int,
+    frame_dependent: bool,
+    compute_dtype,
+    num_real_states: int,
+):
+  """Large-vocabulary fused backward: vocab-tiled recomputation.
+
+  Same algorithm as ``_fused_backward_kernel`` (within-frame alpha replay,
+  beta recursion, cotangent-scaled arc marginals pushed through the heads
+  and tanh on-chip) but every lexical access streams (state-tile,
+  vocab-tile) blocks recomputed on the MXU instead of reading the VMEM
+  exp cache. Marginals are formed directly as
+  ``exp(a_j + lex + nb_j - log_z)`` — each exponent is a log arc
+  posterior, <= ~0 up to rounding, so no max-shift dance is needed (the
+  clip guards bfloat16 rounding, never a real value).
+
+  All loop-carried accumulators live in VMEM scratch (see the spill-slot
+  note in ``_online_forward_kernel``).
+  """
+  t = pl.program_id(0)
+  b = pl.program_id(1)
+  s_pad = pc_ref.shape[0]
+  vocab = vw_ref.shape[-1]
+  hidden = pc_ref.shape[-1]
+
+  @pl.when(t == 0)
+  def _():
+    beta_scr[b] = jnp.zeros((batch_tile, s_pad), jnp.float32)
+
+  @pl.when((t == 0) & (b == 0))
+  def _():
+    dpc_scr[:] = jnp.zeros(dpc_scr.shape, jnp.float32)
+    dvw_scr[:] = jnp.zeros(dvw_scr.shape, jnp.float32)
+    dvb_scr[:] = jnp.zeros(dvb_scr.shape, jnp.float32)
+    dbw_scr[:] = jnp.zeros(dbw_scr.shape, jnp.float32)
+    dbb_scr[0, 0] = 0.0
+
+  alpha = hist_ref[0, 0]                    # [Bt, S_pad]
+  beta = beta_scr[b]                        # [Bt, S_pad]
+  pf = pf_ref[0, 0]                         # [Bt, h]
+  log_z = logz_ref[0]                       # [Bt, 1]
+  pad = is_pad_ref[0, 0] != 0               # [Bt, 1]
+  g_eff = jnp.where(pad, 0.0, g_ref[0])     # [Bt, 1]
+  bw_c = bw_ref[:].astype(compute_dtype)
+
+  def tile_joint(i):
+    pc_t = pc_ref[i * s_tile:(i + 1) * s_tile, :]
+    return jnp.tanh(pc_t[None, :, :] + pf[:, None, :])  # [Bt, St, h] f32
+
+  def lex_tile(joint2d, v):
+    vw_t = vw_ref[:, v * v_tile:(v + 1) * v_tile].astype(compute_dtype)
+    lex2d = jax.lax.dot_general(
+        joint2d, vw_t, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    lex2d = lex2d + vb_ref[:, v * v_tile:(v + 1) * v_tile]
+    return lex2d.reshape(batch_tile, s_tile, v_tile)
+
+  def to_lex_space(x):
+    """x[:, 1:1+vocab] via a lane-aligned rotate."""
+    return pltpu.roll(x, shift=x.shape[1] - 1, axis=1)[:, :vocab]
+
+  # Blank pass (one joint sweep; masks padded states semiring-dead as in
+  # _fused_backward_kernel — see the guard comment there).
+  for i in range(num_s_tiles):
+    joint2d = tile_joint(i).astype(compute_dtype).reshape(
+        batch_tile * s_tile, -1)
+    blank2d = jax.lax.dot_general(
+        joint2d, bw_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    blank_scr[:, i * s_tile:(i + 1) * s_tile] = blank2d.reshape(
+        batch_tile, s_tile) + bb_ref[0, 0]
+  col = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1)
+  blank = jnp.where(col < num_real_states, blank_scr[:, :], NEG_INF)
+
+  def online_reduce(vec):
+    """red[b, y] = logsumexp_s(vec[b, s] + lex[b, s, y]), streamed."""
+    m_scr[:] = jnp.full((batch_tile, m_scr.shape[-1]), NEG_INF,
+                        jnp.float32)
+    acc_scr[:] = jnp.zeros((batch_tile, acc_scr.shape[-1]), jnp.float32)
+    for i in range(num_s_tiles):
+      joint2d = tile_joint(i).astype(compute_dtype).reshape(
+          batch_tile * s_tile, -1)
+      vec_t = jax.lax.slice_in_dim(vec, i * s_tile, (i + 1) * s_tile,
+                                   axis=1)
+      for v in range(num_v_tiles):
+        chunk = vec_t[:, :, None] + lex_tile(joint2d, v)
+        cm = jnp.max(chunk, axis=1)
+        m_old = m_scr[:, v * v_tile:(v + 1) * v_tile]
+        new_m = jnp.maximum(m_old, cm)
+        safe = jnp.where(jnp.isfinite(new_m), new_m, 0.0)
+        acc_scr[:, v * v_tile:(v + 1) * v_tile] = (
+            acc_scr[:, v * v_tile:(v + 1) * v_tile] *
+            jnp.exp(m_old - safe) +
+            jnp.sum(jnp.exp(chunk - safe[:, None, :]), axis=1))
+        m_scr[:, v * v_tile:(v + 1) * v_tile] = new_m
+    m_all = m_scr[:, :]
+    acc_all = acc_scr[:, :]
+    return jnp.where(acc_all == 0, NEG_INF,
+                     jnp.where(jnp.isfinite(m_all), m_all, 0.0) +
+                     jnp.log(acc_all))
+
+  def online_lse_y(nb_lex):
+    """out[b, s] = logsumexp_y(lex[b, s, y] + nb_lex[b, y]), streamed."""
+    for i in range(num_s_tiles):
+      joint2d = tile_joint(i).astype(compute_dtype).reshape(
+          batch_tile * s_tile, -1)
+      m_s = jnp.full((batch_tile, s_tile), NEG_INF, jnp.float32)
+      acc_s = jnp.zeros((batch_tile, s_tile), jnp.float32)
+      for v in range(num_v_tiles):
+        nb_t = jax.lax.slice_in_dim(nb_lex, v * v_tile, (v + 1) * v_tile,
+                                    axis=1)
+        chunk = lex_tile(joint2d, v) + nb_t[:, None, :]
+        cm = jnp.max(chunk, axis=2)                 # [Bt, s_tile]
+        new_m = jnp.maximum(m_s, cm)
+        safe = jnp.where(jnp.isfinite(new_m), new_m, 0.0)
+        acc_s = (acc_s * jnp.exp(m_s - safe) +
+                 jnp.sum(jnp.exp(chunk - safe[:, :, None]), axis=2))
+        m_s = new_m
+      nb_scr[:, i * s_tile:(i + 1) * s_tile] = jnp.where(
+          acc_s == 0, NEG_INF,
+          jnp.where(jnp.isfinite(m_s), m_s, 0.0) + jnp.log(acc_s))
+    return nb_scr[:, :]  # [Bt, S_pad]
+
+  def expand(red):
+    pad_cols = jnp.full((batch_tile, s_pad - 1 - vocab), NEG_INF,
+                        jnp.float32)
+    start_col = jnp.full((batch_tile, 1), NEG_INF, jnp.float32)
+    return jnp.concatenate([start_col, red, pad_cols], axis=1)
+
+  if frame_dependent:
+    pairs = [(alpha, to_lex_space(beta))]
+    bm_total = jnp.exp(alpha + blank + beta - log_z)
+    final_nb = jnp.logaddexp(blank + beta,
+                             online_lse_y(to_lex_space(beta)))
+  else:
+    k = max_expansions
+    a_list = [alpha]
+    for _ in range(k):
+      a_list.append(expand(online_reduce(a_list[-1])))
+    bm_total = jnp.zeros_like(alpha)
+    for j in range(k + 1):
+      bm_total = bm_total + jnp.exp(a_list[j] + blank + beta - log_z)
+    pairs = []
+    nb = blank + beta
+    for i in range(k):
+      j = k - 1 - i
+      pairs.append((a_list[j], to_lex_space(nb)))
+      nb = jnp.logaddexp(blank + beta, online_lse_y(to_lex_space(nb)))
+    final_nb = nb
+
+  d_blank_all = g_eff * bm_total            # [Bt, S_pad]
+
+  # Marginal + gradient pass: one streamed sweep forms the
+  # cotangent-scaled arc marginals per tile and pushes them through the
+  # vocab head, blank head and tanh, accumulating into the VMEM grad
+  # scratches (same tile algebra as _fused_backward_kernel pass B).
+  dpf_acc = jnp.zeros((batch_tile, hidden), jnp.float32)
+  n = batch_tile * s_tile
+  for i in range(num_s_tiles):
+    joint = tile_joint(i)                   # [Bt, St, h] f32
+    joint3_c = joint.astype(compute_dtype)
+    joint2d = joint3_c.reshape(n, -1)
+    a_tiles = [
+        jax.lax.slice_in_dim(a_j, i * s_tile, (i + 1) * s_tile, axis=1)
+        for (a_j, _) in pairs
+    ]
+    djoint_scr[:] = jnp.zeros((n, hidden), jnp.float32)
+    for v in range(num_v_tiles):
+      lex = lex_tile(joint2d, v)            # [Bt, St, v_tile]
+      lm = jnp.zeros_like(lex)
+      for (a_t, (_, nb_lex)) in zip(a_tiles, pairs):
+        nb_t = jax.lax.slice_in_dim(nb_lex, v * v_tile, (v + 1) * v_tile,
+                                    axis=1)
+        expo = a_t[:, :, None] + lex + nb_t[:, None, :] - log_z[:, :, None]
+        lm = lm + jnp.exp(jnp.minimum(expo, 60.0))
+      d_lex3 = (g_eff[:, :, None] * lm).astype(compute_dtype)
+      dvw_scr[:, v * v_tile:(v + 1) * v_tile] += jnp.sum(
+          jax.lax.dot_general(
+              joint3_c, d_lex3, (((1,), (1,)), ((0,), (0,))),
+              preferred_element_type=jnp.float32), axis=0)
+      dvb_scr[:, v * v_tile:(v + 1) * v_tile] += jnp.sum(
+          d_lex3.astype(jnp.float32), axis=(0, 1), keepdims=True)[0]
+      vw_t = vw_ref[:, v * v_tile:(v + 1) * v_tile].astype(compute_dtype)
+      djoint_scr[:, :] += jax.lax.dot_general(
+          d_lex3, vw_t, (((2,), (1,)), ((), ())),
+          preferred_element_type=jnp.float32).reshape(n, hidden)
+    d_blank3 = jax.lax.slice_in_dim(d_blank_all, i * s_tile,
+                                    (i + 1) * s_tile, axis=1)[:, :, None]
+    dbw_scr[:, :] += jnp.sum(joint * d_blank3, axis=(0, 1), keepdims=True)[0]
+    dbb_scr[0, 0] += jnp.sum(d_blank3)
+    d_joint3 = djoint_scr[:, :].reshape(batch_tile, s_tile, hidden)
+    d_joint3 = d_joint3 + d_blank3 * bwt_ref[:][None, :, :]
+    d_pre = d_joint3 * (1.0 - joint * joint)
+    dpf_acc = dpf_acc + jnp.sum(d_pre, axis=1)
+    dpc_scr[i * s_tile:(i + 1) * s_tile, :] += jnp.sum(d_pre, axis=0)
+
+  dpf_ref[0, 0] = dpf_acc
+  beta_scr[b] = jnp.where(pad, beta, final_nb)
+
+  @pl.when((t == pl.num_programs(0) - 1) & (b == pl.num_programs(1) - 1))
+  def _():
+    dpc_ref[:] = dpc_scr[:]
+    dvw_ref[:] = dvw_scr[:]
+    dvb_ref[:] = dvb_scr[:]
+    dbw_ref[:] = dbw_scr[:]
+    dbb_ref[0, 0] = dbb_scr[0, 0]
+
+
+# VMEM budgets (v5e: 128 MB total; leave room for inputs, double buffers
+# and grad scratches). _CACHE_BUDGET bounds the exp-space lexical cache of
+# the resident-cache kernels at the minimum 8-row batch tile;
+# _ONLINE_BUDGET bounds the (pc, vw, dvw, dpc + casts) working set of the
+# vocab-tiled online kernels, which is O((S + V) * hidden) and V-cache-free.
+_CACHE_BUDGET = 80 * 1024 * 1024
+_ONLINE_BUDGET = 96 * 1024 * 1024
+
+
+def _plan(num_states: int, vocab: int, hidden: int):
+  """Picks the kernel variant for a bigram configuration.
+
+  Returns ('cache', float32) when the exp-space lexical cache fits VMEM
+  (bigram V up to ~1500), ('online', None) for the vocab-tiled streaming
+  kernels (V up to ~9000 at hidden 512), or None when even the online
+  working set cannot fit (fall back to XLA).
+
+  A bfloat16 cache tier was measured and rejected: halving the cache
+  bytes is not enough, because Mosaic's dtype-conversion staging around
+  the cache reads/writes costs ~80 MB of additional scoped VMEM at
+  V=2048 (total 152.7 MB > 128 MB — compile-time OOM on v5e), so any
+  configuration whose f32 cache does not fit goes online instead.
+  """
+  v_pad = _round_up(vocab, _LANES)
+  s_pad = _round_up(max(num_states, 1 + v_pad), _LANES)
+  if 8 * s_pad * v_pad * 4 <= _CACHE_BUDGET:
+    return ('cache', jnp.float32)
+  if (s_pad + v_pad) * hidden * 4 * 2.5 <= _ONLINE_BUDGET:
+    return ('online', None)
+  return None
+
+
+def _choose_v_tile(v_pad: int) -> int:
+  """Largest preferred vocab tile dividing the padded vocabulary."""
+  for vt in (512, 384, 256, 128):
+    if v_pad % vt == 0:
+      return vt
+  return _LANES
+
+
+def _resolve_mode(mode, cache_dtype, num_states, vocab, hidden):
+  """Resolves mode='auto' to a concrete (mode, cache_dtype) pair."""
+  if mode != 'auto':
+    return mode, cache_dtype
+  plan = _plan(num_states, vocab, hidden)
+  if plan is None:
+    raise ValueError(
+        f'no fused-kernel plan for num_states={num_states}, vocab={vocab}, '
+        f'hidden={hidden}; supported() should have gated this call')
+  mode, planned_dtype = plan
+  return mode, (planned_dtype if planned_dtype is not None else cache_dtype)
+
+
 def _pad_vocab(wf_params):
   """Pads the vocab head to a 128-lane multiple.
 
@@ -462,6 +1069,7 @@ def fused_shortest_distance_fwd(wf_params: Any,
                                 s_tile: int = 128,
                                 compute_dtype=jnp.bfloat16,
                                 cache_dtype=jnp.float32,
+                                mode: str = 'auto',
                                 interpret: bool = False):
   """Runs the fused forward scan.
 
@@ -476,6 +1084,11 @@ def fused_shortest_distance_fwd(wf_params: Any,
     batch_tile: Batch tile size (must divide the padded batch).
     s_tile: Context-state tile size.
     compute_dtype: MXU input dtype (bfloat16 for speed, float32 for tests).
+    cache_dtype: VMEM exp-cache dtype ('cache' mode only; bfloat16 halves
+      the cache and doubles the vocab ceiling).
+    mode: 'cache' (VMEM-resident exp-space lexical cache), 'online'
+      (vocab-tiled streaming logsumexp, no cache — for large V), or
+      'auto' (size-based choice via ``_plan``).
     interpret: Run the kernel in interpreter mode (CPU testing).
 
   Returns:
@@ -486,16 +1099,22 @@ def fused_shortest_distance_fwd(wf_params: Any,
   vocab = wf_params['vocab_w'].shape[-1]
   s = num_context_states
   assert s == vocab + 1, 'fused kernel requires bigram FullNGram'
+  mode, cache_dtype = _resolve_mode(
+      mode, cache_dtype, s, vocab, wf_params['frame_proj'].shape[-1])
   wf_params, vocab = _pad_vocab(wf_params)
   # expand() writes the padded label block into states 1..vocab.
   s_pad = _round_up(max(s, 1 + vocab), s_tile)
   if not batch_tile:
-    # The on-chip E cache is [batch_tile * S_pad, V_pad] floats; size the
-    # batch tile to keep it within ~80MB of VMEM (16 rows at the headline
-    # config — measured ~2% faster end-to-end than 8 on v5e).
-    cache_bytes = s_pad * vocab * jnp.dtype(cache_dtype).itemsize
-    batch_tile = max(8, min(32, (80 * 1024 * 1024) // max(cache_bytes, 1)
-                            // 8 * 8))
+    if mode == 'cache':
+      # The on-chip E cache is [batch_tile * S_pad, V_pad] floats; size
+      # the batch tile to keep it within ~80MB of VMEM (16 rows at the
+      # headline config — measured ~2% faster end-to-end than 8 on v5e).
+      cache_bytes = s_pad * vocab * jnp.dtype(cache_dtype).itemsize
+      batch_tile = max(8, min(32, (80 * 1024 * 1024) // max(cache_bytes, 1)
+                              // 8 * 8))
+    else:
+      # Online mode keeps no O(S*V) state; 8 rows per tile.
+      batch_tile = 8
     # Never pad a small batch up to the tile: cap at the 8-row-aligned
     # true batch so e.g. B=4 runs one 8-row tile, not a 16-row one.
     batch_tile = min(batch_tile, _round_up(batch, 8))
@@ -528,15 +1147,39 @@ def fused_shortest_distance_fwd(wf_params: Any,
   num_b_tiles = b_pad // batch_tile
   num_s_tiles = s_pad // s_tile
 
-  kernel = functools.partial(
-      _fused_forward_kernel,
-      batch_tile=batch_tile,
-      s_tile=s_tile,
-      num_s_tiles=num_s_tiles,
-      max_expansions=max_expansions,
-      frame_dependent=frame_dependent,
-      compute_dtype=compute_dtype,
-      cache_dtype=cache_dtype)
+  if mode == 'cache':
+    kernel = functools.partial(
+        _fused_forward_kernel,
+        batch_tile=batch_tile,
+        s_tile=s_tile,
+        num_s_tiles=num_s_tiles,
+        max_expansions=max_expansions,
+        frame_dependent=frame_dependent,
+        compute_dtype=compute_dtype,
+        cache_dtype=cache_dtype)
+    scratch_shapes = [
+        pltpu.VMEM((b_pad, s_pad), jnp.float32),
+        pltpu.VMEM((batch_tile, s_pad), jnp.float32),
+        pltpu.VMEM((batch_tile * s_pad, vocab), cache_dtype),
+    ]
+  else:
+    v_tile = _choose_v_tile(vocab)
+    kernel = functools.partial(
+        _online_forward_kernel,
+        batch_tile=batch_tile,
+        s_tile=s_tile,
+        num_s_tiles=num_s_tiles,
+        v_tile=v_tile,
+        num_v_tiles=vocab // v_tile,
+        max_expansions=max_expansions,
+        frame_dependent=frame_dependent,
+        compute_dtype=compute_dtype)
+    scratch_shapes = [
+        pltpu.VMEM((b_pad, s_pad), jnp.float32),
+        pltpu.VMEM((batch_tile, s_pad), jnp.float32),
+        pltpu.VMEM((batch_tile, vocab), jnp.float32),
+        pltpu.VMEM((batch_tile, vocab), jnp.float32),
+    ]
 
   hist, alpha_t = pl.pallas_call(
       kernel,
@@ -560,11 +1203,7 @@ def fused_shortest_distance_fwd(wf_params: Any,
           jax.ShapeDtypeStruct((max_t, b_pad, s_pad), jnp.float32),
           jax.ShapeDtypeStruct((b_pad, s_pad), jnp.float32),
       ],
-      scratch_shapes=[
-          pltpu.VMEM((b_pad, s_pad), jnp.float32),
-          pltpu.VMEM((batch_tile, s_pad), jnp.float32),
-          pltpu.VMEM((batch_tile * s_pad, vocab), cache_dtype),
-      ],
+      scratch_shapes=scratch_shapes,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,
@@ -592,17 +1231,21 @@ def log_partition(wf_params: Any,
                   s_tile: int = 128,
                   compute_dtype=jnp.bfloat16,
                   cache_dtype=jnp.float32,
+                  mode: str = 'auto',
                   interpret: bool = False):
   """Differentiable log-partition (denominator) via the fused kernel pair.
 
   Forward: the fused scan kernel (alpha in VMEM, no lexical HBM traffic).
-  Backward: the fused backward kernel — per frame it recomputes and CACHES
-  the lexical block in VMEM, runs the within-frame expansion sweeps from
-  the cache, forms the (cotangent-scaled) arc marginals and pushes them
-  through the joint-network heads and tanh on-chip; only the per-frame
-  d(projected frame) and the small parameter-gradient accumulators leave
-  the core. The XLA backward materializes ~10 [B, S, V] HBM temporaries
-  per frame; this kernel materializes none.
+  Backward ('cache' mode): the fused backward kernel — per frame it
+  recomputes and CACHES the lexical block in VMEM, runs the within-frame
+  expansion sweeps from the cache, forms the (cotangent-scaled) arc
+  marginals and pushes them through the joint-network heads and tanh
+  on-chip; only the per-frame d(projected frame) and the small
+  parameter-gradient accumulators leave the core. The XLA backward
+  materializes ~10 [B, S, V] HBM temporaries per frame; this kernel
+  materializes none. 'online' mode (large vocabularies) streams
+  vocab-tiled lexical blocks instead of caching — see
+  ``_online_backward_kernel``.
 
   Returns [batch] log Z; gradients flow to wf_params, cache and frames.
   """
@@ -610,16 +1253,22 @@ def log_partition(wf_params: Any,
   batch, max_t, _ = frames.shape
   true_vocab = wf_params['vocab_w'].shape[-1]
   s = num_context_states
+  hidden = wf_params['frame_proj'].shape[-1]
+  mode, cache_dtype = _resolve_mode(mode, cache_dtype, s, true_vocab,
+                                    hidden)
   vocab = _round_up(true_vocab, _LANES)  # static; padded in fn_bwd
   # Auto-tune (measured on v5e): when the padded state count divides into
   # 384-wide tiles, fewer/larger reduction matvecs and batch tile 8 are
   # ~4% faster end-to-end and still fit VMEM.
-  if (s_tile == 128 and bwd_batch_tile == 4 and
+  if (mode == 'cache' and s_tile == 128 and bwd_batch_tile == 4 and
       _round_up(max(s, 1 + vocab), 128) % 384 == 0):
     s_tile = 384
     bwd_batch_tile = 8
+  if mode == 'online' and bwd_batch_tile == 4:
+    # The online backward keeps no O(S*V) VMEM state; larger batch tiles
+    # amortize the per-tile joint recomputation.
+    bwd_batch_tile = 8
   s_pad = _round_up(max(s, 1 + vocab), s_tile)
-  hidden = wf_params['frame_proj'].shape[-1]
 
   def prepare(wf_params, cache, frames, num_frames, tile):
     b_pad = _round_up(batch, tile)
@@ -644,6 +1293,8 @@ def log_partition(wf_params: Any,
         batch_tile=batch_tile,
         s_tile=s_tile,
         compute_dtype=compute_dtype,
+        cache_dtype=cache_dtype,
+        mode=mode,
         interpret=interpret)
 
   @jax.custom_vjp
@@ -677,16 +1328,41 @@ def log_partition(wf_params: Any,
                                                         1)
     g_b = jnp.pad(g, (0, b_pad - batch)).reshape(num_b_tiles, tile, 1)
 
-    kernel = functools.partial(
-        _fused_backward_kernel,
-        batch_tile=tile,
-        s_tile=s_tile,
-        num_s_tiles=num_s_tiles,
-        max_expansions=max_expansions,
-        frame_dependent=frame_dependent,
-        compute_dtype=compute_dtype,
-        cache_dtype=cache_dtype,
-        num_real_states=s)
+    if mode == 'cache':
+      kernel = functools.partial(
+          _fused_backward_kernel,
+          batch_tile=tile,
+          s_tile=s_tile,
+          num_s_tiles=num_s_tiles,
+          max_expansions=max_expansions,
+          frame_dependent=frame_dependent,
+          compute_dtype=compute_dtype,
+          cache_dtype=cache_dtype,
+          num_real_states=s)
+      extra_scratch = [
+          pltpu.VMEM((tile, s_pad), jnp.float32),
+          pltpu.VMEM((tile * s_pad, vocab), cache_dtype),
+      ]
+    else:
+      v_tile = _choose_v_tile(vocab)
+      kernel = functools.partial(
+          _online_backward_kernel,
+          batch_tile=tile,
+          s_tile=s_tile,
+          num_s_tiles=num_s_tiles,
+          v_tile=v_tile,
+          num_v_tiles=vocab // v_tile,
+          max_expansions=max_expansions,
+          frame_dependent=frame_dependent,
+          compute_dtype=compute_dtype,
+          num_real_states=s)
+      extra_scratch = [
+          pltpu.VMEM((tile, s_pad), jnp.float32),            # blank
+          pltpu.VMEM((tile, vocab), jnp.float32),            # reduce max
+          pltpu.VMEM((tile, vocab), jnp.float32),            # reduce sum
+          pltpu.VMEM((tile, s_pad), jnp.float32),            # lse_y out
+          pltpu.VMEM((tile * s_tile, hidden), jnp.float32),  # d(joint)
+      ]
 
     padded_params, _ = _pad_vocab(wf_params)
     rev = lambda t: max_t - 1 - t
@@ -728,16 +1404,15 @@ def log_partition(wf_params: Any,
             jax.ShapeDtypeStruct((1, hidden), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((num_b_tiles, tile, s_pad), jnp.float32),
-            pltpu.VMEM((tile, s_pad), jnp.float32),
-            pltpu.VMEM((tile * s_pad, vocab), cache_dtype),
-            pltpu.VMEM((s_pad, hidden), jnp.float32),
-            pltpu.VMEM((hidden, vocab), jnp.float32),
-            pltpu.VMEM((1, vocab), jnp.float32),
-            pltpu.VMEM((1, hidden), jnp.float32),
-            pltpu.SMEM((1, 1), jnp.float32),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((num_b_tiles, tile, s_pad), jnp.float32)] +
+            extra_scratch + [
+                pltpu.VMEM((s_pad, hidden), jnp.float32),
+                pltpu.VMEM((hidden, vocab), jnp.float32),
+                pltpu.VMEM((1, vocab), jnp.float32),
+                pltpu.VMEM((1, hidden), jnp.float32),
+                pltpu.SMEM((1, 1), jnp.float32),
+            ]),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -765,6 +1440,158 @@ def log_partition(wf_params: Any,
 
   fn.defvjp(fn_fwd, fn_bwd)
   return fn(wf_params, cache, frames, num_frames)
+
+
+def fused_label_marginals(wf_params: Any,
+                          cache: jnp.ndarray,
+                          frames: jnp.ndarray,
+                          num_frames: jnp.ndarray,
+                          *,
+                          max_expansions: int,
+                          frame_dependent: bool,
+                          num_context_states: int,
+                          batch_tile: int = 0,
+                          bwd_batch_tile: int = 4,
+                          s_tile: int = 128,
+                          compute_dtype=jnp.bfloat16,
+                          cache_dtype=jnp.float32,
+                          interpret: bool = False):
+  """Per-frame arc posteriors via the fused kernel pair ('cache' mode).
+
+  One fused forward scan plus one reverse marginals scan; no gradient
+  machinery, no O(T*S*V) tensors. Returns:
+
+  - blank_marginals: [B, T, S] posterior of the blank arc leaving each
+    context state at each frame (summed over alignment expansions).
+  - lexical_marginals: [B, T, V] posterior of emitting each label at each
+    frame, summed over source context states and expansions.
+
+  The reference's backward-algorithm marginals (reference
+  ``lattices.py:644-799``) materialize the full [T, S, V] posterior; at
+  production shapes that is hundreds of GB, so this kernel emits the
+  state-summed label posterior — the confidence quantity — while
+  ``RecognitionLattice.arc_marginals`` keeps the dense XLA route for
+  small configurations.
+  """
+  num_frames = jnp.asarray(num_frames, jnp.int32)
+  batch, max_t, _ = frames.shape
+  true_vocab = wf_params['vocab_w'].shape[-1]
+  s = num_context_states
+  hidden = wf_params['frame_proj'].shape[-1]
+  mode, cache_dtype = _resolve_mode('auto', cache_dtype, s, true_vocab,
+                                    hidden)
+  if mode != 'cache':
+    raise ValueError('fused_label_marginals requires the cache-mode plan; '
+                     'gate with marginals_supported()')
+  vocab = _round_up(true_vocab, _LANES)
+  if (s_tile == 128 and bwd_batch_tile == 4 and
+      _round_up(max(s, 1 + vocab), 128) % 384 == 0):
+    s_tile = 384
+    bwd_batch_tile = 8
+  s_pad = _round_up(max(s, 1 + vocab), s_tile)
+
+  log_z, alpha_history = fused_shortest_distance_fwd(
+      wf_params, cache, frames, num_frames,
+      max_expansions=max_expansions,
+      frame_dependent=frame_dependent,
+      num_context_states=s,
+      batch_tile=batch_tile,
+      s_tile=s_tile,
+      compute_dtype=compute_dtype,
+      cache_dtype=cache_dtype,
+      mode='cache',
+      interpret=interpret)
+
+  tile = bwd_batch_tile
+  b_pad = _round_up(batch, tile)
+  num_b_tiles = b_pad // tile
+  num_s_tiles = s_pad // s_tile
+
+  pf = jnp.einsum('btf,fh->tbh', frames, wf_params['frame_proj'],
+                  preferred_element_type=jnp.float32)
+  pc = jnp.pad(cache @ wf_params['context_proj'], ((0, s_pad - s), (0, 0)))
+  is_pad = (jnp.arange(max_t)[:, None] >= num_frames[None, :]).astype(
+      jnp.int32)
+  if b_pad != batch:
+    pf = jnp.pad(pf, ((0, 0), (0, b_pad - batch), (0, 0)))
+    is_pad = jnp.pad(is_pad, ((0, 0), (0, b_pad - batch)),
+                     constant_values=1)
+  pf = pf.reshape(max_t, num_b_tiles, tile, hidden)
+  is_pad = is_pad.reshape(max_t, num_b_tiles, tile, 1)
+  hist = jnp.moveaxis(alpha_history, 1, 0)
+  hist = jnp.pad(hist, ((0, 0), (0, b_pad - batch), (0, s_pad - s)),
+                 constant_values=NEG_INF)
+  hist = hist.reshape(max_t, num_b_tiles, tile, s_pad)
+  logz_b = jnp.pad(log_z, (0, b_pad - batch)).reshape(num_b_tiles, tile, 1)
+
+  kernel = functools.partial(
+      _fused_marginals_kernel,
+      batch_tile=tile,
+      s_tile=s_tile,
+      num_s_tiles=num_s_tiles,
+      max_expansions=max_expansions,
+      frame_dependent=frame_dependent,
+      compute_dtype=compute_dtype,
+      cache_dtype=cache_dtype,
+      num_real_states=s)
+
+  padded_params, _ = _pad_vocab(wf_params)
+  rev = lambda t: max_t - 1 - t
+  bm, lex = pl.pallas_call(
+      kernel,
+      grid=(max_t, num_b_tiles),
+      in_specs=[
+          pl.BlockSpec((1, 1, tile, 1), lambda t, b: (rev(t), b, 0, 0)),
+          pl.BlockSpec((1, tile, 1), lambda t, b: (b, 0, 0)),
+          pl.BlockSpec((1, 1, tile, hidden),
+                       lambda t, b: (rev(t), b, 0, 0)),
+          pl.BlockSpec((s_pad, hidden), lambda t, b: (0, 0)),
+          pl.BlockSpec((hidden, vocab), lambda t, b: (0, 0)),
+          pl.BlockSpec((1, vocab), lambda t, b: (0, 0)),
+          pl.BlockSpec((hidden, 1), lambda t, b: (0, 0)),
+          pl.BlockSpec((1, 1), lambda t, b: (0, 0),
+                       memory_space=pltpu.SMEM),
+          pl.BlockSpec((1, 1, tile, s_pad),
+                       lambda t, b: (rev(t), b, 0, 0)),
+      ],
+      out_specs=[
+          pl.BlockSpec((1, 1, tile, s_pad),
+                       lambda t, b: (rev(t), b, 0, 0)),
+          pl.BlockSpec((1, 1, tile, vocab),
+                       lambda t, b: (rev(t), b, 0, 0)),
+      ],
+      out_shape=[
+          jax.ShapeDtypeStruct((max_t, num_b_tiles, tile, s_pad),
+                               jnp.float32),
+          jax.ShapeDtypeStruct((max_t, num_b_tiles, tile, vocab),
+                               jnp.float32),
+      ],
+      scratch_shapes=[
+          pltpu.VMEM((num_b_tiles, tile, s_pad), jnp.float32),
+          pltpu.VMEM((tile, s_pad), jnp.float32),
+          pltpu.VMEM((tile * s_pad, vocab), cache_dtype),
+      ],
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
+      interpret=interpret,
+  )(is_pad, logz_b, pf, pc, padded_params['vocab_w'],
+    padded_params['vocab_b'][None, :], wf_params['blank_w'][:, None],
+    wf_params['blank_b'][None, None], hist)
+
+  bm = bm.reshape(max_t, b_pad, s_pad)[:, :batch, :s]
+  lex = lex.reshape(max_t, b_pad, vocab)[:, :batch, :true_vocab]
+  return jnp.moveaxis(bm, 0, 1), jnp.moveaxis(lex, 0, 1)
+
+
+def marginals_supported(lattice, frames, backend: str) -> bool:
+  """Whether ``fused_label_marginals`` covers this configuration."""
+  from last_torch_tpu import semirings
+  if not supported(lattice, semirings.Log, None, None, None, frames,
+                   backend):
+    return False
+  num_states, vocab = lattice.context.shape()
+  plan = _plan(num_states, vocab, lattice.weight_fn.hidden_size)
+  return plan is not None and plan[0] == 'cache'
 
 
 def supported(lattice, semiring, blank_mask, lexical_mask, weight_lift,
@@ -806,13 +1633,10 @@ def supported(lattice, semiring, blank_mask, lexical_mask, weight_lift,
     # there (measured: V=16 trainer step 33ms XLA vs 62ms kernels).
     return False
   if backend == 'tpu':
-    # The per-frame exp-space cache at the minimum 8-row batch tile must
-    # fit VMEM (v5e: 128MB total; ~80MB budget leaves room for the other
-    # scratch and temporaries). Beyond that (bigram: vocab ~1500+) the
-    # kernels cannot compile — fall back to the XLA scan.
+    # Some kernel variant must fit VMEM: the float32 exp-space cache up
+    # to bigram vocab ~1500, the vocab-tiled online kernels up to ~9000
+    # (hidden 512). Beyond that, fall back to XLA.
     num_states, vocab = lattice.context.shape()
-    v_pad = _round_up(vocab, _LANES)
-    s_pad = _round_up(max(num_states, 1 + v_pad), _LANES)
-    if 8 * s_pad * v_pad * 4 > 80 * 1024 * 1024:
+    if _plan(num_states, vocab, weight_fn.hidden_size) is None:
       return False
   return True

@@ -287,9 +287,13 @@ def viterbi_decode(wf_params: Any,
       ],
       scratch_shapes=[pltpu.VMEM((b_pad, s_pad), jnp.float32)] + (
           # Lexical-score cache pays off only when a frame runs >= 2
-          # max-passes (FrameLabelDependent with k >= 2).
+          # max-passes (FrameLabelDependent with k >= 2) — and only when
+          # it fits VMEM; large vocabularies recompute instead
+          # (max_pass handles lex_scr=None).
           [pltpu.VMEM((batch_tile * s_pad, vocab), jnp.float32)]
-          if not frame_dependent and max_expansions >= 2 else []),
+          if (not frame_dependent and max_expansions >= 2 and
+              batch_tile * s_pad * vocab * 4 <= fused_scan._CACHE_BUDGET)
+          else []),
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,

@@ -133,18 +133,28 @@ def test_last_path_reports_dispatch():
   assert sub.last_path == 'xla'
 
 
-def test_gating_rejects_vmem_oversized_vocab():
-  """Bigram V=2048's 8-row E cache exceeds VMEM: must fall back to XLA."""
-  big = build_vocab(2048)
-  small = build_vocab(1024)
+def test_vocab_size_plans():
+  """Kernel-variant planning: f32 cache -> bf16 cache -> online -> XLA."""
+  # Headline config: resident f32 exp cache.
+  assert fused_scan._plan(1025, 1024, 512) == ('cache', jnp.float32)
+  # V=2048..8192 bigram: no cache fits (see the bf16 note in _plan);
+  # vocab-tiled online kernels.
+  assert fused_scan._plan(2049, 2048, 512) == ('online', None)
+  assert fused_scan._plan(4097, 4096, 512) == ('online', None)
+  assert fused_scan._plan(8193, 8192, 512) == ('online', None)
+  # Very large hidden x vocab: even the online working set cannot fit.
+  assert fused_scan._plan(16385, 16384, 2048) is None
+
   frames3 = jnp.zeros((2, 3, 6))
+  for v in (1024, 2048, 4096):
+    assert fused_scan.supported(build_vocab(v), semirings.Log, None, None,
+                                None, frames3, 'tpu')
+  big = build_vocab(16384, hidden=2048)
   assert not fused_scan.supported(big, semirings.Log, None, None, None,
                                   frames3, 'tpu')
-  assert fused_scan.supported(small, semirings.Log, None, None, None,
-                              frames3, 'tpu')
 
 
-def build_vocab(v):
+def build_vocab(v, hidden=8):
   context = contexts.FullNGram(vocab_size=v, context_size=1)
   return last_torch_tpu.RecognitionLattice(
       context=context,
@@ -152,7 +162,7 @@ def build_vocab(v):
       weight_fn_cacher_factory=lambda ctx: weight_fns.SharedEmbCacher(
           num_context_states=ctx.shape()[0], embedding_size=8),
       weight_fn_factory=lambda ctx: weight_fns.JointWeightFn(
-          vocab_size=ctx.shape()[1], hidden_size=8))
+          vocab_size=ctx.shape()[1], hidden_size=hidden))
 
 
 @pytest.mark.parametrize('alignment_factory', [
@@ -352,6 +362,127 @@ def test_fuzz_kernel_pair_matches_xla(seed, max_expansions, batch, max_t):
   npt.assert_array_equal(np.asarray(dec_f[0]), np.asarray(dec_x[0]))
   npt.assert_array_equal(np.asarray(dec_f[1]), np.asarray(dec_x[1]))
   npt.assert_allclose(dec_f[2], dec_x[2], rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize('alignment_factory', [
+    alignments.FrameDependent,
+    lambda: alignments.FrameLabelDependent(max_expansions=2),
+])
+def test_online_kernels_match_xla(alignment_factory):
+  """Vocab-tiled online kernels (large-V mode) == XLA values and grads.
+
+  mode='online' is forced at a small vocabulary so the interpreter-mode
+  sweep stays cheap; on hardware the mode engages automatically for
+  bigram vocabularies beyond the VMEM cache ceiling.
+  """
+  xla_lattice = build(alignment_factory(), fused='never')
+  frame_dependent = isinstance(xla_lattice.alignment,
+                               alignments.FrameDependent)
+  params = xla_lattice.init(jax.random.PRNGKey(20), feature_size=6)
+  frames = jax.random.normal(jax.random.PRNGKey(21), (3, 5, 6)) * 2.0
+  num_frames = jnp.array([5, 3, 0])
+  cache = xla_lattice.build_cache(params)
+  s = xla_lattice.context.shape()[0]
+  k = 0 if frame_dependent else xla_lattice.alignment.max_expansions
+
+  # Forward values + alpha history.
+  lz_online, hist_online = fused_scan.fused_shortest_distance_fwd(
+      params['weight_fn'], cache, frames, num_frames,
+      max_expansions=k, frame_dependent=frame_dependent,
+      num_context_states=s, compute_dtype=jnp.float32, mode='online',
+      interpret=True)
+  lz_xla, hist_xla = xla_lattice._forward(
+      params=params, cache=cache, frames=frames, num_frames=num_frames,
+      semiring=semirings.Log)
+  npt.assert_allclose(lz_online, lz_xla, rtol=1e-5, atol=1e-6)
+  npt.assert_allclose(hist_online, hist_xla, rtol=1e-5, atol=1e-6)
+
+  # Backward: full gradient parity through log_partition.
+  def online_total(params, frames):
+    cache = xla_lattice.build_cache(params)
+    return jnp.sum(fused_scan.log_partition(
+        params['weight_fn'], cache, frames, num_frames,
+        max_expansions=k, frame_dependent=frame_dependent,
+        num_context_states=s, compute_dtype=jnp.float32, mode='online',
+        interpret=True))
+
+  def xla_total(params, frames):
+    cache = xla_lattice.build_cache(params)
+    return jnp.sum(xla_lattice._forward_backward(
+        params=params, cache=cache, frames=frames, num_frames=num_frames))
+
+  vo, go = jax.value_and_grad(online_total, argnums=(0, 1))(params, frames)
+  vx, gx = jax.value_and_grad(xla_total, argnums=(0, 1))(params, frames)
+  npt.assert_allclose(vo, vx, rtol=1e-5, atol=1e-6)
+  for a, b in zip(jax.tree.leaves(go), jax.tree.leaves(gx)):
+    npt.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('alignment_factory', [
+    alignments.FrameDependent,
+    lambda: alignments.FrameLabelDependent(max_expansions=2),
+])
+def test_label_marginals_kernel_matches_xla(alignment_factory):
+  """Fused label_marginals == the XLA backward-callback route and the
+  state-sum of dense arc_marginals; posteriors normalize per frame."""
+  fused_lattice = build(alignment_factory(), fused='interpret')
+  xla_lattice = build(alignment_factory(), fused='never')
+  params = fused_lattice.init(jax.random.PRNGKey(30), feature_size=6)
+  frames = jax.random.normal(jax.random.PRNGKey(31), (3, 5, 6)) * 1.5
+  num_frames = jnp.array([5, 3, 0])
+
+  bm_f, lm_f = fused_lattice.label_marginals(params, frames, num_frames)
+  assert fused_lattice.last_path == 'fused'
+  bm_x, lm_x = xla_lattice.label_marginals(params, frames, num_frames)
+  assert xla_lattice.last_path == 'xla'
+  npt.assert_allclose(bm_f, bm_x, rtol=1e-4, atol=1e-6)
+  npt.assert_allclose(lm_f, lm_x, rtol=1e-4, atol=1e-6)
+
+  # Consistency with the dense posteriors.
+  bm_d, lm_d = xla_lattice.arc_marginals(params, frames, num_frames)
+  npt.assert_allclose(np.asarray(lm_d).sum(axis=-2), lm_x, rtol=1e-5,
+                      atol=1e-6)
+  npt.assert_allclose(bm_d, bm_x, rtol=1e-5, atol=1e-6)
+
+  # FrameDependent: exactly one arc per valid frame.
+  if isinstance(fused_lattice.alignment, alignments.FrameDependent):
+    total = np.asarray(bm_f).sum(-1) + np.asarray(lm_f).sum(-1)
+    valid = np.arange(5)[None, :] < np.asarray(num_frames)[:, None]
+    npt.assert_allclose(total[valid], 1.0, rtol=1e-4)
+    npt.assert_allclose(total[~valid], 0.0, atol=1e-6)
+
+
+def test_online_kernels_padded_vocab_long_sequence_no_nan():
+  """The online backward shares the padded-state beta guard."""
+  xla_lattice = build(alignments.FrameLabelDependent(max_expansions=1),
+                      fused='never')
+  params = xla_lattice.init(jax.random.PRNGKey(12), feature_size=6)
+  params['cacher']['embedding'] = 100.0 * jnp.ones_like(
+      params['cacher']['embedding'])
+  params['weight_fn']['blank_b'] = jnp.asarray(-3.0)
+  frames = jax.random.normal(jax.random.PRNGKey(13), (2, 60, 6))
+  num_frames = jnp.array([60, 40])
+  s = xla_lattice.context.shape()[0]
+
+  def online_total(params):
+    cache = xla_lattice.build_cache(params)
+    return jnp.sum(fused_scan.log_partition(
+        params['weight_fn'], cache, frames, num_frames,
+        max_expansions=1, frame_dependent=False,
+        num_context_states=s, compute_dtype=jnp.float32, mode='online',
+        interpret=True))
+
+  def xla_total(params):
+    cache = xla_lattice.build_cache(params)
+    return jnp.sum(xla_lattice._forward_backward(
+        params=params, cache=cache, frames=frames, num_frames=num_frames))
+
+  vo, go = jax.value_and_grad(online_total)(params)
+  vx, gx = jax.value_and_grad(xla_total)(params)
+  npt.assert_allclose(vo, vx, rtol=1e-5)
+  for a, b in zip(jax.tree.leaves(go), jax.tree.leaves(gx)):
+    assert np.all(np.isfinite(np.asarray(a)))
+    npt.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
 
 
 @pytest.mark.parametrize('normalize_fn',
