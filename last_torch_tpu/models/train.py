@@ -177,12 +177,22 @@ def train(model_config: gnat.GNATConfig,
                          'step': int(manager.latest_step())}))
 
   if model_parallel > 1:
-    # Tensor parallelism relies on XLA's auto-partitioner, which cannot
-    # split the fused Pallas kernels; force the XLA lattice path.
-    model.lattice.fused = 'never'
+    from last_torch_tpu.ops import sharded_scan
     mesh = sharding.make_mesh(model_parallel=model_parallel)
-    step_fn, shard_state = sharding.make_sharded_train_step(
-        model, optimizer, mesh)
+    vocab_shard = model_config.vocab_size // model_parallel
+    if (sharded_scan.tp_supported(model.lattice) and
+        model.lattice.fused != 'never' and vocab_shard % 128 == 0):
+      # Vocab-sharded lattice island: per-frame Pallas reduce kernels on
+      # each device's head shard, per-frame reductions over ICI.
+      step_fn, shard_state = sharding.make_tp_train_step(
+          model, optimizer, mesh,
+          interpret=model.lattice.fused == 'interpret')
+    else:
+      # Fallback: XLA auto-partitioner (cannot split the fused Pallas
+      # kernels, so the lattice takes the XLA scan path).
+      model.lattice.fused = 'never'
+      step_fn, shard_state = sharding.make_sharded_train_step(
+          model, optimizer, mesh)
     state = shard_state(state)
     place = lambda b: sharding.shard_batch(b, mesh)
   elif len(jax.devices()) > 1:

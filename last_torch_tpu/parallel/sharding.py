@@ -176,6 +176,100 @@ def make_sharded_train_step(model, optimizer, mesh: Mesh,
   return jitted, shard_state
 
 
+def make_tp_train_step(model, optimizer, mesh: Mesh,
+                       rules=GNAT_PARAM_RULES, interpret: bool = False):
+  """Tensor-parallel train step with the lattice loss vocab-sharded.
+
+  Like ``make_sharded_train_step`` (jit + NamedSharding; the encoder's
+  Megatron sharding and the gradient collectives come from the SPMD
+  partitioner), but the recognition-lattice loss runs as an explicit
+  ``jax.shard_map`` island over the ('data', 'model') mesh: each device
+  holds its vocab shard of the joint-network head and computes the
+  denominator with the per-frame ``frame_reduce`` Pallas kernel
+  (``ops.sharded_scan``), exchanging only the tiny per-frame reductions
+  over ICI. This keeps the O(B*S*V) lexical work sharded AND on the
+  fused-kernel path — the jit-only step would force the XLA lattice scan.
+
+  Args:
+    model: ``last_torch_tpu.models.gnat.GNATModel``; its lattice must be
+      covered by ``sharded_scan.tp_supported``.
+    optimizer: optax.GradientTransformation.
+    mesh: ('data', 'model') mesh from ``make_mesh``.
+    rules: Parameter sharding rules.
+    interpret: Run the per-frame kernels in interpreter mode (CPU-mesh
+      tests).
+
+  Returns:
+    (train_step_fn, shard_state_fn), as ``make_sharded_train_step``.
+  """
+  from last_torch_tpu.models import gnat as gnat_lib  # avoid import cycle
+  from last_torch_tpu.ops import sharded_scan
+
+  if not sharded_scan.tp_supported(model.lattice):
+    raise ValueError('model.lattice is not covered by the tensor-parallel '
+                     'lattice loss; use make_sharded_train_step')
+
+  lattice_spec = jax.tree_util.tree_map_with_path(
+      lambda path, leaf: _LATTICE_TP_SPECS.get(
+          _path_str(path).rsplit('/', 1)[-1], P()),
+      model.lattice.init(jax.random.PRNGKey(0), model.config.encoder_size))
+
+  def island(lattice_params, encoded, num_frames, labels, num_labels):
+    per_seq = sharded_scan.tp_lattice_loss(
+        model.lattice, lattice_params, encoded, num_frames, labels,
+        num_labels, model_axis='model', interpret=interpret)
+    return per_seq
+
+  def loss_fn(params, frames, num_frames, labels, num_labels):
+    encoded = model.encoder.apply(params['encoder'], frames, num_frames)
+    per_seq = jax.shard_map(
+        island,
+        mesh=mesh,
+        in_specs=(lattice_spec, P('data'), P('data'), P('data'),
+                  P('data')),
+        out_specs=P('data'),
+        check_vma=False)(params['lattice'], encoded, num_frames, labels,
+                         num_labels)
+    finite = jnp.isfinite(per_seq)
+    per_seq = jnp.where(finite, per_seq, 0.0)
+    return jnp.sum(per_seq) / jnp.maximum(jnp.sum(finite), 1)
+
+  def step_fn(state, frames, num_frames, labels, num_labels):
+    loss, grads = jax.value_and_grad(loss_fn)(
+        state.params, frames, num_frames, labels, num_labels)
+    updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return gnat_lib.GNATTrainState(
+        params=new_params, opt_state=new_opt_state,
+        step=state.step + 1), loss
+
+  data = batch_shardings(mesh)
+
+  def shard_state(state):
+    params = shard_params(state.params, mesh, rules)
+    opt_state = jax.tree.map(
+        lambda x: jax.device_put(x, replicated(mesh)), state.opt_state)
+    return gnat_lib.GNATTrainState(
+        params=params,
+        opt_state=opt_state,
+        step=jax.device_put(state.step, replicated(mesh)))
+
+  jitted = jax.jit(
+      step_fn,
+      in_shardings=(None, data, data, data, data),
+      donate_argnums=(0,))
+  return jitted, shard_state
+
+
+# Lattice parameter names sharded inside the tensor-parallel island;
+# everything else is replicated there.
+_LATTICE_TP_SPECS = {
+    'vocab_w': P(None, 'model'),
+    'vocab_b': P('model'),
+}
+
+
 def make_shard_map_train_step(model, optimizer, mesh: Mesh,
                               axis_name: str = 'data'):
   """Builds a manually data-parallel train step with ``jax.shard_map``.

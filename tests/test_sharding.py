@@ -149,3 +149,134 @@ def test_shard_map_train_step_matches_single_device(eight_devices):
   jax.tree.map(
       lambda a, b: npt.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
       jax.device_get(new_state.params), jax.device_get(single_state.params))
+
+
+class TestTensorParallelLattice:
+  """Vocab-sharded lattice loss (ops.sharded_scan) on the CPU mesh."""
+
+  def test_frame_reduce_matches_oracle(self):
+    from last_torch_tpu.ops import sharded_scan
+
+    rng = np.random.default_rng(0)
+    batch, s_pad, hidden, v_local = 3, 256, 16, 128
+    vec = jnp.asarray(rng.normal(size=(batch, s_pad)), jnp.float32)
+    # Padded states are semiring-dead.
+    vec = vec.at[:, 200:].set(float('-inf'))
+    pf = jnp.asarray(rng.normal(size=(batch, hidden)), jnp.float32)
+    pc = jnp.asarray(rng.normal(size=(s_pad, hidden)), jnp.float32)
+    vw = jnp.asarray(rng.normal(size=(hidden, v_local)) * 0.3, jnp.float32)
+    vb = jnp.asarray(rng.normal(size=(v_local,)), jnp.float32)
+    bw = jnp.asarray(rng.normal(size=(hidden,)), jnp.float32)
+    bb = jnp.asarray(rng.normal(size=()), jnp.float32)
+
+    def oracle(vec, pf, pc, vw, vb, bw, bb):
+      joint = jnp.tanh(pc[None] + pf[:, None])
+      lex = joint @ vw + vb
+      blank = joint @ bw[:, None] + bb
+      red = jax.scipy.special.logsumexp(vec[:, :, None] + lex, axis=1)
+      return red, blank[..., 0]
+
+    red_k, blank_k = sharded_scan.frame_reduce(vec, pf, pc, vw, vb, bw, bb,
+                                               8, True)
+    red_o, blank_o = oracle(vec, pf, pc, vw, vb, bw, bb)
+    npt.assert_allclose(red_k, red_o, rtol=1e-5, atol=1e-6)
+    npt.assert_allclose(blank_k, blank_o, rtol=1e-5, atol=1e-6)
+
+    # Gradient parity with random cotangents (exercises the bwd kernel).
+    cr = jnp.asarray(rng.normal(size=red_o.shape), jnp.float32)
+    cb = jnp.asarray(rng.normal(size=blank_o.shape), jnp.float32)
+
+    def total_k(*args):
+      red, blank = sharded_scan.frame_reduce(*args, 8, True)
+      return jnp.sum(red * cr) + jnp.sum(blank * cb)
+
+    def total_o(*args):
+      red, blank = oracle(*args)
+      return jnp.sum(red * cr) + jnp.sum(blank * cb)
+
+    gk = jax.grad(total_k, argnums=tuple(range(7)))(vec, pf, pc, vw, vb,
+                                                    bw, bb)
+    go = jax.grad(total_o, argnums=tuple(range(7)))(vec, pf, pc, vw, vb,
+                                                    bw, bb)
+    for a, b in zip(gk, go):
+      # d vec at -inf states is 0 on the kernel path; the oracle emits
+      # NaN-free zeros there too because every red column is finite.
+      npt.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
+
+  @pytest.mark.parametrize('max_expansions', [0, 1])
+  def test_tp_train_step_matches_single_device(self, eight_devices,
+                                               max_expansions):
+    """Vocab-sharded (dp x tp) kernel train step == unsharded XLA step."""
+    config = gnat.GNATConfig(
+        feature_size=8,
+        vocab_size=256,  # local shard 128 per model-axis device
+        context_size=1,
+        encoder_size=16,
+        encoder_layers=1,
+        encoder_heads=2,
+        encoder_ffn_size=32,
+        hidden_size=16,
+        embedding_size=16,
+        max_expansions=max_expansions,
+        locally_normalized=False)
+    model = gnat.GNATModel(config)
+    model.lattice.fused = 'never'  # single-device baseline path
+    # SGD, not Adam: updates stay proportional to gradients, so parameter
+    # equality is gradient equality. (Adam normalizes by second moments,
+    # which turns structurally-zero gradients — e.g. blank_b under
+    # FrameLabelDependent, where numerator and denominator blank counts
+    # cancel exactly — into noise-sign updates.)
+    import optax
+    optimizer = optax.sgd(1e-2)
+    rng = np.random.default_rng(1)
+    frames = jnp.asarray(rng.normal(size=(4, 6, 8)), jnp.float32)
+    num_frames = jnp.array([6, 4, 5, 6], jnp.int32)
+    labels = jnp.asarray(rng.integers(1, 257, size=(4, 3)), jnp.int32)
+    num_labels = jnp.array([3, 2, 3, 1], jnp.int32)
+
+    state0 = gnat.init_train_state(model, jax.random.PRNGKey(0), optimizer)
+    single_state, loss_single = gnat.train_step(
+        model, optimizer, state0, frames, num_frames, labels, num_labels)
+
+    mesh = sharding.make_mesh(model_parallel=2)
+    step_fn, shard_state = sharding.make_tp_train_step(
+        model, optimizer, mesh, interpret=True)
+    state = shard_state(
+        gnat.init_train_state(model, jax.random.PRNGKey(0), optimizer))
+    batch = [
+        jax.device_put(x, sharding.batch_shardings(mesh))
+        for x in (frames, num_frames, labels, num_labels)
+    ]
+    new_state, loss_tp = step_fn(state, *batch)
+    assert int(new_state.step) == 1
+    npt.assert_allclose(float(loss_tp), float(loss_single), rtol=1e-5)
+    # AdamW normalizes by second moments, amplifying float-roundoff
+    # gradient differences on near-zero entries — hence the looser bound.
+    jax.tree.map(
+        lambda a, b: npt.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
+        jax.device_get(new_state.params),
+        jax.device_get(single_state.params))
+
+  def test_tp_supported_gating(self):
+    import last_torch_tpu
+    from last_torch_tpu import alignments, contexts, weight_fns
+    from last_torch_tpu.ops import sharded_scan
+
+    def make(context, weight_fn_factory):
+      return last_torch_tpu.RecognitionLattice(
+          context=context,
+          alignment=alignments.FrameDependent(),
+          weight_fn_cacher_factory=lambda ctx: weight_fns.NullCacher(),
+          weight_fn_factory=weight_fn_factory)
+
+    bigram = contexts.FullNGram(vocab_size=4, context_size=1)
+    trigram = contexts.FullNGram(vocab_size=4, context_size=2)
+    joint = lambda ctx: weight_fns.JointWeightFn(vocab_size=4,
+                                                 hidden_size=8)
+    assert sharded_scan.tp_supported(make(bigram, joint))
+    assert not sharded_scan.tp_supported(make(trigram, joint))
+    table = lambda ctx: weight_fns.TableWeightFn(jnp.zeros((2, 3, 5, 5)))
+    assert not sharded_scan.tp_supported(make(bigram, table))
+    # Locally normalized: numerator-only, always coverable.
+    local = lambda ctx: weight_fns.LocallyNormalizedWeightFn(joint(ctx))
+    assert sharded_scan.tp_supported(make(bigram, local))
