@@ -1,0 +1,92 @@
+"""On-TPU float32 kernel spot-check (run manually on TPU hardware).
+
+The kernel-vs-XLA parity tests run at bfloat16 MXU precision on hardware
+(grads agree to ~0.5%); this script separates "bf16 rounding" from "kernel
+bug hiding under the tolerance" by running one mid-size configuration with
+``compute_dtype=float32`` on the real chip and asserting gradients against
+the XLA path at ~1e-5. Results are recorded in BASELINE.md.
+
+Usage: python benchmarks/tpu_f32_spotcheck.py
+"""
+
+import sys
+import time
+
+import jax
+
+jax.config.update('jax_compilation_cache_dir',
+                  '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, '/root/repo')
+
+import last_torch_tpu  # noqa: E402
+from last_torch_tpu import alignments, contexts, weight_fns  # noqa: E402
+from last_torch_tpu.ops import fused_scan  # noqa: E402
+
+
+def main():
+  if jax.default_backend() not in ('tpu', 'axon'):
+    raise SystemExit(f'needs TPU hardware, got {jax.default_backend()}')
+  vocab, hidden, emb, feature = 256, 256, 256, 256
+  batch, max_t = 8, 64
+  context = contexts.FullNGram(vocab_size=vocab, context_size=1)
+
+  def build(fused):
+    return last_torch_tpu.RecognitionLattice(
+        context=context,
+        alignment=alignments.FrameLabelDependent(max_expansions=2),
+        weight_fn_cacher_factory=lambda ctx: weight_fns.SharedEmbCacher(
+            num_context_states=ctx.shape()[0], embedding_size=emb),
+        weight_fn_factory=lambda ctx: weight_fns.JointWeightFn(
+            vocab_size=vocab, hidden_size=hidden),
+        fused=fused)
+
+  xla = build('never')
+  params = xla.init(jax.random.PRNGKey(0), feature_size=feature)
+  rng = np.random.default_rng(0)
+  frames = jnp.asarray(rng.normal(size=(batch, max_t, feature)) * 0.1,
+                       jnp.float32)
+  num_frames = jnp.asarray(
+      rng.integers(1, max_t + 1, size=(batch,)), jnp.int32)
+
+  s = context.shape()[0]
+
+  def fused_total(params, frames):
+    cache = xla.build_cache(params)
+    return jnp.sum(fused_scan.log_partition(
+        params['weight_fn'], cache, frames, num_frames,
+        max_expansions=2, frame_dependent=False, num_context_states=s,
+        compute_dtype=jnp.float32))  # <- full-precision MXU inputs
+
+  def xla_total(params, frames):
+    cache = xla.build_cache(params)
+    return jnp.sum(xla._forward_backward(
+        params=params, cache=cache, frames=frames, num_frames=num_frames))
+
+  t0 = time.time()
+  vf, gf = jax.jit(jax.value_and_grad(fused_total, argnums=(0, 1)))(
+      params, frames)
+  vx, gx = jax.jit(jax.value_and_grad(xla_total, argnums=(0, 1)))(
+      params, frames)
+  jax.block_until_ready((vf, vx))
+  print(f'compile+run {time.time() - t0:.0f}s')
+  vf, vx = float(vf), float(vx)
+  rel = abs(vf - vx) / abs(vx)
+  print(f'log_z fused {vf:.6f} xla {vx:.6f} rel {rel:.2e}')
+  assert rel < 1e-5, rel
+  worst = 0.0
+  for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gx)):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    denom = np.maximum(np.abs(b), 1e-3 * np.abs(b).max() + 1e-20)
+    worst = max(worst, float(np.max(np.abs(a - b) / denom)))
+  print(f'worst grad rel err (f32 kernels vs XLA, on TPU): {worst:.2e}')
+  assert worst < 3e-5, worst
+  print('F32 SPOT-CHECK OK')
+
+
+if __name__ == '__main__':
+  main()
