@@ -67,14 +67,15 @@ class TimeSyncAlignmentLattice(abc.ABC):
 
   @abc.abstractmethod
   def blank_next(self, state: int) -> Optional[int]:
-    """Next alignment state id when taking the blank arc.
+    """Destination of the blank arc out of ``state``, if any.
 
     Args:
-      state: A state id in the range [0, num_alignment_states).
+      state: Alignment state id, 0 <= state < num_alignment_states.
 
     Returns:
-      None if there is no blank arc leaving ``state``; the start state id if
-      the blank arc leads to the final state; otherwise an ordinary state id.
+      None when ``state`` has no outgoing blank arc. A blank arc into the
+      final (frame-advancing) position is reported as the start state id;
+      any other destination is returned as-is.
     """
 
   @abc.abstractmethod

@@ -114,15 +114,17 @@ class ContextDependency(abc.ABC):
   # Derived methods.
 
   def walk_states(self, labels: jnp.ndarray) -> jnp.ndarray:
-    """Walks the context dependency following label sequences.
+    """States visited while consuming each label sequence.
+
+    A ``lax.scan`` of ``next_state`` over the label axis (the reference
+    hand-rolls this loop in Python, ``contexts.py:109-146``).
 
     Args:
-      labels: [batch_dims..., num_labels] int32 label sequences, each element
-        in [0, vocab_size].
+      labels: [batch_dims..., num_labels] int32 labels in [0, vocab_size].
 
     Returns:
-      [batch_dims..., num_labels + 1] int32 context states. states[..., 0] is
-      the start state; states[..., i] for i > 0 is the state after observing
+      [batch_dims..., num_labels + 1] int32 states: position 0 holds the
+      start state, position i > 0 the state reached after
       labels[..., i - 1].
     """
     labels = jnp.asarray(labels, jnp.int32)
@@ -273,11 +275,14 @@ class FullNGram(ContextDependency):
 
 
 class NextStateTable(ContextDependency):
-  """Context dependency described as a transition lookup table.
+  """Arbitrary context DFA given by a dense transition table.
+
+  Covers any deterministic label-history automaton that FullNGram's
+  closed form cannot express (reference ``contexts.py:266-324``).
 
   Attributes:
-    next_state_table: [num_states, vocab_size] int32 array.
-      next_state_table[p, y - 1] is the state reached from p with label y.
+    next_state_table: [num_states, vocab_size] int32; row p, column y - 1
+      holds the destination of the lexical arc labeled y out of state p.
   """
 
   def __init__(self, next_state_table):

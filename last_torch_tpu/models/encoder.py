@@ -185,6 +185,12 @@ class StreamingEncoder:
     e = self.encoder
     w, h = e.window, e.model_size // e.num_heads
     kv = jnp.zeros((batch_size, e.num_layers, w, e.num_heads, h), e.dtype)
+    # 'pos' counts absolute frames since stream start (int32, unbounded).
+    # Known long-stream limits: float32 sinusoidal encodings lose
+    # precision beyond ~1e6 absolute frames (~3 h at 100 fps) and int32
+    # wraps at 2^31; production streams should be segmented/restarted
+    # well before either. Flagged for the serving story — a
+    # relative-position scheme would remove the limit.
     return {'k': kv, 'v': kv, 'pos': jnp.zeros((), jnp.int32)}
 
   def step(self, params: Params, state, frames: jnp.ndarray):

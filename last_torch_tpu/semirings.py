@@ -55,19 +55,21 @@ S = TypeVar('S')
 
 
 def value_shape(x: PyTree) -> tuple[int, ...]:
-  """Obtains the shape of a semiring value.
+  """Shape of a semiring value.
 
-  A semiring value is a PyTree of one or more identically shaped ndarrays.
-  The shape of a semiring value is thus the common shape of its leaves.
+  Semiring values are pytrees whose leaves are ndarrays sharing one shape
+  (tuple-valued semirings like Expectation carry several leaves); that
+  shared leaf shape is the value's shape. Contract matches the reference
+  (``semirings.py:30-50``).
 
   Args:
-    x: Some semiring value.
+    x: A semiring value.
 
   Returns:
-    The common shape of the leaves of x.
+    The shape shared by every leaf of ``x``.
 
   Raises:
-    ValueError: If the leaves of x do not have a common shape, or x is empty.
+    ValueError: If ``x`` is empty or its leaves disagree on shape.
   """
   leaves = jax.tree.leaves(x)
   if not leaves:
@@ -316,10 +318,13 @@ _max.defvjp(_max_fwd, _max_bwd)
 
 
 class _MaxTropical(Semiring[jnp.ndarray]):
-  """Max-tropical semiring (max, +).
+  """Max-tropical semiring (max, +) with one-hot argmax gradients.
 
-  The gradients of ``plus`` and ``sum`` are guaranteed to be non-zero on
-  exactly one input element, even in the event of a tie.
+  ``plus``/``sum`` differentiate to a one-hot over a single winning
+  element — ties are broken deterministically instead of splitting the
+  gradient — which is what lets Viterbi decoding read one best path off
+  the gradient of the shortest distance (pinned contract, reference
+  ``semirings.py:373-401``).
   """
 
   @staticmethod
@@ -363,23 +368,21 @@ MaxTropical = _MaxTropical()
 
 @dataclasses.dataclass(frozen=True)
 class Expectation(Generic[T, S], Semiring[tuple[T, S]]):
-  """Jason Eisner's expectation semiring.
+  """Eisner's expectation semiring over (weight, weighted-sum) pairs.
 
-  In most cases, use ``LogLogExpectation`` below directly.
-
-  See https://www.cs.jhu.edu/~jason/papers/eisner.fsmnlp01.pdf.
-
-  Each semiring value is a tuple (w, x):
-  - w: The weight of this tuple, expressed in the ``self.w`` semiring.
-  - x: The weighted sum of some corresponding weighted values, expressed in
-    the ``self.x`` semiring.
-
-  To create a semiring value from a weight-value pair, use ``weighted()``.
+  Values are tuples ``(w, x)`` where ``w`` carries path weight (in the
+  ``self.w`` semiring) and ``x`` accumulates the weight-scaled quantity of
+  interest (in ``self.x``) — so one shortest-distance pass computes both a
+  normalizer and an expectation (e.g. path entropy). Build values with
+  ``weighted()``; for the common log/log instantiation use
+  ``LogLogExpectation``. Reference: ``semirings.py:404-484`` (the
+  construction is from Eisner, FSMNLP 2001,
+  https://www.cs.jhu.edu/~jason/papers/eisner.fsmnlp01.pdf).
 
   Attributes:
-    w: Semiring for representing weights.
-    x: Semiring for representing weighted sums.
-    w_to_x: Function to convert a value from semiring ``w`` to ``x``.
+    w: Semiring of the weight component.
+    x: Semiring of the weighted-sum component.
+    w_to_x: Conversion from ``w``-semiring values into ``x``-semiring ones.
   """
   w: Semiring[T]
   x: Semiring[S]

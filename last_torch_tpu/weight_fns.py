@@ -48,12 +48,13 @@ Params = Any
 
 
 class WeightFn(abc.ABC, Generic[T]):
-  """Interface for weight functions.
+  """Interface for weight functions — the neural arc-weight producers.
 
-  A weight function is a neural network that computes the arc weights from
-  all or one context state for a given frame. A WeightFn is used in pair
-  with a WeightFnCacher that produces the static data cache, e.g.
-  JointWeightFn can be used with SharedEmbCacher or SharedRNNCacher.
+  Given one input frame (and optionally one context state), a WeightFn
+  emits the blank and lexical arc weights the lattice DPs consume. Each
+  WeightFn is paired with a WeightFnCacher supplying its frame-independent
+  static data (e.g. JointWeightFn with SharedEmbCacher or
+  SharedRNNCacher); reference contract at ``weight_fns.py:42-83``.
   """
 
   @abc.abstractmethod
@@ -163,14 +164,18 @@ def hat_normalize(blank: jnp.ndarray,
 def log_softmax_normalize(
     blank: jnp.ndarray,
     lexical: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-  """Standard joint log-softmax local normalization over [blank; lexical].
+  """Joint log-softmax normalization: one distribution over all arcs.
+
+  Blank and lexical weights are normalized together, so the outputs form
+  a single log-probability distribution over the 1 + vocab_size arcs
+  (reference ``weight_fns.py:120-136``).
 
   Args:
     blank: [batch_dims...] blank weight.
     lexical: [batch_dims..., vocab_size] lexical weights.
 
   Returns:
-    Normalized (blank, lexical) weights.
+    Normalized (blank, lexical) log-probabilities.
   """
   all_weights = jnp.concatenate([blank[..., None], lexical], axis=-1)
   all_weights = jax.nn.log_softmax(all_weights, axis=-1)
