@@ -606,8 +606,8 @@ def _online_forward_kernel(
     is_pad_ref,     # [1, 1, 1, Bt] int32
     pf_ref,         # [1, Bt, h]
     pc_ref,         # [S_pad, h]
-    vw_ref,         # [h, V]
-    vb_ref,         # [1, V]
+    vw_ref,         # [NV, h, Vt] vocab head, vocab-tile-major layout
+    vb_ref,         # [NV, 1, Vt]
     bw_ref,         # [h, 1]
     bb_ref,         # [1, 1] SMEM
     alpha0_ref,     # [Bt, S_pad]
@@ -616,9 +616,10 @@ def _online_forward_kernel(
     alpha_out_ref,  # [Bt, S_pad]
     # Scratch.
     alpha_scr,      # [B_pad, S_pad]
-    blank_scr,      # [Bt, S_pad]
-    m_scr,          # [Bt, V] running max of the online reduction
-    acc_scr,        # [Bt, V] running scaled sum
+    vec_scr,        # [NS, Bt, s_tile] reduce-input tiles
+    blank_scr,      # [NS, Bt, s_tile]
+    m_scr,          # [NV, Bt, Vt] running max of the online reduction
+    acc_scr,        # [NV, Bt, Vt] running scaled sum
     *,
     batch_tile: int,
     s_tile: int,
@@ -640,11 +641,16 @@ def _online_forward_kernel(
   joint/vocab-head matmul pass per within-frame reduction (k passes per
   frame for FrameLabelDependent(k)) instead of one per frame.
 
-  The running accumulators live in VMEM scratch and are updated tile by
-  tile: carrying them as SSA values across the fully unrolled
-  (state-tile x vocab-tile) loop makes Mosaic's register allocator give
-  every iteration its own spill slot (measured: 152 MB of spill slots at
-  V=2048 — compile-time VMEM OOM).
+  The (state-tile x vocab-tile) sweeps are ``lax.fori_loop``s, NOT
+  unrolled Python loops: Mosaic's register allocator assigns every
+  unrolled iteration's large temporaries their own scoped-VMEM spill
+  slots with no reuse (measured: 152-229 MB of spill slots at V=2048 —
+  compile-time VMEM OOM), while a dynamic loop body compiles once. All
+  tile-indexed memory therefore sits on the LEADING axis of a ref — the
+  vocab head arrives as [NV, h, Vt], accumulators live in [NV, Bt, Vt]
+  scratch, and [Bt, S_pad] vectors are scattered into [NS, Bt, s_tile]
+  scratch by small unrolled copies (lane-dim dynamic slicing is not a
+  thing Mosaic can do).
   """
   t = pl.program_id(0)
   b = pl.program_id(1)
@@ -659,55 +665,65 @@ def _online_forward_kernel(
   pf = pf_ref[0]  # [Bt, h]
   bw = bw_ref[:].astype(compute_dtype)
 
-  def tile_joint(i):
-    pc_t = pc_ref[i * s_tile:(i + 1) * s_tile, :]
-    joint = jnp.tanh(pc_t[None, :, :] + pf[:, None, :])
-    return joint.astype(compute_dtype).reshape(batch_tile * s_tile, -1)
-
   def online_reduce(vec, want_blank):
     """red[b, y] = logsumexp_s(vec[b, s] + lex[b, s, y]), streamed.
 
-    Loops state tiles outer (one joint recompute each), vocab tiles
+    fori_loops state tiles outer (one joint recompute each), vocab tiles
     inner; the per-label running (max, scaled-sum) accumulators live in
     VMEM scratch. Optionally also produces the frame's blank weights
     (first pass only).
     """
-    m_scr[:] = jnp.full((batch_tile, m_scr.shape[-1]), NEG_INF,
-                        jnp.float32)
-    acc_scr[:] = jnp.zeros((batch_tile, acc_scr.shape[-1]), jnp.float32)
-    for i in range(num_s_tiles):
-      joint2d = tile_joint(i)
+    for i in range(num_s_tiles):  # scatter: small static lane slices
+      vec_scr[i] = jax.lax.slice_in_dim(vec, i * s_tile, (i + 1) * s_tile,
+                                        axis=1)
+    for v in range(num_v_tiles):
+      m_scr[v] = jnp.full((batch_tile, v_tile), NEG_INF, jnp.float32)
+      acc_scr[v] = jnp.zeros((batch_tile, v_tile), jnp.float32)
+
+    def s_body(i, _):
+      pc_t = pc_ref[pl.ds(i * s_tile, s_tile), :]
+      joint2d = jnp.tanh(pc_t[None, :, :] + pf[:, None, :]).astype(
+          compute_dtype).reshape(batch_tile * s_tile, -1)
       if want_blank:
         blank2d = jax.lax.dot_general(
             joint2d, bw, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        blank_scr[:, i * s_tile:(i + 1) * s_tile] = blank2d.reshape(
-            batch_tile, s_tile) + bb_ref[0, 0]
-      vec_t = jax.lax.slice_in_dim(vec, i * s_tile, (i + 1) * s_tile,
-                                   axis=1)
-      for v in range(num_v_tiles):
-        vw_t = vw_ref[:, v * v_tile:(v + 1) * v_tile].astype(compute_dtype)
+        blank_scr[i] = blank2d.reshape(batch_tile, s_tile) + bb_ref[0, 0]
+      vec_t = vec_scr[i]
+
+      def v_body(v, _):
+        vw_t = vw_ref[v].astype(compute_dtype)
         lex2d = jax.lax.dot_general(
             joint2d, vw_t, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        lex2d = lex2d + vb_ref[:, v * v_tile:(v + 1) * v_tile]
-        lex = lex2d.reshape(batch_tile, s_tile, v_tile)
+        lex = (lex2d + vb_ref[v]).reshape(batch_tile, s_tile, v_tile)
         chunk = vec_t[:, :, None] + lex
         cm = jnp.max(chunk, axis=1)                 # [Bt, v_tile]
-        m_old = m_scr[:, v * v_tile:(v + 1) * v_tile]
+        m_old = m_scr[v]
         new_m = jnp.maximum(m_old, cm)
         safe = jnp.where(jnp.isfinite(new_m), new_m, 0.0)
-        acc_scr[:, v * v_tile:(v + 1) * v_tile] = (
-            acc_scr[:, v * v_tile:(v + 1) * v_tile] *
-            jnp.exp(m_old - safe) +
-            jnp.sum(jnp.exp(chunk - safe[:, None, :]), axis=1))
-        m_scr[:, v * v_tile:(v + 1) * v_tile] = new_m
-    m_all = m_scr[:, :]
-    acc_all = acc_scr[:, :]
-    red = jnp.where(acc_all == 0, NEG_INF,
-                    jnp.where(jnp.isfinite(m_all), m_all, 0.0) +
-                    jnp.log(acc_all))               # [Bt, V]
-    blank = blank_scr[:, :] if want_blank else None
+        acc_scr[v] = (acc_scr[v] * jnp.exp(m_old - safe) +
+                      jnp.sum(jnp.exp(chunk - safe[:, None, :]), axis=1))
+        m_scr[v] = new_m
+        return 0
+
+      jax.lax.fori_loop(0, num_v_tiles, v_body, 0)
+      return 0
+
+    jax.lax.fori_loop(0, num_s_tiles, s_body, 0)
+    red_tiles = []
+    for v in range(num_v_tiles):  # assemble: small static reads
+      m_v = m_scr[v]
+      acc_v = acc_scr[v]
+      red_tiles.append(
+          jnp.where(acc_v == 0, NEG_INF,
+                    jnp.where(jnp.isfinite(m_v), m_v, 0.0) +
+                    jnp.log(acc_v)))
+    red = jnp.concatenate(red_tiles, axis=1)        # [Bt, V]
+    blank = None
+    if want_blank:
+      blank = jnp.concatenate([blank_scr[i] for i in range(num_s_tiles)],
+                              axis=1)
     return red, blank
 
   def expand(red):
@@ -745,8 +761,8 @@ def _online_backward_kernel(
     g_ref,          # [1, Bt, 1] f32
     pf_ref,         # [1, 1, Bt, h]
     pc_ref,         # [S_pad, h]
-    vw_ref,         # [h, V]
-    vb_ref,         # [1, V]
+    vw_ref,         # [NV, h, Vt] vocab head, vocab-tile-major layout
+    vb_ref,         # [NV, 1, Vt]
     bw_ref,         # [h, 1]
     bwt_ref,        # [1, h]
     bb_ref,         # [1, 1] SMEM
@@ -754,23 +770,26 @@ def _online_backward_kernel(
     # Outputs.
     dpf_ref,        # [1, 1, Bt, h]
     dpc_ref,        # [S_pad, h]
-    dvw_ref,        # [h, V]
-    dvb_ref,        # [1, V]
+    dvw_ref,        # [NV, h, Vt]
+    dvb_ref,        # [NV, 1, Vt]
     dbw_ref,        # [1, h]
     dbb_ref,        # [1, 1] SMEM
-    # Scratch.
+    # Scratch; then P pair a-tiles [NS, Bt, s_tile] and P pair nb-tiles
+    # [NV, Bt, Vt] (P = 1 for FrameDependent, else max_expansions).
     beta_scr,       # [num_b_tiles, Bt, S_pad] f32
-    blank_scr,      # [Bt, S_pad] f32
-    m_scr,          # [Bt, V] f32 online-reduce running max
-    acc_scr,        # [Bt, V] f32 online-reduce running sum
-    nb_scr,         # [Bt, S_pad] f32 lse_y assembly
+    vec_scr,        # [NS, Bt, s_tile] f32 reduce-input / d_blank tiles
+    blank_scr,      # [NS, Bt, s_tile] f32
+    m_scr,          # [NV, Bt, Vt] f32 online-reduce running max
+    acc_scr,        # [NV, Bt, Vt] f32 online-reduce running sum
+    nbv_scr,        # [NV, Bt, Vt] f32 lse_y input tiles
+    nb_scr,         # [NS, Bt, s_tile] f32 lse_y output tiles
     djoint_scr,     # [Bt * s_tile, h] f32 per-s-tile d(joint) accumulator
     dpc_scr,        # [S_pad, h] f32
-    dvw_scr,        # [h, V] f32
-    dvb_scr,        # [1, V] f32
+    dvw_scr,        # [NV, h, Vt] f32
+    dvb_scr,        # [NV, 1, Vt] f32
     dbw_scr,        # [1, h] f32
     dbb_scr,        # [1, 1] f32 SMEM
-    *,
+    *pair_scr,
     batch_tile: int,
     s_tile: int,
     num_s_tiles: int,
@@ -792,14 +811,19 @@ def _online_backward_kernel(
   posterior, <= ~0 up to rounding, so no max-shift dance is needed (the
   clip guards bfloat16 rounding, never a real value).
 
-  All loop-carried accumulators live in VMEM scratch (see the spill-slot
-  note in ``_online_forward_kernel``).
+  All tile sweeps are ``lax.fori_loop``s over leading-axis-tiled refs —
+  see the spill-slot note in ``_online_forward_kernel``. The marginal
+  pass needs each (a_j, nb_j) pair sliced per tile inside the loops, so
+  the pairs are scattered into dedicated per-pair scratch first.
   """
   t = pl.program_id(0)
   b = pl.program_id(1)
   s_pad = pc_ref.shape[0]
-  vocab = vw_ref.shape[-1]
+  vocab = num_v_tiles * v_tile
   hidden = pc_ref.shape[-1]
+  num_pairs = 1 if frame_dependent else max_expansions
+  a_pair_scr = pair_scr[:num_pairs]
+  nb_pair_scr = pair_scr[num_pairs:]
 
   @pl.when(t == 0)
   def _():
@@ -808,10 +832,11 @@ def _online_backward_kernel(
   @pl.when((t == 0) & (b == 0))
   def _():
     dpc_scr[:] = jnp.zeros(dpc_scr.shape, jnp.float32)
-    dvw_scr[:] = jnp.zeros(dvw_scr.shape, jnp.float32)
-    dvb_scr[:] = jnp.zeros(dvb_scr.shape, jnp.float32)
     dbw_scr[:] = jnp.zeros(dbw_scr.shape, jnp.float32)
     dbb_scr[0, 0] = 0.0
+    for v in range(num_v_tiles):
+      dvw_scr[v] = jnp.zeros((hidden, v_tile), jnp.float32)
+      dvb_scr[v] = jnp.zeros((1, v_tile), jnp.float32)
 
   alpha = hist_ref[0, 0]                    # [Bt, S_pad]
   beta = beta_scr[b]                        # [Bt, S_pad]
@@ -822,82 +847,117 @@ def _online_backward_kernel(
   bw_c = bw_ref[:].astype(compute_dtype)
 
   def tile_joint(i):
-    pc_t = pc_ref[i * s_tile:(i + 1) * s_tile, :]
-    return jnp.tanh(pc_t[None, :, :] + pf[:, None, :])  # [Bt, St, h] f32
+    """[Bt, s_tile, h] float32 joint for (dynamic) state tile i."""
+    pc_t = pc_ref[pl.ds(i * s_tile, s_tile), :]
+    return jnp.tanh(pc_t[None, :, :] + pf[:, None, :])
 
   def lex_tile(joint2d, v):
-    vw_t = vw_ref[:, v * v_tile:(v + 1) * v_tile].astype(compute_dtype)
+    vw_t = vw_ref[v].astype(compute_dtype)
     lex2d = jax.lax.dot_general(
         joint2d, vw_t, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    lex2d = lex2d + vb_ref[:, v * v_tile:(v + 1) * v_tile]
-    return lex2d.reshape(batch_tile, s_tile, v_tile)
+    return (lex2d + vb_ref[v]).reshape(batch_tile, s_tile, v_tile)
 
   def to_lex_space(x):
     """x[:, 1:1+vocab] via a lane-aligned rotate."""
     return pltpu.roll(x, shift=x.shape[1] - 1, axis=1)[:, :vocab]
 
+  def scatter_s(ref, vec):
+    """[Bt, S_pad] value -> [NS, Bt, s_tile] tiles (static lane slices)."""
+    for i in range(num_s_tiles):
+      ref[i] = jax.lax.slice_in_dim(vec, i * s_tile, (i + 1) * s_tile,
+                                    axis=1)
+
+  def scatter_v(ref, vec):
+    """[Bt, V] value -> [NV, Bt, Vt] tiles (static lane slices)."""
+    for v in range(num_v_tiles):
+      ref[v] = jax.lax.slice_in_dim(vec, v * v_tile, (v + 1) * v_tile,
+                                    axis=1)
+
   # Blank pass (one joint sweep; masks padded states semiring-dead as in
   # _fused_backward_kernel — see the guard comment there).
-  for i in range(num_s_tiles):
+  def blank_body(i, _):
     joint2d = tile_joint(i).astype(compute_dtype).reshape(
         batch_tile * s_tile, -1)
     blank2d = jax.lax.dot_general(
         joint2d, bw_c, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    blank_scr[:, i * s_tile:(i + 1) * s_tile] = blank2d.reshape(
-        batch_tile, s_tile) + bb_ref[0, 0]
+    blank_scr[i] = blank2d.reshape(batch_tile, s_tile) + bb_ref[0, 0]
+    return 0
+
+  jax.lax.fori_loop(0, num_s_tiles, blank_body, 0)
+  blank = jnp.concatenate([blank_scr[i] for i in range(num_s_tiles)],
+                          axis=1)
   col = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1)
-  blank = jnp.where(col < num_real_states, blank_scr[:, :], NEG_INF)
+  blank = jnp.where(col < num_real_states, blank, NEG_INF)
 
   def online_reduce(vec):
     """red[b, y] = logsumexp_s(vec[b, s] + lex[b, s, y]), streamed."""
-    m_scr[:] = jnp.full((batch_tile, m_scr.shape[-1]), NEG_INF,
-                        jnp.float32)
-    acc_scr[:] = jnp.zeros((batch_tile, acc_scr.shape[-1]), jnp.float32)
-    for i in range(num_s_tiles):
+    scatter_s(vec_scr, vec)
+    for v in range(num_v_tiles):
+      m_scr[v] = jnp.full((batch_tile, v_tile), NEG_INF, jnp.float32)
+      acc_scr[v] = jnp.zeros((batch_tile, v_tile), jnp.float32)
+
+    def s_body(i, _):
       joint2d = tile_joint(i).astype(compute_dtype).reshape(
           batch_tile * s_tile, -1)
-      vec_t = jax.lax.slice_in_dim(vec, i * s_tile, (i + 1) * s_tile,
-                                   axis=1)
-      for v in range(num_v_tiles):
+      vec_t = vec_scr[i]
+
+      def v_body(v, _):
         chunk = vec_t[:, :, None] + lex_tile(joint2d, v)
         cm = jnp.max(chunk, axis=1)
-        m_old = m_scr[:, v * v_tile:(v + 1) * v_tile]
+        m_old = m_scr[v]
         new_m = jnp.maximum(m_old, cm)
         safe = jnp.where(jnp.isfinite(new_m), new_m, 0.0)
-        acc_scr[:, v * v_tile:(v + 1) * v_tile] = (
-            acc_scr[:, v * v_tile:(v + 1) * v_tile] *
-            jnp.exp(m_old - safe) +
-            jnp.sum(jnp.exp(chunk - safe[:, None, :]), axis=1))
-        m_scr[:, v * v_tile:(v + 1) * v_tile] = new_m
-    m_all = m_scr[:, :]
-    acc_all = acc_scr[:, :]
-    return jnp.where(acc_all == 0, NEG_INF,
-                     jnp.where(jnp.isfinite(m_all), m_all, 0.0) +
-                     jnp.log(acc_all))
+        acc_scr[v] = (acc_scr[v] * jnp.exp(m_old - safe) +
+                      jnp.sum(jnp.exp(chunk - safe[:, None, :]), axis=1))
+        m_scr[v] = new_m
+        return 0
+
+      jax.lax.fori_loop(0, num_v_tiles, v_body, 0)
+      return 0
+
+    jax.lax.fori_loop(0, num_s_tiles, s_body, 0)
+    red_tiles = []
+    for v in range(num_v_tiles):
+      m_v = m_scr[v]
+      acc_v = acc_scr[v]
+      red_tiles.append(
+          jnp.where(acc_v == 0, NEG_INF,
+                    jnp.where(jnp.isfinite(m_v), m_v, 0.0) +
+                    jnp.log(acc_v)))
+    return jnp.concatenate(red_tiles, axis=1)
 
   def online_lse_y(nb_lex):
     """out[b, s] = logsumexp_y(lex[b, s, y] + nb_lex[b, y]), streamed."""
-    for i in range(num_s_tiles):
+    scatter_v(nbv_scr, nb_lex)
+
+    def s_body(i, _):
       joint2d = tile_joint(i).astype(compute_dtype).reshape(
           batch_tile * s_tile, -1)
-      m_s = jnp.full((batch_tile, s_tile), NEG_INF, jnp.float32)
-      acc_s = jnp.zeros((batch_tile, s_tile), jnp.float32)
-      for v in range(num_v_tiles):
-        nb_t = jax.lax.slice_in_dim(nb_lex, v * v_tile, (v + 1) * v_tile,
-                                    axis=1)
-        chunk = lex_tile(joint2d, v) + nb_t[:, None, :]
+
+      def v_body(v, carry):
+        m_s, acc_s = carry
+        chunk = lex_tile(joint2d, v) + nbv_scr[v][:, None, :]
         cm = jnp.max(chunk, axis=2)                 # [Bt, s_tile]
         new_m = jnp.maximum(m_s, cm)
         safe = jnp.where(jnp.isfinite(new_m), new_m, 0.0)
         acc_s = (acc_s * jnp.exp(m_s - safe) +
                  jnp.sum(jnp.exp(chunk - safe[:, :, None]), axis=2))
-        m_s = new_m
-      nb_scr[:, i * s_tile:(i + 1) * s_tile] = jnp.where(
+        return new_m, acc_s
+
+      m_s, acc_s = jax.lax.fori_loop(
+          0, num_v_tiles, v_body,
+          (jnp.full((batch_tile, s_tile), NEG_INF, jnp.float32),
+           jnp.zeros((batch_tile, s_tile), jnp.float32)))
+      nb_scr[i] = jnp.where(
           acc_s == 0, NEG_INF,
           jnp.where(jnp.isfinite(m_s), m_s, 0.0) + jnp.log(acc_s))
-    return nb_scr[:, :]  # [Bt, S_pad]
+      return 0
+
+    jax.lax.fori_loop(0, num_s_tiles, s_body, 0)
+    return jnp.concatenate([nb_scr[i] for i in range(num_s_tiles)],
+                           axis=1)  # [Bt, S_pad]
 
   def expand(red):
     pad_cols = jnp.full((batch_tile, s_pad - 1 - vocab), NEG_INF,
@@ -905,8 +965,11 @@ def _online_backward_kernel(
     start_col = jnp.full((batch_tile, 1), NEG_INF, jnp.float32)
     return jnp.concatenate([start_col, red, pad_cols], axis=1)
 
+  # Scatter the (a_j, nb_j) marginal pairs into per-pair scratch as they
+  # are produced; the marginal pass reads them tile by tile.
   if frame_dependent:
-    pairs = [(alpha, to_lex_space(beta))]
+    scatter_s(a_pair_scr[0], alpha)
+    scatter_v(nb_pair_scr[0], to_lex_space(beta))
     bm_total = jnp.exp(alpha + blank + beta - log_z)
     final_nb = jnp.logaddexp(blank + beta,
                              online_lse_y(to_lex_space(beta)))
@@ -918,59 +981,62 @@ def _online_backward_kernel(
     bm_total = jnp.zeros_like(alpha)
     for j in range(k + 1):
       bm_total = bm_total + jnp.exp(a_list[j] + blank + beta - log_z)
-    pairs = []
     nb = blank + beta
     for i in range(k):
       j = k - 1 - i
-      pairs.append((a_list[j], to_lex_space(nb)))
+      scatter_s(a_pair_scr[i], a_list[j])
+      scatter_v(nb_pair_scr[i], to_lex_space(nb))
       nb = jnp.logaddexp(blank + beta, online_lse_y(to_lex_space(nb)))
     final_nb = nb
 
-  d_blank_all = g_eff * bm_total            # [Bt, S_pad]
+  scatter_s(vec_scr, g_eff * bm_total)      # d_blank tiles
 
   # Marginal + gradient pass: one streamed sweep forms the
   # cotangent-scaled arc marginals per tile and pushes them through the
   # vocab head, blank head and tanh, accumulating into the VMEM grad
   # scratches (same tile algebra as _fused_backward_kernel pass B).
-  dpf_acc = jnp.zeros((batch_tile, hidden), jnp.float32)
   n = batch_tile * s_tile
-  for i in range(num_s_tiles):
+
+  def marg_body(i, dpf_acc):
     joint = tile_joint(i)                   # [Bt, St, h] f32
     joint3_c = joint.astype(compute_dtype)
     joint2d = joint3_c.reshape(n, -1)
-    a_tiles = [
-        jax.lax.slice_in_dim(a_j, i * s_tile, (i + 1) * s_tile, axis=1)
-        for (a_j, _) in pairs
-    ]
     djoint_scr[:] = jnp.zeros((n, hidden), jnp.float32)
-    for v in range(num_v_tiles):
+
+    def v_body(v, _):
       lex = lex_tile(joint2d, v)            # [Bt, St, v_tile]
       lm = jnp.zeros_like(lex)
-      for (a_t, (_, nb_lex)) in zip(a_tiles, pairs):
-        nb_t = jax.lax.slice_in_dim(nb_lex, v * v_tile, (v + 1) * v_tile,
-                                    axis=1)
+      for p in range(num_pairs):
+        a_t = a_pair_scr[p][i]              # [Bt, s_tile]
+        nb_t = nb_pair_scr[p][v]            # [Bt, v_tile]
         expo = a_t[:, :, None] + lex + nb_t[:, None, :] - log_z[:, :, None]
         lm = lm + jnp.exp(jnp.minimum(expo, 60.0))
       d_lex3 = (g_eff[:, :, None] * lm).astype(compute_dtype)
-      dvw_scr[:, v * v_tile:(v + 1) * v_tile] += jnp.sum(
+      dvw_scr[v] += jnp.sum(
           jax.lax.dot_general(
               joint3_c, d_lex3, (((1,), (1,)), ((0,), (0,))),
               preferred_element_type=jnp.float32), axis=0)
-      dvb_scr[:, v * v_tile:(v + 1) * v_tile] += jnp.sum(
+      dvb_scr[v] += jnp.sum(
           d_lex3.astype(jnp.float32), axis=(0, 1), keepdims=True)[0]
-      vw_t = vw_ref[:, v * v_tile:(v + 1) * v_tile].astype(compute_dtype)
+      vw_t = vw_ref[v].astype(compute_dtype)
       djoint_scr[:, :] += jax.lax.dot_general(
           d_lex3, vw_t, (((2,), (1,)), ((), ())),
           preferred_element_type=jnp.float32).reshape(n, hidden)
-    d_blank3 = jax.lax.slice_in_dim(d_blank_all, i * s_tile,
-                                    (i + 1) * s_tile, axis=1)[:, :, None]
+      return 0
+
+    jax.lax.fori_loop(0, num_v_tiles, v_body, 0)
+    d_blank3 = vec_scr[i][:, :, None]       # [Bt, s_tile, 1]
     dbw_scr[:, :] += jnp.sum(joint * d_blank3, axis=(0, 1), keepdims=True)[0]
     dbb_scr[0, 0] += jnp.sum(d_blank3)
     d_joint3 = djoint_scr[:, :].reshape(batch_tile, s_tile, hidden)
     d_joint3 = d_joint3 + d_blank3 * bwt_ref[:][None, :, :]
     d_pre = d_joint3 * (1.0 - joint * joint)
-    dpf_acc = dpf_acc + jnp.sum(d_pre, axis=1)
-    dpc_scr[i * s_tile:(i + 1) * s_tile, :] += jnp.sum(d_pre, axis=0)
+    dpc_scr[pl.ds(i * s_tile, s_tile), :] += jnp.sum(d_pre, axis=0)
+    return dpf_acc + jnp.sum(d_pre, axis=1)
+
+  dpf_acc = jax.lax.fori_loop(
+      0, num_s_tiles, marg_body,
+      jnp.zeros((batch_tile, hidden), jnp.float32))
 
   dpf_ref[0, 0] = dpf_acc
   beta_scr[b] = jnp.where(pad, beta, final_nb)
@@ -1162,24 +1228,39 @@ def fused_shortest_distance_fwd(wf_params: Any,
         pltpu.VMEM((batch_tile, s_pad), jnp.float32),
         pltpu.VMEM((batch_tile * s_pad, vocab), cache_dtype),
     ]
+    vw_in = wf_params['vocab_w']
+    vb_in = wf_params['vocab_b'][None, :]
+    vw_spec = pl.BlockSpec((hidden, vocab), lambda t, b: (0, 0))
+    vb_spec = pl.BlockSpec((1, vocab), lambda t, b: (0, 0))
   else:
     v_tile = _choose_v_tile(vocab)
+    num_v_tiles = vocab // v_tile
     kernel = functools.partial(
         _online_forward_kernel,
         batch_tile=batch_tile,
         s_tile=s_tile,
         num_s_tiles=num_s_tiles,
         v_tile=v_tile,
-        num_v_tiles=vocab // v_tile,
+        num_v_tiles=num_v_tiles,
         max_expansions=max_expansions,
         frame_dependent=frame_dependent,
         compute_dtype=compute_dtype)
     scratch_shapes = [
         pltpu.VMEM((b_pad, s_pad), jnp.float32),
-        pltpu.VMEM((batch_tile, s_pad), jnp.float32),
-        pltpu.VMEM((batch_tile, vocab), jnp.float32),
-        pltpu.VMEM((batch_tile, vocab), jnp.float32),
+        pltpu.VMEM((num_s_tiles, batch_tile, s_tile), jnp.float32),
+        pltpu.VMEM((num_s_tiles, batch_tile, s_tile), jnp.float32),
+        pltpu.VMEM((num_v_tiles, batch_tile, v_tile), jnp.float32),
+        pltpu.VMEM((num_v_tiles, batch_tile, v_tile), jnp.float32),
     ]
+    # Vocab-tile-major layout so the fori_loop bodies index the head on
+    # the leading axis (lane-dim dynamic slicing is unsupported).
+    vw_in = jnp.moveaxis(
+        wf_params['vocab_w'].reshape(hidden, num_v_tiles, v_tile), 1, 0)
+    vb_in = wf_params['vocab_b'].reshape(num_v_tiles, 1, v_tile)
+    vw_spec = pl.BlockSpec((num_v_tiles, hidden, v_tile),
+                           lambda t, b: (0, 0, 0))
+    vb_spec = pl.BlockSpec((num_v_tiles, 1, v_tile),
+                           lambda t, b: (0, 0, 0))
 
   hist, alpha_t = pl.pallas_call(
       kernel,
@@ -1188,8 +1269,8 @@ def fused_shortest_distance_fwd(wf_params: Any,
           pl.BlockSpec((1, 1, 1, batch_tile), lambda t, b: (t, b, 0, 0)),
           pl.BlockSpec((1, batch_tile, hidden), lambda t, b: (t, b, 0)),
           pl.BlockSpec((s_pad, hidden), lambda t, b: (0, 0)),
-          pl.BlockSpec((hidden, vocab), lambda t, b: (0, 0)),
-          pl.BlockSpec((1, vocab), lambda t, b: (0, 0)),
+          vw_spec,
+          vb_spec,
           pl.BlockSpec((hidden, 1), lambda t, b: (0, 0)),
           pl.BlockSpec((1, 1), lambda t, b: (0, 0),
                        memory_space=pltpu.SMEM),
@@ -1207,8 +1288,7 @@ def fused_shortest_distance_fwd(wf_params: Any,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,
-  )(is_pad, pf, pc, wf_params['vocab_w'],
-    wf_params['vocab_b'][None, :], wf_params['blank_w'][:, None],
+  )(is_pad, pf, pc, vw_in, vb_in, wf_params['blank_w'][:, None],
     wf_params['blank_b'][None, None], alpha0)
 
   # Unpad and reshape to the lattices._forward contract.
@@ -1328,6 +1408,7 @@ def log_partition(wf_params: Any,
                                                         1)
     g_b = jnp.pad(g, (0, b_pad - batch)).reshape(num_b_tiles, tile, 1)
 
+    padded_params, _ = _pad_vocab(wf_params)
     if mode == 'cache':
       kernel = functools.partial(
           _fused_backward_kernel,
@@ -1339,32 +1420,55 @@ def log_partition(wf_params: Any,
           compute_dtype=compute_dtype,
           cache_dtype=cache_dtype,
           num_real_states=s)
-      extra_scratch = [
+      mode_scratch = [
           pltpu.VMEM((tile, s_pad), jnp.float32),
           pltpu.VMEM((tile * s_pad, vocab), cache_dtype),
       ]
+      tail_scratch = []
+      vw_in = padded_params['vocab_w']
+      vb_in = padded_params['vocab_b'][None, :]
+      vw_shape = (hidden, vocab)
+      vb_shape = (1, vocab)
+      vw_spec = pl.BlockSpec(vw_shape, lambda t, b: (0, 0))
+      vb_spec = pl.BlockSpec(vb_shape, lambda t, b: (0, 0))
     else:
       v_tile = _choose_v_tile(vocab)
+      num_v_tiles = vocab // v_tile
+      num_pairs = 1 if frame_dependent else max_expansions
       kernel = functools.partial(
           _online_backward_kernel,
           batch_tile=tile,
           s_tile=s_tile,
           num_s_tiles=num_s_tiles,
           v_tile=v_tile,
-          num_v_tiles=vocab // v_tile,
+          num_v_tiles=num_v_tiles,
           max_expansions=max_expansions,
           frame_dependent=frame_dependent,
           compute_dtype=compute_dtype,
           num_real_states=s)
-      extra_scratch = [
-          pltpu.VMEM((tile, s_pad), jnp.float32),            # blank
-          pltpu.VMEM((tile, vocab), jnp.float32),            # reduce max
-          pltpu.VMEM((tile, vocab), jnp.float32),            # reduce sum
-          pltpu.VMEM((tile, s_pad), jnp.float32),            # lse_y out
-          pltpu.VMEM((tile * s_tile, hidden), jnp.float32),  # d(joint)
+      mode_scratch = [
+          pltpu.VMEM((num_s_tiles, tile, s_tile), jnp.float32),  # vec
+          pltpu.VMEM((num_s_tiles, tile, s_tile), jnp.float32),  # blank
+          pltpu.VMEM((num_v_tiles, tile, v_tile), jnp.float32),  # max
+          pltpu.VMEM((num_v_tiles, tile, v_tile), jnp.float32),  # sum
+          pltpu.VMEM((num_v_tiles, tile, v_tile), jnp.float32),  # lse_y in
+          pltpu.VMEM((num_s_tiles, tile, s_tile), jnp.float32),  # lse_y out
+          pltpu.VMEM((tile * s_tile, hidden), jnp.float32),      # d(joint)
       ]
+      tail_scratch = (
+          [pltpu.VMEM((num_s_tiles, tile, s_tile), jnp.float32)
+           for _ in range(num_pairs)] +
+          [pltpu.VMEM((num_v_tiles, tile, v_tile), jnp.float32)
+           for _ in range(num_pairs)])
+      vw_in = jnp.moveaxis(
+          padded_params['vocab_w'].reshape(hidden, num_v_tiles, v_tile),
+          1, 0)
+      vb_in = padded_params['vocab_b'].reshape(num_v_tiles, 1, v_tile)
+      vw_shape = (num_v_tiles, hidden, v_tile)
+      vb_shape = (num_v_tiles, 1, v_tile)
+      vw_spec = pl.BlockSpec(vw_shape, lambda t, b: (0, 0, 0))
+      vb_spec = pl.BlockSpec(vb_shape, lambda t, b: (0, 0, 0))
 
-    padded_params, _ = _pad_vocab(wf_params)
     rev = lambda t: max_t - 1 - t
     dpf, dpc, dvw, dvb, dbw, dbb = pl.pallas_call(
         kernel,
@@ -1376,8 +1480,8 @@ def log_partition(wf_params: Any,
             pl.BlockSpec((1, 1, tile, hidden),
                          lambda t, b: (rev(t), b, 0, 0)),
             pl.BlockSpec((s_pad, hidden), lambda t, b: (0, 0)),
-            pl.BlockSpec((hidden, vocab), lambda t, b: (0, 0)),
-            pl.BlockSpec((1, vocab), lambda t, b: (0, 0)),
+            vw_spec,
+            vb_spec,
             pl.BlockSpec((hidden, 1), lambda t, b: (0, 0)),
             pl.BlockSpec((1, hidden), lambda t, b: (0, 0)),
             pl.BlockSpec((1, 1), lambda t, b: (0, 0),
@@ -1389,8 +1493,12 @@ def log_partition(wf_params: Any,
             pl.BlockSpec((1, 1, tile, hidden),
                          lambda t, b: (rev(t), b, 0, 0)),
             pl.BlockSpec((s_pad, hidden), lambda t, b: (0, 0)),
-            pl.BlockSpec((hidden, vocab), lambda t, b: (0, 0)),
-            pl.BlockSpec((1, vocab), lambda t, b: (0, 0)),
+            pl.BlockSpec(vw_shape,
+                         (lambda t, b: (0, 0)) if mode == 'cache' else
+                         (lambda t, b: (0, 0, 0))),
+            pl.BlockSpec(vb_shape,
+                         (lambda t, b: (0, 0)) if mode == 'cache' else
+                         (lambda t, b: (0, 0, 0))),
             pl.BlockSpec((1, hidden), lambda t, b: (0, 0)),
             pl.BlockSpec((1, 1), lambda t, b: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -1399,28 +1507,32 @@ def log_partition(wf_params: Any,
             jax.ShapeDtypeStruct((max_t, num_b_tiles, tile, hidden),
                                  jnp.float32),
             jax.ShapeDtypeStruct((s_pad, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((hidden, vocab), jnp.float32),
-            jax.ShapeDtypeStruct((1, vocab), jnp.float32),
+            jax.ShapeDtypeStruct(vw_shape, jnp.float32),
+            jax.ShapeDtypeStruct(vb_shape, jnp.float32),
             jax.ShapeDtypeStruct((1, hidden), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         scratch_shapes=(
             [pltpu.VMEM((num_b_tiles, tile, s_pad), jnp.float32)] +
-            extra_scratch + [
+            mode_scratch + [
                 pltpu.VMEM((s_pad, hidden), jnp.float32),
-                pltpu.VMEM((hidden, vocab), jnp.float32),
-                pltpu.VMEM((1, vocab), jnp.float32),
+                pltpu.VMEM(vw_shape, jnp.float32),
+                pltpu.VMEM(vb_shape, jnp.float32),
                 pltpu.VMEM((1, hidden), jnp.float32),
                 pltpu.SMEM((1, 1), jnp.float32),
-            ]),
+            ] + tail_scratch),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(is_pad, logz_b, g_b, pf, pc, padded_params['vocab_w'],
-      padded_params['vocab_b'][None, :], wf_params['blank_w'][:, None],
+    )(is_pad, logz_b, g_b, pf, pc, vw_in, vb_in,
+      wf_params['blank_w'][:, None],
       wf_params['blank_w'][None, :], wf_params['blank_b'][None, None],
       hist)
 
+    if mode != 'cache':
+      # Undo the vocab-tile-major layout.
+      dvw = jnp.moveaxis(dvw, 0, 1).reshape(hidden, vocab)
+      dvb = dvb.reshape(1, vocab)
     dpf = dpf.reshape(max_t, b_pad, hidden)[:, :batch]  # [T, B, h]
     dpc = dpc[:s]
     d_wf = {
