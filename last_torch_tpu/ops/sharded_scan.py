@@ -72,18 +72,19 @@ def _frame_reduce_fwd_kernel(
     vec_ref,        # [Bt, S_pad] source-state vector (alpha or expansion)
     pf_ref,         # [Bt, h] projected frame
     pc_ref,         # [S_pad, h] projected context (padded rows are zero)
-    vw_ref,         # [h, Vl] local vocab-head shard
-    vb_ref,         # [1, Vl]
+    vw_ref,         # [NV, h, Vt] local vocab-head shard, tile-major
+    vb_ref,         # [NV, 1, Vt]
     bw_ref,         # [h, 1]
     bb_ref,         # [1, 1] SMEM
     # Outputs.
     red_ref,        # [Bt, Vl] logsumexp_s(vec + lex)
-    blank_ref,      # [Bt, S_pad] blank weights (finite at padded states;
-                    # callers' -inf alpha keeps those semiring-dead)
-    # Scratch (running accumulators: SSA-carried values across the
-    # unrolled tile loop become per-iteration Mosaic spill slots).
-    m_scr,          # [Bt, Vl]
-    acc_scr,        # [Bt, Vl]
+    blank_ref,      # [NS, Bt, s_tile] blank weights, tile-major (finite at
+                    # padded states; callers' -inf alpha keeps those
+                    # semiring-dead)
+    # Scratch.
+    vec_scr,        # [NS, Bt, s_tile] input tiles
+    m_scr,          # [NV, Bt, Vt] running max
+    acc_scr,        # [NV, Bt, Vt] running scaled sum
     *,
     batch_tile: int,
     s_tile: int,
@@ -92,45 +93,62 @@ def _frame_reduce_fwd_kernel(
     num_v_tiles: int,
     compute_dtype,
 ):
-  """One frame's vocab-shard reduction + blank head, online over tiles."""
+  """One frame's vocab-shard reduction + blank head, online over tiles.
+
+  The tile sweeps are lax.fori_loops over leading-axis-tiled refs, not
+  unrolled Python loops — Mosaic's register allocator gives each unrolled
+  iteration's large temporaries their own scoped-VMEM spill slots (see
+  ``fused_scan._online_forward_kernel``), and lane-dim dynamic slicing is
+  unsupported, hence the [NV, h, Vt] head layout and the [NS, Bt, s_tile]
+  input scatter.
+  """
   pf = pf_ref[:]
   vec = vec_ref[:]
   bw = bw_ref[:].astype(compute_dtype)
 
-  m_scr[:] = jnp.full(m_scr.shape, NEG_INF, jnp.float32)
-  acc_scr[:] = jnp.zeros(acc_scr.shape, jnp.float32)
   for i in range(num_s_tiles):
-    pc_t = pc_ref[i * s_tile:(i + 1) * s_tile, :]
+    vec_scr[i] = jax.lax.slice_in_dim(vec, i * s_tile, (i + 1) * s_tile,
+                                      axis=1)
+  for v in range(num_v_tiles):
+    m_scr[v] = jnp.full((batch_tile, v_tile), NEG_INF, jnp.float32)
+    acc_scr[v] = jnp.zeros((batch_tile, v_tile), jnp.float32)
+
+  def s_body(i, _):
+    pc_t = pc_ref[pl.ds(i * s_tile, s_tile), :]
     joint2d = jnp.tanh(pc_t[None, :, :] + pf[:, None, :]).astype(
         compute_dtype).reshape(batch_tile * s_tile, -1)
     blank2d = jax.lax.dot_general(
         joint2d, bw, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    blank_ref[:, i * s_tile:(i + 1) * s_tile] = blank2d.reshape(
-        batch_tile, s_tile) + bb_ref[0, 0]
-    vec_t = jax.lax.slice_in_dim(vec, i * s_tile, (i + 1) * s_tile, axis=1)
-    for v in range(num_v_tiles):
-      vw_t = vw_ref[:, v * v_tile:(v + 1) * v_tile].astype(compute_dtype)
+    blank_ref[i] = blank2d.reshape(batch_tile, s_tile) + bb_ref[0, 0]
+    vec_t = vec_scr[i]
+
+    def v_body(v, _):
+      vw_t = vw_ref[v].astype(compute_dtype)
       lex2d = jax.lax.dot_general(
           joint2d, vw_t, (((1,), (0,)), ((), ())),
           preferred_element_type=jnp.float32)
-      lex2d = lex2d + vb_ref[:, v * v_tile:(v + 1) * v_tile]
-      lex = lex2d.reshape(batch_tile, s_tile, v_tile)
+      lex = (lex2d + vb_ref[v]).reshape(batch_tile, s_tile, v_tile)
       chunk = vec_t[:, :, None] + lex
       cm = jnp.max(chunk, axis=1)
-      m_old = m_scr[:, v * v_tile:(v + 1) * v_tile]
+      m_old = m_scr[v]
       new_m = jnp.maximum(m_old, cm)
       safe = jnp.where(jnp.isfinite(new_m), new_m, 0.0)
-      acc_scr[:, v * v_tile:(v + 1) * v_tile] = (
-          acc_scr[:, v * v_tile:(v + 1) * v_tile] *
-          jnp.exp(m_old - safe) +
-          jnp.sum(jnp.exp(chunk - safe[:, None, :]), axis=1))
-      m_scr[:, v * v_tile:(v + 1) * v_tile] = new_m
-  m_all = m_scr[:, :]
-  acc_all = acc_scr[:, :]
-  red_ref[:] = jnp.where(
-      acc_all == 0, NEG_INF,
-      jnp.where(jnp.isfinite(m_all), m_all, 0.0) + jnp.log(acc_all))
+      acc_scr[v] = (acc_scr[v] * jnp.exp(m_old - safe) +
+                    jnp.sum(jnp.exp(chunk - safe[:, None, :]), axis=1))
+      m_scr[v] = new_m
+      return 0
+
+    jax.lax.fori_loop(0, num_v_tiles, v_body, 0)
+    return 0
+
+  jax.lax.fori_loop(0, num_s_tiles, s_body, 0)
+  for v in range(num_v_tiles):
+    m_v = m_scr[v]
+    acc_v = acc_scr[v]
+    red_ref[:, v * v_tile:(v + 1) * v_tile] = jnp.where(
+        acc_v == 0, NEG_INF,
+        jnp.where(jnp.isfinite(m_v), m_v, 0.0) + jnp.log(acc_v))
 
 
 def _frame_reduce_bwd_kernel(
@@ -138,26 +156,31 @@ def _frame_reduce_bwd_kernel(
     vec_ref,        # [Bt, S_pad]
     pf_ref,         # [Bt, h]
     pc_ref,         # [S_pad, h]
-    vw_ref,         # [h, Vl]
-    vb_ref,         # [1, Vl]
+    vw_ref,         # [NV, h, Vt] tile-major
+    vb_ref,         # [NV, 1, Vt]
     bwt_ref,        # [1, h] blank head, transposed
     red_ref,        # [Bt, Vl] saved forward output
     dred_ref,       # [Bt, Vl] cotangent of red
     dblank_ref,     # [Bt, S_pad] cotangent of blank
     # Outputs.
-    dvec_ref,       # [Bt, S_pad]
+    dvec_ref,       # [NS, Bt, s_tile] tile-major
     dpf_ref,        # [Bt, h]
     dpc_ref,        # [S_pad, h]
-    dvw_ref,        # [h, Vl]
-    dvb_ref,        # [1, Vl]
+    dvw_ref,        # [NV, h, Vt]
+    dvb_ref,        # [NV, 1, Vt]
     dbw_ref,        # [1, h]
     dbb_ref,        # [1, 1] SMEM
-    # Scratch (parameter grads accumulated across batch tiles; djoint
-    # per state tile — see the spill-slot note in _frame_reduce_fwd_kernel).
+    # Scratch (parameter grads accumulated across batch tiles; the tile
+    # sweeps are fori_loops over leading-axis-tiled memory — see the
+    # spill-slot note in _frame_reduce_fwd_kernel).
+    vec_scr,        # [NS, Bt, s_tile]
+    dbl_scr,        # [NS, Bt, s_tile]
+    red_scr,        # [NV, Bt, Vt]
+    dred_scr,       # [NV, Bt, Vt]
     djoint_scr,     # [Bt * s_tile, h]
     dpc_scr,        # [S_pad, h]
-    dvw_scr,        # [h, Vl]
-    dvb_scr,        # [1, Vl]
+    dvw_scr,        # [NV, h, Vt]
+    dvb_scr,        # [NV, 1, Vt]
     dbw_scr,        # [1, h]
     dbb_scr,        # [1, 1] SMEM
     *,
@@ -177,69 +200,78 @@ def _frame_reduce_bwd_kernel(
   VMEM scratch.
   """
   b = pl.program_id(0)
+  hidden = pc_ref.shape[-1]
 
   @pl.when(b == 0)
   def _():
     dpc_scr[:] = jnp.zeros(dpc_scr.shape, jnp.float32)
-    dvw_scr[:] = jnp.zeros(dvw_scr.shape, jnp.float32)
-    dvb_scr[:] = jnp.zeros(dvb_scr.shape, jnp.float32)
     dbw_scr[:] = jnp.zeros(dbw_scr.shape, jnp.float32)
     dbb_scr[0, 0] = 0.0
+    for v in range(num_v_tiles):
+      dvw_scr[v] = jnp.zeros((hidden, v_tile), jnp.float32)
+      dvb_scr[v] = jnp.zeros((1, v_tile), jnp.float32)
 
   pf = pf_ref[:]
-  vec = vec_ref[:]
-  red = red_ref[:]
-  d_red = dred_ref[:]
-  hidden = pc_ref.shape[-1]
   n = batch_tile * s_tile
-  safe_red = jnp.where(jnp.isfinite(red), red, 0.0)
+  safe_red = jnp.where(jnp.isfinite(red_ref[:]), red_ref[:], 0.0)
 
-  dpf_acc = jnp.zeros((batch_tile, hidden), jnp.float32)
-  for i in range(num_s_tiles):
-    pc_t = pc_ref[i * s_tile:(i + 1) * s_tile, :]
+  for i in range(num_s_tiles):  # static-slice scatters
+    vec_scr[i] = jax.lax.slice_in_dim(vec_ref[:], i * s_tile,
+                                      (i + 1) * s_tile, axis=1)
+    dbl_scr[i] = jax.lax.slice_in_dim(dblank_ref[:], i * s_tile,
+                                      (i + 1) * s_tile, axis=1)
+  for v in range(num_v_tiles):
+    red_scr[v] = jax.lax.slice_in_dim(safe_red, v * v_tile,
+                                      (v + 1) * v_tile, axis=1)
+    dred_scr[v] = jax.lax.slice_in_dim(dred_ref[:], v * v_tile,
+                                       (v + 1) * v_tile, axis=1)
+
+  def s_body(i, dpf_acc):
+    pc_t = pc_ref[pl.ds(i * s_tile, s_tile), :]
     joint = jnp.tanh(pc_t[None, :, :] + pf[:, None, :])  # [Bt, St, h] f32
     joint3_c = joint.astype(compute_dtype)
     joint2d = joint3_c.reshape(n, -1)
-    vec_t = jax.lax.slice_in_dim(vec, i * s_tile, (i + 1) * s_tile, axis=1)
+    vec_t = vec_scr[i]
     djoint_scr[:] = jnp.zeros((n, hidden), jnp.float32)
-    dvec_acc = jnp.zeros((batch_tile, s_tile), jnp.float32)
-    for v in range(num_v_tiles):
-      vw_t = vw_ref[:, v * v_tile:(v + 1) * v_tile].astype(compute_dtype)
+
+    def v_body(v, dvec_acc):
+      vw_t = vw_ref[v].astype(compute_dtype)
       lex2d = jax.lax.dot_general(
           joint2d, vw_t, (((1,), (0,)), ((), ())),
           preferred_element_type=jnp.float32)
-      lex2d = lex2d + vb_ref[:, v * v_tile:(v + 1) * v_tile]
-      lex = lex2d.reshape(batch_tile, s_tile, v_tile)
-      red_t = jax.lax.slice_in_dim(safe_red, v * v_tile, (v + 1) * v_tile,
-                                   axis=1)
-      dred_t = jax.lax.slice_in_dim(d_red, v * v_tile, (v + 1) * v_tile,
-                                    axis=1)
+      lex = (lex2d + vb_ref[v]).reshape(batch_tile, s_tile, v_tile)
       # The clip guards bfloat16 rounding; true exponents are <= 0.
       p = jnp.exp(jnp.minimum(
-          vec_t[:, :, None] + lex - red_t[:, None, :], 60.0))
-      d_lex3 = (dred_t[:, None, :] * p).astype(compute_dtype)
+          vec_t[:, :, None] + lex - red_scr[v][:, None, :], 60.0))
+      d_lex3 = (dred_scr[v][:, None, :] * p).astype(compute_dtype)
       dvec_acc = dvec_acc + jnp.sum(d_lex3.astype(jnp.float32), axis=2)
-      dvw_scr[:, v * v_tile:(v + 1) * v_tile] += jnp.sum(
+      dvw_scr[v] += jnp.sum(
           jax.lax.dot_general(
               joint3_c, d_lex3, (((1,), (1,)), ((0,), (0,))),
               preferred_element_type=jnp.float32), axis=0)
-      dvb_scr[:, v * v_tile:(v + 1) * v_tile] += jnp.sum(
+      dvb_scr[v] += jnp.sum(
           d_lex3.astype(jnp.float32), axis=(0, 1), keepdims=True)[0]
       djoint_scr[:, :] += jax.lax.dot_general(
           d_lex3, vw_t, (((2,), (1,)), ((), ())),
           preferred_element_type=jnp.float32).reshape(n, hidden)
-    dvec_ref[:, i * s_tile:(i + 1) * s_tile] = dvec_acc
-    d_blank3 = jax.lax.slice_in_dim(dblank_ref[:], i * s_tile,
-                                    (i + 1) * s_tile, axis=1)[:, :, None]
+      return dvec_acc
+
+    dvec_acc = jax.lax.fori_loop(
+        0, num_v_tiles, v_body,
+        jnp.zeros((batch_tile, s_tile), jnp.float32))
+    dvec_ref[i] = dvec_acc
+    d_blank3 = dbl_scr[i][:, :, None]
     dbw_scr[:, :] += jnp.sum(joint * d_blank3, axis=(0, 1), keepdims=True)[0]
     dbb_scr[0, 0] += jnp.sum(d_blank3)
     d_joint3 = djoint_scr[:, :].reshape(batch_tile, s_tile, hidden)
     d_joint3 = d_joint3 + d_blank3 * bwt_ref[:][None, :, :]
     d_pre = d_joint3 * (1.0 - joint * joint)
-    dpf_acc = dpf_acc + jnp.sum(d_pre, axis=1)
-    dpc_scr[i * s_tile:(i + 1) * s_tile, :] += jnp.sum(d_pre, axis=0)
+    dpc_scr[pl.ds(i * s_tile, s_tile), :] += jnp.sum(d_pre, axis=0)
+    return dpf_acc + jnp.sum(d_pre, axis=1)
 
-  dpf_ref[:] = dpf_acc
+  dpf_ref[:] = jax.lax.fori_loop(
+      0, num_s_tiles, s_body,
+      jnp.zeros((batch_tile, hidden), jnp.float32))
 
   @pl.when(b == pl.num_programs(0) - 1)
   def _():
@@ -308,6 +340,9 @@ def _frame_reduce_fwd(vec, pf_t, pc, vw, vb, bw, bb, batch_tile, interpret):
       num_v_tiles=num_v_tiles,
       compute_dtype=jnp.float32 if interpret else jnp.bfloat16)
 
+  # Vocab-tile-major head layout for leading-axis fori indexing.
+  vw3 = jnp.moveaxis(vw.reshape(hidden, num_v_tiles, v_tile), 1, 0)
+  vb3 = vb.reshape(num_v_tiles, 1, v_tile)
   red, blank = pl.pallas_call(
       kernel,
       grid=(b_pad // batch_tile,),
@@ -315,27 +350,30 @@ def _frame_reduce_fwd(vec, pf_t, pc, vw, vb, bw, bb, batch_tile, interpret):
           pl.BlockSpec((batch_tile, s_pad), lambda b: (b, 0)),
           pl.BlockSpec((batch_tile, hidden), lambda b: (b, 0)),
           pl.BlockSpec((s_pad, hidden), lambda b: (0, 0)),
-          pl.BlockSpec((hidden, v_local), lambda b: (0, 0)),
-          pl.BlockSpec((1, v_local), lambda b: (0, 0)),
+          pl.BlockSpec((num_v_tiles, hidden, v_tile), lambda b: (0, 0, 0)),
+          pl.BlockSpec((num_v_tiles, 1, v_tile), lambda b: (0, 0, 0)),
           pl.BlockSpec((hidden, 1), lambda b: (0, 0)),
           pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
       ],
       out_specs=[
           pl.BlockSpec((batch_tile, v_local), lambda b: (b, 0)),
-          pl.BlockSpec((batch_tile, s_pad), lambda b: (b, 0)),
+          pl.BlockSpec((num_s_tiles, batch_tile, s_tile),
+                       lambda b: (0, b, 0)),
       ],
       out_shape=[
           jax.ShapeDtypeStruct((b_pad, v_local), jnp.float32),
-          jax.ShapeDtypeStruct((b_pad, s_pad), jnp.float32),
+          jax.ShapeDtypeStruct((num_s_tiles, b_pad, s_tile), jnp.float32),
       ],
       scratch_shapes=[
-          pltpu.VMEM((batch_tile, v_local), jnp.float32),
-          pltpu.VMEM((batch_tile, v_local), jnp.float32),
+          pltpu.VMEM((num_s_tiles, batch_tile, s_tile), jnp.float32),
+          pltpu.VMEM((num_v_tiles, batch_tile, v_tile), jnp.float32),
+          pltpu.VMEM((num_v_tiles, batch_tile, v_tile), jnp.float32),
       ],
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,
-  )(vec, pf_t, pc, vw, vb[None, :], bw[:, None], bb[None, None])
+  )(vec, pf_t, pc, vw3, vb3, bw[:, None], bb[None, None])
+  blank = jnp.moveaxis(blank, 0, 1).reshape(b_pad, s_pad)
   return red[:batch], blank[:batch]
 
 
@@ -373,6 +411,8 @@ def _frame_reduce_vjp_bwd(batch_tile, interpret, residuals, cotangents):
       num_v_tiles=num_v_tiles,
       compute_dtype=jnp.float32 if interpret else jnp.bfloat16)
 
+  vw3 = jnp.moveaxis(vw.reshape(hidden, num_v_tiles, v_tile), 1, 0)
+  vb3 = vb.reshape(num_v_tiles, 1, v_tile)
   d_vec, d_pf, d_pc, d_vw, d_vb, d_bw, d_bb = pl.pallas_call(
       kernel,
       grid=(b_pad // batch_tile,),
@@ -380,45 +420,52 @@ def _frame_reduce_vjp_bwd(batch_tile, interpret, residuals, cotangents):
           pl.BlockSpec((batch_tile, s_pad), lambda b: (b, 0)),
           pl.BlockSpec((batch_tile, hidden), lambda b: (b, 0)),
           pl.BlockSpec((s_pad, hidden), lambda b: (0, 0)),
-          pl.BlockSpec((hidden, v_local), lambda b: (0, 0)),
-          pl.BlockSpec((1, v_local), lambda b: (0, 0)),
+          pl.BlockSpec((num_v_tiles, hidden, v_tile), lambda b: (0, 0, 0)),
+          pl.BlockSpec((num_v_tiles, 1, v_tile), lambda b: (0, 0, 0)),
           pl.BlockSpec((1, hidden), lambda b: (0, 0)),
           pl.BlockSpec((batch_tile, v_local), lambda b: (b, 0)),
           pl.BlockSpec((batch_tile, v_local), lambda b: (b, 0)),
           pl.BlockSpec((batch_tile, s_pad), lambda b: (b, 0)),
       ],
       out_specs=[
-          pl.BlockSpec((batch_tile, s_pad), lambda b: (b, 0)),
+          pl.BlockSpec((num_s_tiles, batch_tile, s_tile),
+                       lambda b: (0, b, 0)),
           pl.BlockSpec((batch_tile, hidden), lambda b: (b, 0)),
           pl.BlockSpec((s_pad, hidden), lambda b: (0, 0)),
-          pl.BlockSpec((hidden, v_local), lambda b: (0, 0)),
-          pl.BlockSpec((1, v_local), lambda b: (0, 0)),
+          pl.BlockSpec((num_v_tiles, hidden, v_tile), lambda b: (0, 0, 0)),
+          pl.BlockSpec((num_v_tiles, 1, v_tile), lambda b: (0, 0, 0)),
           pl.BlockSpec((1, hidden), lambda b: (0, 0)),
           pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
       ],
       out_shape=[
-          jax.ShapeDtypeStruct((b_pad, s_pad), jnp.float32),
+          jax.ShapeDtypeStruct((num_s_tiles, b_pad, s_tile), jnp.float32),
           jax.ShapeDtypeStruct((b_pad, hidden), jnp.float32),
           jax.ShapeDtypeStruct((s_pad, hidden), jnp.float32),
-          jax.ShapeDtypeStruct((hidden, v_local), jnp.float32),
-          jax.ShapeDtypeStruct((1, v_local), jnp.float32),
+          jax.ShapeDtypeStruct((num_v_tiles, hidden, v_tile), jnp.float32),
+          jax.ShapeDtypeStruct((num_v_tiles, 1, v_tile), jnp.float32),
           jax.ShapeDtypeStruct((1, hidden), jnp.float32),
           jax.ShapeDtypeStruct((1, 1), jnp.float32),
       ],
       scratch_shapes=[
+          pltpu.VMEM((num_s_tiles, batch_tile, s_tile), jnp.float32),
+          pltpu.VMEM((num_s_tiles, batch_tile, s_tile), jnp.float32),
+          pltpu.VMEM((num_v_tiles, batch_tile, v_tile), jnp.float32),
+          pltpu.VMEM((num_v_tiles, batch_tile, v_tile), jnp.float32),
           pltpu.VMEM((batch_tile * s_tile, hidden), jnp.float32),
           pltpu.VMEM((s_pad, hidden), jnp.float32),
-          pltpu.VMEM((hidden, v_local), jnp.float32),
-          pltpu.VMEM((1, v_local), jnp.float32),
+          pltpu.VMEM((num_v_tiles, hidden, v_tile), jnp.float32),
+          pltpu.VMEM((num_v_tiles, 1, v_tile), jnp.float32),
           pltpu.VMEM((1, hidden), jnp.float32),
           pltpu.SMEM((1, 1), jnp.float32),
       ],
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,
-  )(vec, pf_t, pc, vw, vb[None, :], bw[None, :], red, d_red, d_blank)
-  return (d_vec[:batch], d_pf[:batch], d_pc, d_vw, d_vb[0], d_bw[0],
-          d_bb[0, 0])
+  )(vec, pf_t, pc, vw3, vb3, bw[None, :], red, d_red, d_blank)
+  d_vec = jnp.moveaxis(d_vec, 0, 1).reshape(b_pad, s_pad)
+  d_vw = jnp.moveaxis(d_vw, 0, 1).reshape(hidden, v_local)
+  return (d_vec[:batch], d_pf[:batch], d_pc, d_vw, d_vb.reshape(v_local),
+          d_bw[0], d_bb[0, 0])
 
 
 frame_reduce.defvjp(_frame_reduce_vjp_fwd, _frame_reduce_vjp_bwd)
