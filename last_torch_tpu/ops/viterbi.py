@@ -59,8 +59,13 @@ def _viterbi_forward_kernel(
     alpha_out_ref,  # [Bt, S_pad]
     # Scratch.
     alpha_scr,      # [B_pad, S_pad] f32
+    vec_scr,        # [NS, Bt, s_tile] f32 max-pass input tiles
+    blank_scr,      # [NS, Bt, s_tile] f32
+    m_scr,          # [Bt, V] f32 running max over state tiles
+    argm_scr,       # [Bt, V] i32 running argmax
     lex_scr=None,   # [Bt * S_pad, V] f32 — per-frame lexical-score cache,
-                    # only allocated when >= 2 max-passes run per frame.
+                    # only allocated when >= 2 max-passes run per frame
+                    # and it fits VMEM; recomputed otherwise.
     *,
     batch_tile: int,
     s_tile: int,
@@ -85,22 +90,30 @@ def _viterbi_forward_kernel(
   bw = bw_ref[:].astype(compute_dtype)
 
   def tile_joint(i):
-    pc_t = pc_ref[i * s_tile:(i + 1) * s_tile, :]
+    pc_t = pc_ref[pl.ds(i * s_tile, s_tile), :]
     joint = jnp.tanh(pc_t[None, :, :] + pf[:, None, :])
     return joint.astype(compute_dtype).reshape(batch_tile * s_tile, -1)
 
-  def max_pass(in_vec, first_pass, blank_store):
+  def max_pass(in_vec, first_pass):
     """red[b, y], arg[b, y] = max/argmax_s(in_vec[b, s] + lex[b, s, y]).
 
-    The first pass of a frame computes the lexical scores on the MXU (and
-    the blank head); when ``lex_scr`` is allocated it also fills the VMEM
-    cache, which later passes of the same frame read back instead of
-    re-running tanh + matmul (2-D cache layout, split-reshaped after the
-    read — Mosaic cannot reduce over axis 1 of a 3-D scratch read).
+    A fori_loop over state tiles (see the spill-slot note in
+    ``fused_scan._online_forward_kernel``): the first pass of a frame
+    computes the lexical scores on the MXU (and the blank head, stored
+    tile-major in ``blank_scr``); when ``lex_scr`` is allocated it also
+    fills the VMEM cache, which later passes of the same frame read back
+    instead of re-running tanh + matmul (2-D cache layout, split-reshaped
+    after the read — Mosaic cannot reduce over axis 1 of a 3-D scratch
+    read). The running (max, argmax) accumulators live in scratch; the
+    vocab axis is NOT tiled, so each is one [Bt, V] block.
     """
-    m = jnp.full((batch_tile, vocab), NEG_INF, jnp.float32)
-    arg = jnp.zeros((batch_tile, vocab), jnp.int32)
-    for i in range(num_s_tiles):
+    for i in range(num_s_tiles):  # scatter: small static lane slices
+      vec_scr[i] = jax.lax.slice_in_dim(in_vec, i * s_tile,
+                                        (i + 1) * s_tile, axis=1)
+    m_scr[:] = jnp.full((batch_tile, vocab), NEG_INF, jnp.float32)
+    argm_scr[:] = jnp.zeros((batch_tile, vocab), jnp.int32)
+
+    def body(i, _):
       rows = pl.ds(i * batch_tile * s_tile, batch_tile * s_tile)
       if first_pass or lex_scr is None:
         joint2d = tile_joint(i)
@@ -132,19 +145,22 @@ def _viterbi_forward_kernel(
         if first_pass and lex_scr is not None:
           lex_scr[rows, :] = lex2d
         if first_pass:
-          blank_store.append(blank2d.reshape(batch_tile, s_tile))
+          blank_scr[i] = blank2d.reshape(batch_tile, s_tile)
       else:
         lex2d = lex_scr[rows, :]
       lex = lex2d.reshape(batch_tile, s_tile, -1)
-      vec_t = jax.lax.slice_in_dim(in_vec, i * s_tile, (i + 1) * s_tile,
-                                   axis=1)
+      vec_t = vec_scr[i]
       chunk = vec_t[:, :, None] + lex
       tile_max = jnp.max(chunk, axis=1)
       tile_arg = jnp.argmax(chunk, axis=1).astype(jnp.int32) + i * s_tile
-      better = tile_max > m
-      m = jnp.where(better, tile_max, m)
-      arg = jnp.where(better, tile_arg, arg)
-    return m, arg
+      m_old = m_scr[:, :]
+      better = tile_max > m_old
+      m_scr[:, :] = jnp.where(better, tile_max, m_old)
+      argm_scr[:, :] = jnp.where(better, tile_arg, argm_scr[:, :])
+      return 0
+
+    jax.lax.fori_loop(0, num_s_tiles, body, 0)
+    return m_scr[:, :], argm_scr[:, :]
 
   def expand(red):
     s_pad = alpha.shape[-1]
@@ -153,9 +169,9 @@ def _viterbi_forward_kernel(
     start_col = jnp.full((batch_tile, 1), NEG_INF, jnp.float32)
     return jnp.concatenate([start_col, red, pad_cols], axis=1)
 
-  blank_store = []
-  red, arg = max_pass(alpha, True, blank_store)
-  blank = jnp.concatenate(blank_store, axis=-1)  # [Bt, S_pad]
+  red, arg = max_pass(alpha, True)
+  blank = jnp.concatenate([blank_scr[i] for i in range(num_s_tiles)],
+                          axis=-1)  # [Bt, S_pad]
   arg_ref[0, 0, 0] = arg
 
   if frame_dependent:
@@ -176,7 +192,7 @@ def _viterbi_forward_kernel(
       acc = jnp.where(better, cand, acc)
       jstar = jnp.where(better, j, jstar)
       if j < max_expansions:
-        red, arg = max_pass(last, False, None)
+        red, arg = max_pass(last, False)
         arg_ref[0, 0, j] = arg
         last = expand(red)
     alpha_new = acc
@@ -285,7 +301,13 @@ def viterbi_decode(wf_params: Any,
           jax.ShapeDtypeStruct((max_t, b_pad, s_pad), jnp.int32),
           jax.ShapeDtypeStruct((b_pad, s_pad), jnp.float32),
       ],
-      scratch_shapes=[pltpu.VMEM((b_pad, s_pad), jnp.float32)] + (
+      scratch_shapes=[
+          pltpu.VMEM((b_pad, s_pad), jnp.float32),
+          pltpu.VMEM((num_s_tiles, batch_tile, s_tile), jnp.float32),
+          pltpu.VMEM((num_s_tiles, batch_tile, s_tile), jnp.float32),
+          pltpu.VMEM((batch_tile, vocab), jnp.float32),
+          pltpu.VMEM((batch_tile, vocab), jnp.int32),
+      ] + (
           # Lexical-score cache pays off only when a frame runs >= 2
           # max-passes (FrameLabelDependent with k >= 2) — and only when
           # it fits VMEM; large vocabularies recompute instead
