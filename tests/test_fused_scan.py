@@ -452,6 +452,57 @@ def test_label_marginals_kernel_matches_xla(alignment_factory):
     npt.assert_allclose(total[~valid], 0.0, atol=1e-6)
 
 
+@pytest.mark.parametrize('alignment_factory', [
+    alignments.FrameDependent,
+    lambda: alignments.FrameLabelDependent(max_expansions=2),
+])
+def test_online_kernels_multi_tile_match_xla(alignment_factory):
+  """Online kernels at a MULTI-tile configuration == XLA values and grads.
+
+  vocab=520 pads to 640 lanes = 5 vocab tiles, and 1+640 states pad to
+  768 = 6 state tiles, so both fori_loop sweeps run several iterations —
+  the single-tile test above cannot catch tile-indexing bugs (scatter /
+  assembly / pair-scratch misalignment), which would otherwise only
+  surface on hardware at production vocabularies.
+  """
+  vocab, hidden = 520, 16
+  context = contexts.FullNGram(vocab_size=vocab, context_size=1)
+  xla_lattice = last_torch_tpu.RecognitionLattice(
+      context=context,
+      alignment=alignment_factory(),
+      weight_fn_cacher_factory=lambda ctx: weight_fns.SharedEmbCacher(
+          num_context_states=ctx.shape()[0], embedding_size=8),
+      weight_fn_factory=lambda ctx: weight_fns.JointWeightFn(
+          vocab_size=vocab, hidden_size=hidden),
+      fused='never')
+  frame_dependent = isinstance(xla_lattice.alignment,
+                               alignments.FrameDependent)
+  k = 0 if frame_dependent else xla_lattice.alignment.max_expansions
+  params = xla_lattice.init(jax.random.PRNGKey(40), feature_size=6)
+  frames = jax.random.normal(jax.random.PRNGKey(41), (2, 3, 6))
+  num_frames = jnp.array([3, 2])
+  s = xla_lattice.context.shape()[0]
+
+  def online_total(params, frames):
+    cache = xla_lattice.build_cache(params)
+    return jnp.sum(fused_scan.log_partition(
+        params['weight_fn'], cache, frames, num_frames,
+        max_expansions=k, frame_dependent=frame_dependent,
+        num_context_states=s, compute_dtype=jnp.float32, mode='online',
+        interpret=True))
+
+  def xla_total(params, frames):
+    cache = xla_lattice.build_cache(params)
+    return jnp.sum(xla_lattice._forward_backward(
+        params=params, cache=cache, frames=frames, num_frames=num_frames))
+
+  vo, go = jax.value_and_grad(online_total, argnums=(0, 1))(params, frames)
+  vx, gx = jax.value_and_grad(xla_total, argnums=(0, 1))(params, frames)
+  npt.assert_allclose(vo, vx, rtol=1e-5, atol=1e-6)
+  for a, b in zip(jax.tree.leaves(go), jax.tree.leaves(gx)):
+    npt.assert_allclose(a, b, rtol=2e-3, atol=1e-5)
+
+
 def test_online_kernels_padded_vocab_long_sequence_no_nan():
   """The online backward shares the padded-state beta guard."""
   xla_lattice = build(alignments.FrameLabelDependent(max_expansions=1),
