@@ -238,9 +238,13 @@ def viterbi_decode(wf_params: Any,
   if not batch_tile:
     # Size the batch tile so the per-frame lexical cache ([Bt * S_pad, V]
     # f32) stays within ~80MB of VMEM (16 rows at the headline config —
-    # measured ~5% faster than 8 on v5e; 32 does not compile).
+    # measured ~5% faster than 8 on v5e; 32 does not compile). The
+    # normalized variants carry extra row-normalizer temporaries in the
+    # loop body (~25MB at 16 rows), so they cap at 8 rows — 16 exceeds
+    # the scoped-VMEM limit at the headline config.
+    cap = 8 if normalize != 'none' else 16
     cache_bytes = s_pad * vocab * 4
-    batch_tile = max(8, min(16, (80 * 1024 * 1024) // max(cache_bytes, 1)
+    batch_tile = max(8, min(cap, (80 * 1024 * 1024) // max(cache_bytes, 1)
                             // 8 * 8))
     # Never pad a small batch up to the tile: cap at the 8-row-aligned
     # true batch so e.g. B=4 runs one 8-row tile, not a 16-row one.
