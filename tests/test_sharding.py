@@ -203,9 +203,16 @@ class TestTensorParallelLattice:
       # NaN-free zeros there too because every red column is finite.
       npt.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
 
-  @pytest.mark.parametrize('max_expansions', [0, 1])
+  @pytest.mark.parametrize('max_expansions,locally_normalized', [
+      (0, False),
+      (1, False),
+      # Locally normalized: the numerator-only route (tp_lattice_loss
+      # gathers the head for the string forward; no sharded denominator).
+      (1, True),
+  ])
   def test_tp_train_step_matches_single_device(self, eight_devices,
-                                               max_expansions):
+                                               max_expansions,
+                                               locally_normalized):
     """Vocab-sharded (dp x tp) kernel train step == unsharded XLA step."""
     config = gnat.GNATConfig(
         feature_size=8,
@@ -218,7 +225,7 @@ class TestTensorParallelLattice:
         hidden_size=16,
         embedding_size=16,
         max_expansions=max_expansions,
-        locally_normalized=False)
+        locally_normalized=locally_normalized)
     model = gnat.GNATModel(config)
     model.lattice.fused = 'never'  # single-device baseline path
     # SGD, not Adam: updates stay proportional to gradients, so parameter
