@@ -210,6 +210,25 @@ def bench_secondary():
                 iters=2)
   results['9_v4096_loss_ms'] = round(p50 * 1e3, 1)
   results['9_v4096_frames_per_sec'] = round(8 * 200 / p50)
+
+  # Config 10: V=4096 Viterbi decode (lex-cache recompute mode).
+  sp9 = jax.jit(lambda p, f: _decode_checksum(
+      lattice9.shortest_path(p, f, b9['num_frames'])))
+  results['10_v4096_decode_ms'] = round(
+      time_fn(sp9, params9, b9['frames'], iters=2) * 1e3, 1)
+
+  # Config 11: ctc-like training (context_size=0, a single context state)
+  # — structurally outside the fused kernels' bigram scope; records that
+  # the XLA path is adequate there (S=1 makes the lexical work trivial).
+  lattice11, params11 = build_lattice(vocab=1024, context_size=0)
+  b11 = make_batch(32, 1600, 100, 1024)
+  loss11 = jax.jit(jax.value_and_grad(lambda p, f: jnp.sum(
+      lattice11(p, f, b11['num_frames'], b11['labels'],
+                b11['num_labels']))))
+  p50 = time_fn(lambda p, f: loss11(p, f)[0], params11, b11['frames'],
+                iters=2)
+  results['11_ctc_like_train_ms'] = round(p50 * 1e3, 1)
+  results['11_ctc_like_path'] = lattice11.last_path
   return results
 
 
