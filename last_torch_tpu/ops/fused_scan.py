@@ -1053,10 +1053,13 @@ def _online_backward_kernel(
 # VMEM budgets (v5e: 128 MB total; leave room for inputs, double buffers
 # and grad scratches). _CACHE_BUDGET bounds the exp-space lexical cache of
 # the resident-cache kernels at the minimum 8-row batch tile;
-# _ONLINE_BUDGET bounds the (pc, vw, dvw, dpc + casts) working set of the
-# vocab-tiled online kernels, which is O((S + V) * hidden) and V-cache-free.
+# _ONLINE_BUDGET bounds the vocab-tiled online backward's working set:
+# each of the head-sized ([h, V]) and context-sized ([S_pad, h]) tensors
+# is resident THREE times (input + output + gradient scratch), so the
+# binding term is 3 * (S_pad + V_pad) * hidden * 4 bytes. Measured on
+# v5e at hidden 512: V=6144 compiles and runs, V=8192 exceeds VMEM.
 _CACHE_BUDGET = 80 * 1024 * 1024
-_ONLINE_BUDGET = 96 * 1024 * 1024
+_ONLINE_BUDGET = 80 * 1024 * 1024
 
 
 def _plan(num_states: int, vocab: int, hidden: int):
@@ -1064,8 +1067,9 @@ def _plan(num_states: int, vocab: int, hidden: int):
 
   Returns ('cache', float32) when the exp-space lexical cache fits VMEM
   (bigram V up to ~1500), ('online', None) for the vocab-tiled streaming
-  kernels (V up to ~9000 at hidden 512), or None when even the online
-  working set cannot fit (fall back to XLA).
+  kernels (V up to ~6400 at hidden 512; measured: 6144 compiles, 8192
+  exceeds VMEM), or None when even the online working set cannot fit
+  (fall back to XLA).
 
   A bfloat16 cache tier was measured and rejected: halving the cache
   bytes is not enough, because Mosaic's dtype-conversion staging around
@@ -1077,7 +1081,7 @@ def _plan(num_states: int, vocab: int, hidden: int):
   s_pad = _round_up(max(num_states, 1 + v_pad), _LANES)
   if 8 * s_pad * v_pad * 4 <= _CACHE_BUDGET:
     return ('cache', jnp.float32)
-  if (s_pad + v_pad) * hidden * 4 * 2.5 <= _ONLINE_BUDGET:
+  if 3 * (s_pad + v_pad) * hidden * 4 <= _ONLINE_BUDGET:
     return ('online', None)
   return None
 
@@ -1746,7 +1750,7 @@ def supported(lattice, semiring, blank_mask, lexical_mask, weight_lift,
     return False
   if backend == 'tpu':
     # Some kernel variant must fit VMEM: the float32 exp-space cache up
-    # to bigram vocab ~1500, the vocab-tiled online kernels up to ~9000
+    # to bigram vocab ~1500, the vocab-tiled online kernels up to ~6400
     # (hidden 512). Beyond that, fall back to XLA.
     num_states, vocab = lattice.context.shape()
     if _plan(num_states, vocab, weight_fn.hidden_size) is None:
