@@ -197,12 +197,25 @@ class GNATTrainState:
 
 def make_optimizer(learning_rate: float = 1e-3,
                    weight_decay: float = 1e-4,
-                   clip_norm: float = 5.0) -> optax.GradientTransformation:
-  """AdamW with global-norm clipping; the standard transducer recipe."""
-  return optax.chain(
+                   clip_norm: float = 5.0,
+                   accumulate_steps: int = 1
+                   ) -> optax.GradientTransformation:
+  """AdamW with global-norm clipping; the standard transducer recipe.
+
+  ``accumulate_steps > 1`` wraps the chain in ``optax.MultiSteps``:
+  gradients average over that many micro-batches before one parameter
+  update — the way to train at effective batch sizes whose lattice
+  activations do not fit one chip (each micro-step stays on the fused
+  kernels; only the small parameter-gradient pytree is carried between
+  micro-steps).
+  """
+  tx = optax.chain(
       optax.clip_by_global_norm(clip_norm),
       optax.adamw(learning_rate, weight_decay=weight_decay),
   )
+  if accumulate_steps > 1:
+    tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
+  return tx
 
 
 def init_train_state(model: GNATModel, key: jax.Array,

@@ -229,9 +229,11 @@ def train(model_config: gnat.GNATConfig,
              if k != 'steps'},
       }
       if eval_every and (step + 1) % eval_every == 0:
+        eval_params = jax.device_get(state).params
         record['eval_label_accuracy'] = round(
-            label_accuracy(model, decode_fn, jax.device_get(state).params,
-                           eval_batch), 4)
+            label_accuracy(model, decode_fn, eval_params, eval_batch), 4)
+        record['eval_label_error_rate'] = round(
+            label_error_rate(model, decode_fn, eval_params, eval_batch), 4)
       log_fn(json.dumps(record))
     if manager and ((checkpoint_every and (step + 1) % checkpoint_every == 0)
                     or step + 1 == num_steps):
@@ -261,6 +263,32 @@ def label_accuracy(model, decode_fn, params, batch) -> float:
     correct += int(np.sum(decoded[:n] == reference[:n]))
     total += int(len(reference))
   return correct / max(total, 1)
+
+
+def label_error_rate(model, decode_fn, params, batch) -> float:
+  """Corpus label error rate (Levenshtein) of greedy Viterbi decoding.
+
+  The standard recognizer quality metric: total edit distance between the
+  decoded lexical label sequences (blanks stripped from the alignment)
+  and the references, over total reference labels. Uses the batched DP in
+  ``models.metrics``.
+  """
+  from last_torch_tpu.models import metrics
+
+  alignment_labels, _, _ = decode_fn(params, batch['frames'],
+                                     batch['num_frames'])
+  alignment_labels = np.asarray(alignment_labels)
+  batch_size, width = alignment_labels.shape
+  hyp = np.zeros((batch_size, max(width, 1)), np.int32)
+  num_hyp = np.zeros((batch_size,), np.int32)
+  for b in range(batch_size):
+    decoded = alignment_labels[b][alignment_labels[b] > 0]
+    hyp[b, :len(decoded)] = decoded
+    num_hyp[b] = len(decoded)
+  state = metrics.update_error_rate(
+      metrics.empty_error_rate_state(), jnp.asarray(hyp),
+      jnp.asarray(num_hyp), batch['labels'], batch['num_labels'])
+  return float(metrics.error_rate(state))
 
 
 def main(argv=None):

@@ -257,3 +257,48 @@ def test_causal_gnat_trains_and_streams():
                           jnp.full((2,), hi - lo, jnp.int32), cache)
     outs.append(np.asarray(lab))
   npt.assert_array_equal(np.concatenate(outs, axis=1), np.asarray(offline))
+
+
+def test_gradient_accumulation_matches_large_batch():
+  """accumulate_steps=2 over two micro-batches == one concatenated step.
+
+  MultiSteps averages the micro-batch gradients before applying the
+  wrapped AdamW chain once; with equal-size micro-batches that average
+  equals the concatenated batch's mean-loss gradient exactly.
+  """
+  config = gnat.GNATConfig(
+      feature_size=6, vocab_size=8, context_size=1, encoder_size=16,
+      encoder_layers=1, encoder_heads=2, encoder_ffn_size=32,
+      # FrameDependent: under FrameLabelDependent the blank-bias gradient
+      # is structurally zero (blank counts cancel), and Adam amplifies the
+      # float residue of the micro-average into an O(lr) update.
+      hidden_size=16, embedding_size=16, max_expansions=0)
+  model = gnat.GNATModel(config)
+  rng = np.random.default_rng(0)
+  frames = jnp.asarray(rng.normal(size=(4, 5, 6)), jnp.float32)
+  nf = jnp.array([5, 4, 5, 3], jnp.int32)
+  labels = jnp.asarray(rng.integers(1, 9, size=(4, 3)), jnp.int32)
+  nl = jnp.array([3, 2, 1, 3], jnp.int32)
+
+  big_opt = gnat.make_optimizer(learning_rate=1e-2)
+  big_state = gnat.init_train_state(model, jax.random.PRNGKey(0), big_opt)
+  big_state, _ = gnat.train_step(model, big_opt, big_state, frames, nf,
+                                 labels, nl)
+
+  acc_opt = gnat.make_optimizer(learning_rate=1e-2, accumulate_steps=2)
+  acc_state = gnat.init_train_state(model, jax.random.PRNGKey(0), acc_opt)
+  for sl in (slice(0, 2), slice(2, 4)):
+    acc_state, _ = gnat.train_step(model, acc_opt, acc_state, frames[sl],
+                                   nf[sl], labels[sl], nl[sl])
+
+  jax.tree.map(
+      lambda a, b: npt.assert_allclose(a, b, rtol=2e-5, atol=1e-6),
+      acc_state.params, big_state.params)
+  # And the accumulated params actually moved.
+  moved = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                       acc_state.params, big_state.params)
+  del moved
+  first = jax.tree.leaves(acc_state.params)[0]
+  init = jax.tree.leaves(
+      gnat.init_train_state(model, jax.random.PRNGKey(0), acc_opt).params)[0]
+  assert float(jnp.max(jnp.abs(first - init))) > 0

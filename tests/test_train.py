@@ -84,6 +84,9 @@ def test_train_loop_with_eval_and_resume(tmp_path):
   train_events = [l for l in logs if l['event'] == 'train']
   assert train_events and all(np.isfinite(l['loss']) for l in train_events)
   assert any('eval_label_accuracy' in l for l in train_events)
+  ler = [l['eval_label_error_rate'] for l in train_events
+         if 'eval_label_error_rate' in l]
+  assert ler and all(np.isfinite(x) and x >= 0 for x in ler)
 
   # Resume continues from the checkpoint.
   logs2 = []
