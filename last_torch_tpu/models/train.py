@@ -158,8 +158,17 @@ def train(model_config: gnat.GNATConfig,
           eval_every: int = 0,
           model_parallel: int = 1,
           seed: int = 0,
+          batch_iterator: Optional[Iterator[dict]] = None,
+          prefetch: int = 2,
           log_fn=print) -> gnat.GNATTrainState:
   """Trains a GNAT model; resumes from workdir checkpoints when present.
+
+  Args (beyond the obvious): ``batch_iterator`` overrides the synthetic
+  data source with any iterator of trainer batches — e.g.
+  ``last_torch_tpu.data.bucket_batches(...)`` over a real corpus (it must
+  yield at least ``num_steps + 1`` batches; the first is held out for
+  eval). ``prefetch`` stages that many upcoming batches on-device from a
+  background thread while the current step computes.
 
   Returns the final train state.
   """
@@ -207,15 +216,22 @@ def train(model_config: gnat.GNATConfig,
         lambda s, f, nf, l, nl: gnat.train_step(model, optimizer, s, f, nf,
                                                 l, nl),
         donate_argnums=(0,))
-    place = lambda b: b
+    place = jax.device_put  # stage on the chip (prefetch runs it early)
 
   timer = profiling.StepTimer(skip_first=1)
-  data = synthetic_batches(data_config)
-  eval_batch = next(data)
+  source = (batch_iterator if batch_iterator is not None else
+            synthetic_batches(data_config))
+  eval_batch = next(source)
+  if prefetch:
+    from last_torch_tpu import data as data_lib
+    staged = data_lib.prefetch_to_device(source, size=prefetch,
+                                         place=place)
+  else:
+    staged = (place(b) for b in source)
   decode_fn = jax.jit(lambda p, f, nf: model.decode(p, f, nf))
   start = int(state.step)
   for step in range(start, num_steps):
-    batch = place(next(data))
+    batch = next(staged)
     with timer:
       state, loss = step_fn(state, batch['frames'], batch['num_frames'],
                             batch['labels'], batch['num_labels'])

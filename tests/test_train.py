@@ -115,3 +115,35 @@ def test_train_loop_model_parallel():
       log_fn=lambda s: logs.append(json.loads(s)))
   assert int(state.step) == 2
   assert all(np.isfinite(l['loss']) for l in logs if l['event'] == 'train')
+
+
+def test_train_with_bucketed_batch_iterator(tmp_path):
+  """The trainer consumes a data.bucket_batches pipeline end-to-end."""
+  from last_torch_tpu import data as data_lib
+
+  rng = np.random.default_rng(0)
+  cfg = tiny_model_config()
+
+  def examples():
+    while True:
+      t = int(rng.integers(3, 7))
+      u = int(rng.integers(1, 3))
+      yield (rng.normal(size=(t, cfg.feature_size)).astype(np.float32),
+             rng.integers(1, cfg.vocab_size + 1, size=(u,)).astype(
+                 np.int32))
+
+  # The CPU-mesh trainer takes the 8-device data-parallel branch, so
+  # the global batch must divide across devices.
+  batches = data_lib.bucket_batches(
+      examples(), batch_size=8, frame_buckets=(8,), label_buckets=(4,))
+  logs = []
+  state = train.train(
+      cfg,
+      tiny_data_config(),
+      num_steps=3,
+      log_every=1,
+      batch_iterator=batches,
+      log_fn=lambda s: logs.append(json.loads(s)))
+  assert int(state.step) == 3
+  losses = [l['loss'] for l in logs if l['event'] == 'train']
+  assert losses and all(np.isfinite(x) for x in losses)
