@@ -236,7 +236,9 @@ def train(model_config: gnat.GNATConfig,
       state, loss = step_fn(state, batch['frames'], batch['num_frames'],
                             batch['labels'], batch['num_labels'])
       loss = float(loss)
-    if (log_every and (step + 1) % log_every == 0) or step + 1 == num_steps:
+    do_eval = eval_every and (step + 1) % eval_every == 0
+    if ((log_every and (step + 1) % log_every == 0) or do_eval
+        or step + 1 == num_steps):
       record = {
           'event': 'train',
           'step': step + 1,
@@ -244,7 +246,7 @@ def train(model_config: gnat.GNATConfig,
           **{k: round(v, 2) for k, v in timer.summary().items()
              if k != 'steps'},
       }
-      if eval_every and (step + 1) % eval_every == 0:
+      if do_eval:
         eval_params = jax.device_get(state).params
         record['eval_label_accuracy'] = round(
             label_accuracy(model, decode_fn, eval_params, eval_batch), 4)
