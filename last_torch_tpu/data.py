@@ -156,23 +156,46 @@ def prefetch_to_device(batches: Iterable[dict],
     }
   q: queue.Queue = queue.Queue(maxsize=size)
   stop = object()
+  cancelled = threading.Event()
   error: list[BaseException] = []
+
+  def put(item) -> bool:
+    """Enqueues unless the consumer has gone away; returns False then."""
+    while not cancelled.is_set():
+      try:
+        q.put(item, timeout=0.1)
+        return True
+      except queue.Full:
+        continue
+    return False
 
   def producer():
     try:
       for b in batches:
-        q.put(place(b))
+        if not put(place(b)):
+          return
     except BaseException as e:  # surfaced to the consumer below
       error.append(e)
     finally:
-      q.put(stop)
+      put(stop)
 
   thread = threading.Thread(target=producer, daemon=True)
   thread.start()
-  while True:
-    item = q.get()
-    if item is stop:
-      if error:
-        raise error[0]
-      return
-    yield item
+  try:
+    while True:
+      item = q.get()
+      if item is stop:
+        if error:
+          raise error[0]
+        return
+      yield item
+  finally:
+    # Consumer stopped early (generator closed / exception): release the
+    # producer and drop the staged device batches instead of pinning
+    # them in HBM forever.
+    cancelled.set()
+    try:
+      while True:
+        q.get_nowait()
+    except queue.Empty:
+      pass

@@ -62,6 +62,11 @@ def maybe_initialize_distributed() -> bool:
                  os.environ.get('COORDINATOR_ADDRESS'))
   if not coordinator:
     return False
+  if jax.distributed.is_initialized():
+    # Idempotent: jax.distributed.initialize raises if called twice, and
+    # the trainer may run several times in one process (train, inspect,
+    # resume).
+    return True
   kwargs = {'coordinator_address': coordinator}
   if os.environ.get('NUM_PROCESSES'):
     kwargs['num_processes'] = int(os.environ['NUM_PROCESSES'])
@@ -188,14 +193,14 @@ def train(model_config: gnat.GNATConfig,
   if model_parallel > 1:
     from last_torch_tpu.ops import sharded_scan
     mesh = sharding.make_mesh(model_parallel=model_parallel)
-    vocab_shard = model_config.vocab_size // model_parallel
-    if (sharded_scan.tp_supported(model.lattice) and
-        model.lattice.fused != 'never' and vocab_shard % 128 == 0):
+    tp_interpret = sharded_scan.tp_plan(
+        model.lattice, model_config.vocab_size, model_parallel,
+        jax.default_backend())
+    if tp_interpret is not None:
       # Vocab-sharded lattice island: per-frame Pallas reduce kernels on
       # each device's head shard, per-frame reductions over ICI.
       step_fn, shard_state = sharding.make_tp_train_step(
-          model, optimizer, mesh,
-          interpret=model.lattice.fused == 'interpret')
+          model, optimizer, mesh, interpret=tp_interpret)
     else:
       # Fallback: XLA auto-partitioner (cannot split the fused Pallas
       # kernels, so the lattice takes the XLA scan path).

@@ -1127,6 +1127,42 @@ def _pad_vocab(wf_params):
   return wf_params, v_pad
 
 
+def _stage_reverse_inputs(wf_params, cache, frames, num_frames, log_z,
+                          alpha_history, tile, s_pad, s):
+  """Builds the per-(t, b-tile) blocks shared by the reverse scans.
+
+  The backward kernels and the marginals kernel consume identically
+  staged inputs — 4-D [T, num_b_tiles, tile, ...] blocks so per-grid-step
+  reads are static and tile-aligned, the alpha history padded with -inf
+  at fake states, and float32-accumulated projections consistent with the
+  forward (``preferred_element_type``). Keeping the recipe in one place
+  keeps the two reverse paths bit-identical.
+
+  Returns (pf, pc, is_pad, hist, logz_b, b_pad, num_b_tiles).
+  """
+  batch, max_t, _ = frames.shape
+  hidden = wf_params['frame_proj'].shape[-1]
+  b_pad = _round_up(batch, tile)
+  num_b_tiles = b_pad // tile
+  pf = jnp.einsum('btf,fh->tbh', frames, wf_params['frame_proj'],
+                  preferred_element_type=jnp.float32)
+  pc = jnp.pad(cache @ wf_params['context_proj'], ((0, s_pad - s), (0, 0)))
+  is_pad = (jnp.arange(max_t)[:, None] >= num_frames[None, :]).astype(
+      jnp.int32)
+  if b_pad != batch:
+    pf = jnp.pad(pf, ((0, 0), (0, b_pad - batch), (0, 0)))
+    is_pad = jnp.pad(is_pad, ((0, 0), (0, b_pad - batch)),
+                     constant_values=1)
+  pf = pf.reshape(max_t, num_b_tiles, tile, hidden)
+  is_pad = is_pad.reshape(max_t, num_b_tiles, tile, 1)
+  hist = jnp.moveaxis(alpha_history, 1, 0)
+  hist = jnp.pad(hist, ((0, 0), (0, b_pad - batch), (0, s_pad - s)),
+                 constant_values=NEG_INF)
+  hist = hist.reshape(max_t, num_b_tiles, tile, s_pad)
+  logz_b = jnp.pad(log_z, (0, b_pad - batch)).reshape(num_b_tiles, tile, 1)
+  return pf, pc, is_pad, hist, logz_b, b_pad, num_b_tiles
+
+
 def fused_shortest_distance_fwd(wf_params: Any,
                                 cache: jnp.ndarray,
                                 frames: jnp.ndarray,
@@ -1354,20 +1390,6 @@ def log_partition(wf_params: Any,
     bwd_batch_tile = 8
   s_pad = _round_up(max(s, 1 + vocab), s_tile)
 
-  def prepare(wf_params, cache, frames, num_frames, tile):
-    b_pad = _round_up(batch, tile)
-    pf = jnp.einsum('btf,fh->tbh', frames, wf_params['frame_proj'],
-                    preferred_element_type=jnp.float32)
-    pc = jnp.pad(cache @ wf_params['context_proj'], ((0, s_pad - s), (0, 0)))
-    is_pad = (jnp.arange(max_t)[:, None] >= num_frames[None, :]).astype(
-        jnp.int32)
-    if b_pad != batch:
-      pf = jnp.pad(pf, ((0, 0), (0, b_pad - batch), (0, 0)))
-      is_pad = jnp.pad(is_pad, ((0, 0), (0, b_pad - batch)),
-                       constant_values=1)
-    is_pad = is_pad.reshape(max_t, b_pad // tile, 1, tile)
-    return pf, pc, is_pad, b_pad
-
   def run_forward(wf_params, cache, frames, num_frames):
     return fused_shortest_distance_fwd(
         wf_params, cache, frames, num_frames,
@@ -1395,21 +1417,10 @@ def log_partition(wf_params: Any,
   def fn_bwd(residuals, g):
     wf_params, cache, frames, num_frames, log_z, alpha_history = residuals
     tile = bwd_batch_tile
-    pf, pc, is_pad, b_pad = prepare(wf_params, cache, frames, num_frames,
-                                    tile)
-    num_b_tiles = b_pad // tile
     num_s_tiles = s_pad // s_tile
-
-    # 4-D [T, num_b_tiles, tile, ...] blocks: per-(t, b-tile) reads are
-    # static and tile-aligned in the kernel.
-    pf = pf.reshape(max_t, num_b_tiles, tile, hidden)
-    hist = jnp.moveaxis(alpha_history, 1, 0)
-    hist = jnp.pad(hist, ((0, 0), (0, b_pad - batch), (0, s_pad - s)),
-                   constant_values=NEG_INF)
-    hist = hist.reshape(max_t, num_b_tiles, tile, s_pad)
-    is_pad = is_pad.reshape(max_t, num_b_tiles, tile, 1)
-    logz_b = jnp.pad(log_z, (0, b_pad - batch)).reshape(num_b_tiles, tile,
-                                                        1)
+    pf, pc, is_pad, hist, logz_b, b_pad, num_b_tiles = (
+        _stage_reverse_inputs(wf_params, cache, frames, num_frames, log_z,
+                              alpha_history, tile, s_pad, s))
     g_b = jnp.pad(g, (0, b_pad - batch)).reshape(num_b_tiles, tile, 1)
 
     padded_params, _ = _pad_vocab(wf_params)
@@ -1619,26 +1630,10 @@ def fused_label_marginals(wf_params: Any,
       interpret=interpret)
 
   tile = bwd_batch_tile
-  b_pad = _round_up(batch, tile)
-  num_b_tiles = b_pad // tile
   num_s_tiles = s_pad // s_tile
-
-  pf = jnp.einsum('btf,fh->tbh', frames, wf_params['frame_proj'],
-                  preferred_element_type=jnp.float32)
-  pc = jnp.pad(cache @ wf_params['context_proj'], ((0, s_pad - s), (0, 0)))
-  is_pad = (jnp.arange(max_t)[:, None] >= num_frames[None, :]).astype(
-      jnp.int32)
-  if b_pad != batch:
-    pf = jnp.pad(pf, ((0, 0), (0, b_pad - batch), (0, 0)))
-    is_pad = jnp.pad(is_pad, ((0, 0), (0, b_pad - batch)),
-                     constant_values=1)
-  pf = pf.reshape(max_t, num_b_tiles, tile, hidden)
-  is_pad = is_pad.reshape(max_t, num_b_tiles, tile, 1)
-  hist = jnp.moveaxis(alpha_history, 1, 0)
-  hist = jnp.pad(hist, ((0, 0), (0, b_pad - batch), (0, s_pad - s)),
-                 constant_values=NEG_INF)
-  hist = hist.reshape(max_t, num_b_tiles, tile, s_pad)
-  logz_b = jnp.pad(log_z, (0, b_pad - batch)).reshape(num_b_tiles, tile, 1)
+  pf, pc, is_pad, hist, logz_b, b_pad, num_b_tiles = (
+      _stage_reverse_inputs(wf_params, cache, frames, num_frames, log_z,
+                            alpha_history, tile, s_pad, s))
 
   kernel = functools.partial(
       _fused_marginals_kernel,

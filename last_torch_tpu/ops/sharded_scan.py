@@ -58,13 +58,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from last_torch_tpu import semirings
-
-NEG_INF = float('-inf')
-_LANES = 128
-
-
-def _round_up(x: int, m: int) -> int:
-  return (x + m - 1) // m * m
+from last_torch_tpu.ops.fused_scan import NEG_INF
+from last_torch_tpu.ops.fused_scan import _choose_v_tile
+from last_torch_tpu.ops.fused_scan import _LANES
+from last_torch_tpu.ops.fused_scan import _round_up
 
 
 def _frame_reduce_fwd_kernel(
@@ -307,12 +304,11 @@ def frame_reduce(vec, pf_t, pc, vw, vb, bw, bb, batch_tile=8,
 
 
 def _tiles(s_pad, v_local):
+  """(s_tile, num_s_tiles, v_tile, num_v_tiles); vocab tiling shares
+  fused_scan's policy so the monolithic and sharded kernels stay tuned
+  together."""
   s_tile = 128
-  v_tile = 128
-  for vt in (512, 384, 256, 128):
-    if v_local % vt == 0:
-      v_tile = vt
-      break
+  v_tile = _choose_v_tile(v_local)
   return s_tile, s_pad // s_tile, v_tile, v_local // v_tile
 
 
@@ -469,6 +465,34 @@ def _frame_reduce_vjp_bwd(batch_tile, interpret, residuals, cotangents):
 
 
 frame_reduce.defvjp(_frame_reduce_vjp_fwd, _frame_reduce_vjp_bwd)
+
+
+def tp_plan(lattice, vocab_size: int, model_parallel: int,
+            backend: str):
+  """Composed TP-island gate: can this config run the sharded kernels?
+
+  Combines the structural check (``tp_supported``), the 128-lane local
+  shard constraint (``frame_reduce`` raises otherwise), and the backend:
+  the Pallas kernels Mosaic-compile only on TPU, so off-TPU the island
+  runs only in explicit interpreter mode.
+
+  Returns:
+    None when the config should take the XLA auto-partitioner fallback;
+    otherwise the ``interpret`` flag to pass to
+    ``parallel.sharding.make_tp_train_step`` (False on TPU, True for
+    ``lattice.fused == 'interpret'`` CPU-mesh runs).
+  """
+  if getattr(lattice, 'fused', 'never') == 'never':
+    return None
+  if not tp_supported(lattice):
+    return None
+  if model_parallel < 1 or vocab_size % model_parallel:
+    return None
+  if (vocab_size // model_parallel) % _LANES:
+    return None
+  if lattice.fused == 'interpret':
+    return True
+  return False if backend == 'tpu' else None
 
 
 def tp_supported(lattice) -> bool:

@@ -209,10 +209,13 @@ def make_tp_train_step(model, optimizer, mesh: Mesh,
     raise ValueError('model.lattice is not covered by the tensor-parallel '
                      'lattice loss; use make_sharded_train_step')
 
+  lattice_params_shape = jax.eval_shape(
+      lambda: model.lattice.init(jax.random.PRNGKey(0),
+                                 model.config.encoder_size))
   lattice_spec = jax.tree_util.tree_map_with_path(
       lambda path, leaf: _LATTICE_TP_SPECS.get(
           _path_str(path).rsplit('/', 1)[-1], P()),
-      model.lattice.init(jax.random.PRNGKey(0), model.config.encoder_size))
+      lattice_params_shape)
 
   def island(lattice_params, encoded, num_frames, labels, num_labels):
     per_seq = sharded_scan.tp_lattice_loss(
