@@ -450,6 +450,65 @@ class RecognitionLattice(Generic[T]):
                                     jnp.sum(lexical_marginals, axis=-2))))
     return marginals
 
+  def align(self, params, frames, num_frames, labels, num_labels,
+            cache=None):
+    """Forced alignment: where each reference label is emitted.
+
+    Runs the numerator (string) DP under the MaxTropical semiring and
+    reads the winning path off the one-hot tropical gradient of additive
+    arc masks — the same mask-gradient device-side backtrace trick as
+    ``shortest_path``, restricted to paths that emit exactly the
+    reference transcript. The reference library has no alignment API;
+    this is the production forced-aligner (per-label timestamps) its
+    lattice machinery implies but never exposes.
+
+    Args:
+      params: Parameter pytree from ``init``.
+      frames: [batch_dims..., max_num_frames, feature_size] padded frames.
+      num_frames: [batch_dims...] number of frames.
+      labels: [batch_dims..., max_num_labels] reference labels (1-based,
+        0-padded).
+      num_labels: [batch_dims...] number of reference labels.
+      cache: Optional weight function cache data.
+
+    Returns:
+      (emit_frames, path_weights):
+      - emit_frames: [batch_dims..., max_num_labels] int32; entry u is
+        the frame index at which reference label u is emitted on the
+        highest-scoring alignment, -1 beyond ``num_labels``.
+      - path_weights: [batch_dims...] tropical score of that alignment
+        (-inf when the transcript is infeasible, e.g. more labels than
+        the alignment lattice can emit in ``num_frames`` frames; the
+        emit_frames row is meaningless then).
+    """
+    if cache is None:
+      cache = self.build_cache(params)
+    num_frames = jnp.asarray(num_frames)
+    num_labels = jnp.asarray(num_labels)
+    labels = jnp.asarray(labels, jnp.int32)
+
+    blank_weight, lexical_weight = self._string_weights(
+        params, cache, frames, labels)
+
+    def total(masks):
+      blank_mask, lexical_mask = masks
+      return jnp.sum(self._string_dp(
+          blank_weight + blank_mask, lexical_weight + lexical_mask,
+          num_frames, num_labels, semirings.MaxTropical))
+
+    path_weights, (_, lexical_marks) = jax.value_and_grad(total)(
+        (jnp.zeros_like(blank_weight), jnp.zeros_like(lexical_weight)))
+    del path_weights  # summed over the batch; per-sequence below
+    # [T, batch..., U+1] -> [batch..., U+1, T]; exactly one winning frame
+    # per position u < num_labels (each position advances once per path).
+    marks = jnp.moveaxis(lexical_marks, 0, -1)
+    emit = jnp.argmax(marks, axis=-1).astype(jnp.int32)
+    emitted = jnp.max(marks, axis=-1) > 0
+    emit = jnp.where(emitted, emit, -1)[..., :labels.shape[-1]]
+    scores = self._string_dp(blank_weight, lexical_weight, num_frames,
+                             num_labels, semirings.MaxTropical)
+    return emit, scores
+
   def shortest_distance(self, params, frames, num_frames, semiring=None,
                         cache=None, weight_lift: WeightLift = None):
     """Shortest distance over all paths in the recognition lattice.
@@ -541,12 +600,21 @@ class RecognitionLattice(Generic[T]):
       raise ValueError('num_labels and num_frames have different batch_dims: '
                        f'{num_labels.shape} vs {batch_dims}')
 
-    num_align_states = self.alignment.num_states()
-    wf_params = params['weight_fn']
+    blank_weight, lexical_weight = self._string_weights(
+        params, cache, frames, labels)
+    return self._string_dp(blank_weight, lexical_weight, num_frames,
+                           num_labels, semiring, weight_lift)
 
-    # [batch_dims..., max_num_labels + 1] context states along the string,
-    # and the next label needed at each position (the final position uses a
-    # dummy label 1 whose weight is later selected away).
+  def _string_weights(self, params, cache, frames, labels):
+    """Per-(frame, label-position) blank and next-label weights.
+
+    Returns (blank_weight, lexical_weight), both time-major
+    [T, batch_dims..., U+1]: position u's weights are produced from the
+    context state after ``labels[..., :u]``, and ``lexical_weight`` holds
+    the single column for the next needed label (position U uses a dummy
+    label whose weight is never selected as final).
+    """
+    wf_params = params['weight_fn']
     context_states = self.context.walk_states(labels)
     context_next_labels = jnp.concatenate(
         [labels, jnp.ones_like(labels[..., :1])], axis=-1)
@@ -557,34 +625,40 @@ class RecognitionLattice(Generic[T]):
       # [batch_dims..., U+1, T] -> [T, batch_dims..., U+1] (time-major).
       blank_weight, lexical_weight = (
           jnp.moveaxis(x, -1, 0) for x in fast)
-    else:
+      return blank_weight, lexical_weight
 
-      def position_weights(carry, inputs):
-        state, next_label = inputs  # [batch_dims...] each
+    def position_weights(carry, inputs):
+      state, next_label = inputs  # [batch_dims...] each
 
-        def one_frame(frame):
-          return self.weight_fn.apply(wf_params, cache, frame, state)
+      def one_frame(frame):
+        return self.weight_fn.apply(wf_params, cache, frame, state)
 
-        # blank: [batch_dims..., T]; lexical: [batch_dims..., V, T].
-        blank, lexical = jax.vmap(one_frame, in_axes=-2, out_axes=-1)(frames)
-        # Gather the weight of the next needed label. one-hot of label 0
-        # would be out of range; clamp to label 1, those positions are
-        # never selected as final.
-        y = jnp.maximum(next_label, 1)
-        lexical_y = jnp.take_along_axis(
-            lexical, y[..., None, None] - 1, axis=-2)[..., 0, :]
-        return carry, (blank, lexical_y)
+      # blank: [batch_dims..., T]; lexical: [batch_dims..., V, T].
+      blank, lexical = jax.vmap(one_frame, in_axes=-2, out_axes=-1)(frames)
+      # Gather the weight of the next needed label. one-hot of label 0
+      # would be out of range; clamp to label 1, those positions are
+      # never selected as final.
+      y = jnp.maximum(next_label, 1)
+      lexical_y = jnp.take_along_axis(
+          lexical, y[..., None, None] - 1, axis=-2)[..., 0, :]
+      return carry, (blank, lexical_y)
 
-      _, (blank_weight, lexical_weight) = jax.lax.scan(
-          jax.checkpoint(position_weights,
-                         policy=jax.checkpoint_policies.nothing_saveable),
-          (), (jnp.moveaxis(context_states, -1, 0),
-               jnp.moveaxis(context_next_labels, -1, 0)))
-      # [U+1, batch_dims..., T] -> [T, batch_dims..., U+1] (time-major).
-      to_time_major = lambda x: jnp.moveaxis(jnp.moveaxis(x, 0, -1), -2, 0)
-      blank_weight = to_time_major(blank_weight)
-      lexical_weight = to_time_major(lexical_weight)
+    _, (blank_weight, lexical_weight) = jax.lax.scan(
+        jax.checkpoint(position_weights,
+                       policy=jax.checkpoint_policies.nothing_saveable),
+        (), (jnp.moveaxis(context_states, -1, 0),
+             jnp.moveaxis(context_next_labels, -1, 0)))
+    # [U+1, batch_dims..., T] -> [T, batch_dims..., U+1] (time-major).
+    to_time_major = lambda x: jnp.moveaxis(jnp.moveaxis(x, 0, -1), -2, 0)
+    return to_time_major(blank_weight), to_time_major(lexical_weight)
 
+  def _string_dp(self, blank_weight, lexical_weight, num_frames,
+                 num_labels, semiring, weight_lift: WeightLift = None):
+    """The (frame x label-position) recursion over precomputed weights."""
+    num_frames = jnp.asarray(num_frames)
+    num_labels = jnp.asarray(num_labels)
+    batch_dims = num_frames.shape
+    num_align_states = self.alignment.num_states()
     lift = weight_lift if weight_lift is not None else (lambda w: w)
 
     def shortest_distance_step(carry, inputs):
@@ -598,7 +672,7 @@ class RecognitionLattice(Generic[T]):
       next_alpha = semirings.where(is_padding, alpha, next_alpha)
       return (t + 1, next_alpha), None
 
-    num_alpha_states = labels.shape[-1] + 1
+    num_alpha_states = blank_weight.shape[-1]
     init_alpha = _init_context_state_weights(
         batch_dims=batch_dims,
         dtype=semirings.value_dtype(lift(blank_weight)),

@@ -598,3 +598,69 @@ class TestArcMarginalsAPI:
     valid = np.arange(6)[None, :] < np.asarray(num_frames)[:, None]
     npt.assert_allclose(np.asarray(total), valid.astype(np.float32),
                         rtol=1e-4, atol=1e-6)
+
+
+class TestForcedAlignment:
+  """RecognitionLattice.align: per-label emission frames."""
+
+  @pytest.mark.parametrize('alignment_factory', [
+      alignments.FrameDependent,
+      lambda: alignments.FrameLabelDependent(max_expansions=2),
+  ])
+  def test_align_consistent_with_decode(self, alignment_factory):
+    """Aligning the DECODED transcript reproduces the decode path."""
+    lattice = build_basic_lattice(alignment_factory())
+    params = lattice.init(jax.random.PRNGKey(3), feature_size=8)
+    frames = jax.random.normal(jax.random.PRNGKey(4), (3, 6, 8))
+    num_frames = jnp.array([6, 4, 2])
+
+    align_labels, align_num, path_w = lattice.shortest_path(
+        params, frames, num_frames)
+    align_labels = np.asarray(align_labels)
+    # Per-frame alignment-label layout: A slots per frame (§2.2-Q6).
+    a = align_labels.shape[1] // frames.shape[1]
+    # Extract the decoded transcript and each label's frame.
+    batch = frames.shape[0]
+    max_u = align_labels.shape[1]
+    labels = np.zeros((batch, max_u), np.int32)
+    want_frames = np.full((batch, max_u), -1, np.int32)
+    num_labels = np.zeros((batch,), np.int32)
+    for b in range(batch):
+      pos = np.nonzero(align_labels[b] > 0)[0]
+      labels[b, :len(pos)] = align_labels[b, pos]
+      want_frames[b, :len(pos)] = pos // a
+      num_labels[b] = len(pos)
+
+    emit, scores = lattice.align(params, frames, num_frames,
+                                 jnp.asarray(labels),
+                                 jnp.asarray(num_labels))
+    # The best constrained path scores exactly the unconstrained best
+    # path (the transcript IS the unconstrained best path's transcript).
+    npt.assert_allclose(np.asarray(scores), np.asarray(path_w), rtol=1e-6)
+    npt.assert_array_equal(np.asarray(emit), want_frames)
+
+  def test_align_padding_and_monotonicity(self):
+    lattice = build_basic_lattice(
+        alignments.FrameLabelDependent(max_expansions=2))
+    params = lattice.init(jax.random.PRNGKey(5), feature_size=8)
+    frames = jax.random.normal(jax.random.PRNGKey(6), (2, 5, 8))
+    num_frames = jnp.array([5, 5])
+    labels = jnp.array([[1, 2, 1, 0], [2, 2, 0, 0]])
+    num_labels = jnp.array([3, 2])
+    emit, scores = jax.jit(lattice.align)(params, frames, num_frames,
+                                          labels, num_labels)
+    emit = np.asarray(emit)
+    assert np.all(np.isfinite(np.asarray(scores)))
+    for b, n in enumerate([3, 2]):
+      row = emit[b, :n]
+      assert np.all(row >= 0) and np.all(row < 5)
+      assert np.all(np.diff(row) >= 0)  # label order follows time
+      assert np.all(emit[b, n:] == -1)
+
+  def test_align_infeasible_is_minus_inf(self):
+    lattice = build_basic_lattice()  # FrameDependent: <= 1 label/frame
+    params = lattice.init(jax.random.PRNGKey(7), feature_size=8)
+    frames = jax.random.normal(jax.random.PRNGKey(8), (1, 2, 8))
+    emit, scores = lattice.align(params, frames, jnp.array([2]),
+                                 jnp.array([[1, 2, 1]]), jnp.array([3]))
+    assert np.isneginf(np.asarray(scores)[0])
