@@ -63,6 +63,11 @@ class TransformerEncoder:
   dtype: Any = jnp.float32
   causal: bool = False
   window: int = 0  # with causal: left-context limit (0 = unlimited)
+  # conv_kernel > 0 turns each block into a Conformer block: macaron
+  # half-FFNs around attention plus a convolution module (pointwise-GLU
+  # -> CAUSAL depthwise conv of this kernel width -> swish -> pointwise).
+  # The conv is causal even offline so streaming inference stays exact.
+  conv_kernel: int = 0
 
   def init(self, key: jax.Array) -> Params:
     keys = jax.random.split(key, 2 + self.num_layers)
@@ -73,8 +78,8 @@ class TransformerEncoder:
         'layers': [],
     }
     for i in range(self.num_layers):
-      k1, k2, k3, k4 = jax.random.split(keys[2 + i], 4)
-      params['layers'].append({
+      k1, k2, k3, k4, k5, k6, k7, k8 = jax.random.split(keys[2 + i], 8)
+      layer = {
           'ln1_scale': jnp.ones((d,)),
           'ln1_bias': jnp.zeros((d,)),
           'qkv': init_dense(k1, (d, 3 * d)),
@@ -83,10 +88,49 @@ class TransformerEncoder:
           'ln2_bias': jnp.zeros((d,)),
           'ffn_in': init_dense(k3, (d, self.ffn_size)),
           'ffn_out': init_dense(k4, (self.ffn_size, d)),
-      })
+      }
+      if self.conv_kernel:
+        layer.update({
+            'ln_ffn1_scale': jnp.ones((d,)),
+            'ln_ffn1_bias': jnp.zeros((d,)),
+            'ffn1_in': init_dense(k5, (d, self.ffn_size)),
+            'ffn1_out': init_dense(k6, (self.ffn_size, d)),
+            'ln_conv_scale': jnp.ones((d,)),
+            'ln_conv_bias': jnp.zeros((d,)),
+            'conv_in': init_dense(k7, (d, 2 * d)),
+            'conv_depth': init_dense(k8, (self.conv_kernel, d)),
+            'conv_out': init_dense(
+                jax.random.fold_in(k8, 1), (d, d)),
+        })
+      params['layers'].append(layer)
     params['final_ln_scale'] = jnp.ones((d,))
     params['final_ln_bias'] = jnp.zeros((d,))
     return params
+
+  def _conv_module(self, layer, x, history=None):
+    """Conformer convolution module on [batch, T, d].
+
+    ``history``: optional [batch, conv_kernel - 1, d] of the previous
+    chunk's GLU outputs (streaming); offline the left context is zero
+    padding. Returns (module output, new history).
+    """
+    d = self.model_size
+    y = _layer_norm(x, layer['ln_conv_scale'].astype(self.dtype),
+                    layer['ln_conv_bias'].astype(self.dtype))
+    gates = y @ layer['conv_in'].astype(self.dtype)
+    u = gates[..., :d] * jax.nn.sigmoid(gates[..., d:])  # GLU
+    if history is None:
+      history = jnp.zeros((x.shape[0], self.conv_kernel - 1, d),
+                          self.dtype)
+    ext = jnp.concatenate([history, u], axis=1)  # [B, K-1+T, d]
+    # Causal depthwise conv: out[t] = sum_j w[j] * ext[t + j].
+    w = layer['conv_depth'].astype(self.dtype)
+    conv = sum(
+        ext[:, j:j + x.shape[1], :] * w[j][None, None, :]
+        for j in range(self.conv_kernel))
+    out = jax.nn.swish(conv) @ layer['conv_out'].astype(self.dtype)
+    new_history = ext[:, ext.shape[1] - (self.conv_kernel - 1):, :]
+    return out, new_history
 
   def apply(self, params: Params, frames: jnp.ndarray,
             num_frames: jnp.ndarray) -> jnp.ndarray:
@@ -119,7 +163,15 @@ class TransformerEncoder:
       attn_bias = attn_bias + jnp.where(visible, 0.0, neg_inf)[None, None]
 
     head_dim = self.model_size // self.num_heads
+    ffn_scale = 0.5 if self.conv_kernel else 1.0
     for layer in params['layers']:
+      if self.conv_kernel:
+        # Conformer macaron: first half-FFN.
+        y = _layer_norm(x, layer['ln_ffn1_scale'].astype(self.dtype),
+                        layer['ln_ffn1_bias'].astype(self.dtype))
+        y = jax.nn.gelu(y @ layer['ffn1_in'].astype(self.dtype))
+        x = x + 0.5 * (y @ layer['ffn1_out'].astype(self.dtype))
+
       y = _layer_norm(x, layer['ln1_scale'].astype(self.dtype),
                       layer['ln1_bias'].astype(self.dtype))
       qkv = y @ layer['qkv'].astype(self.dtype)
@@ -135,10 +187,14 @@ class TransformerEncoder:
       context = context.reshape(*context.shape[:-2], self.model_size)
       x = x + context @ layer['attn_out'].astype(self.dtype)
 
+      if self.conv_kernel:
+        conv_out, _ = self._conv_module(layer, x)
+        x = x + conv_out
+
       y = _layer_norm(x, layer['ln2_scale'].astype(self.dtype),
                       layer['ln2_bias'].astype(self.dtype))
       y = jax.nn.gelu(y @ layer['ffn_in'].astype(self.dtype))
-      x = x + y @ layer['ffn_out'].astype(self.dtype)
+      x = x + ffn_scale * (y @ layer['ffn_out'].astype(self.dtype))
 
     x = _layer_norm(x, params['final_ln_scale'].astype(self.dtype),
                     params['final_ln_bias'].astype(self.dtype))
@@ -191,7 +247,13 @@ class StreamingEncoder:
     # wraps at 2^31; production streams should be segmented/restarted
     # well before either. Flagged for the serving story — a
     # relative-position scheme would remove the limit.
-    return {'k': kv, 'v': kv, 'pos': jnp.zeros((), jnp.int32)}
+    state = {'k': kv, 'v': kv, 'pos': jnp.zeros((), jnp.int32)}
+    if e.conv_kernel:
+      # Conformer conv module: the last K-1 GLU outputs per layer.
+      state['conv'] = jnp.zeros(
+          (batch_size, e.num_layers, e.conv_kernel - 1, e.model_size),
+          e.dtype)
+    return state
 
   def step(self, params: Params, state, frames: jnp.ndarray):
     """Encodes one chunk: [batch, chunk_len, feature] -> model_size."""
@@ -214,8 +276,15 @@ class StreamingEncoder:
     neg_inf = jnp.asarray(-1e9, e.dtype)
     attn_bias = jnp.where(visible, 0.0, neg_inf)[None, None]  # [1,1,C,W+C]
 
-    new_k, new_v = [], []
+    ffn_scale = 0.5 if e.conv_kernel else 1.0
+    new_k, new_v, new_conv = [], [], []
     for i, layer in enumerate(params['layers']):
+      if e.conv_kernel:
+        y = _layer_norm(x, layer['ln_ffn1_scale'].astype(e.dtype),
+                        layer['ln_ffn1_bias'].astype(e.dtype))
+        y = jax.nn.gelu(y @ layer['ffn1_in'].astype(e.dtype))
+        x = x + 0.5 * (y @ layer['ffn1_out'].astype(e.dtype))
+
       y = _layer_norm(x, layer['ln1_scale'].astype(e.dtype),
                       layer['ln1_bias'].astype(e.dtype))
       qkv = y @ layer['qkv'].astype(e.dtype)
@@ -235,10 +304,18 @@ class StreamingEncoder:
       context = context.reshape(*context.shape[:-2], e.model_size)
       x = x + context @ layer['attn_out'].astype(e.dtype)
 
+      if e.conv_kernel:
+        # history starts as zeros in init_state, matching the offline
+        # causal conv's zero left padding at stream start.
+        conv_out, hist = e._conv_module(layer, x,
+                                        history=state['conv'][:, i])
+        x = x + conv_out
+        new_conv.append(hist)
+
       y = _layer_norm(x, layer['ln2_scale'].astype(e.dtype),
                       layer['ln2_bias'].astype(e.dtype))
       y = jax.nn.gelu(y @ layer['ffn_in'].astype(e.dtype))
-      x = x + y @ layer['ffn_out'].astype(e.dtype)
+      x = x + ffn_scale * (y @ layer['ffn_out'].astype(e.dtype))
 
     x = _layer_norm(x, params['final_ln_scale'].astype(e.dtype),
                     params['final_ln_bias'].astype(e.dtype))
@@ -247,4 +324,6 @@ class StreamingEncoder:
         'v': jnp.stack(new_v, axis=1),
         'pos': t0 + chunk,
     }
+    if e.conv_kernel:
+      new_state['conv'] = jnp.stack(new_conv, axis=1)
     return new_state, x.astype(jnp.float32)

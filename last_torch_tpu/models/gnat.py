@@ -65,6 +65,9 @@ class GNATConfig:
       then match.
     encoder_window: With encoder_causal, the left-context window (frames);
       bounds the streaming KV cache. 0 = unlimited (not streamable).
+    encoder_conv_kernel: If > 0, the encoder blocks are Conformer blocks
+      (macaron half-FFNs + a causal depthwise-conv module of this kernel
+      width); 0 = plain Transformer blocks. Streaming-compatible.
   """
 
   feature_size: int = 80
@@ -81,6 +84,7 @@ class GNATConfig:
   use_rnn_cacher: bool = False
   encoder_causal: bool = False
   encoder_window: int = 0
+  encoder_conv_kernel: int = 0
 
 
 class GNATModel:
@@ -101,7 +105,8 @@ class GNATModel:
         num_heads=config.encoder_heads,
         ffn_size=config.encoder_ffn_size,
         causal=config.encoder_causal,
-        window=config.encoder_window)
+        window=config.encoder_window,
+        conv_kernel=config.encoder_conv_kernel)
 
     context = contexts.FullNGram(
         vocab_size=config.vocab_size, context_size=config.context_size)

@@ -302,3 +302,73 @@ def test_gradient_accumulation_matches_large_batch():
   init = jax.tree.leaves(
       gnat.init_train_state(model, jax.random.PRNGKey(0), acc_opt).params)[0]
   assert float(jnp.max(jnp.abs(first - init))) > 0
+
+
+class TestConformerEncoder:
+  """conv_kernel > 0: Conformer blocks (macaron FFNs + causal conv)."""
+
+  def make(self, window=0, causal=False):
+    return encoder_lib.TransformerEncoder(
+        feature_size=8, model_size=16, num_layers=2, num_heads=2,
+        ffn_size=32, causal=causal, window=window, conv_kernel=3)
+
+  def test_shapes_params_and_finiteness(self):
+    enc = self.make()
+    params = enc.init(jax.random.PRNGKey(0))
+    assert 'conv_depth' in params['layers'][0]
+    assert params['layers'][0]['conv_depth'].shape == (3, 16)
+    frames = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 8))
+    nf = jnp.array([7, 4])
+    out = jax.jit(enc.apply)(params, frames, nf)
+    assert out.shape == (2, 7, 16)
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert np.all(np.asarray(out)[1, 4:] == 0)  # padding zeroed
+
+  def test_causal_conv_future_invariance(self):
+    """The conv module must not read the future even offline."""
+    enc = self.make(causal=True, window=4)
+    params = enc.init(jax.random.PRNGKey(0))
+    frames = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8))
+    nf = jnp.full((1,), 8, jnp.int32)
+    out = enc.apply(params, frames, nf)
+    frames2 = frames.at[:, 6:].set(55.0)
+    out2 = enc.apply(params, frames2, nf)
+    npt.assert_allclose(out[:, :6], out2[:, :6], atol=1e-5)
+
+  def test_streaming_matches_offline(self):
+    enc = self.make(causal=True, window=4)
+    params = enc.init(jax.random.PRNGKey(0))
+    frames = jax.random.normal(jax.random.PRNGKey(3), (2, 9, 8))
+    nf = jnp.full((2,), 9, jnp.int32)
+    offline = enc.apply(params, frames, nf)
+
+    stream = encoder_lib.StreamingEncoder(enc)
+    state = stream.init_state(2)
+    assert state['conv'].shape == (2, 2, 2, 16)
+    outs = []
+    for lo, hi in [(0, 1), (1, 4), (4, 9)]:
+      state, out = jax.jit(stream.step)(params, state, frames[:, lo:hi])
+      outs.append(np.asarray(out))
+    npt.assert_allclose(np.concatenate(outs, axis=1), np.asarray(offline),
+                        atol=1e-4)
+
+  def test_conformer_gnat_trains(self):
+    config = gnat.GNATConfig(
+        feature_size=6, vocab_size=8, context_size=1, encoder_size=16,
+        encoder_layers=1, encoder_heads=2, encoder_ffn_size=32,
+        hidden_size=16, embedding_size=16, max_expansions=1,
+        encoder_conv_kernel=3)
+    model = gnat.GNATModel(config)
+    opt = gnat.make_optimizer(learning_rate=1e-2)
+    state = gnat.init_train_state(model, jax.random.PRNGKey(0), opt)
+    rng = np.random.default_rng(0)
+    tf = jnp.asarray(rng.normal(size=(4, 10, 6)), jnp.float32)
+    tn = jnp.full((4,), 10, jnp.int32)
+    tl = jnp.asarray(rng.integers(1, 9, size=(4, 3)), jnp.int32)
+    tnl = jnp.full((4,), 3, jnp.int32)
+    step = jax.jit(lambda s, *b: gnat.train_step(model, opt, s, *b))
+    losses = []
+    for _ in range(3):
+      state, l = step(state, tf, tn, tl, tnl)
+      losses.append(float(l))
+    assert losses[-1] < losses[0], losses
