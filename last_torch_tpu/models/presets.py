@@ -68,3 +68,26 @@ def gnat_global_bigram(vocab_size: int = 1024, feature_size: int = 80,
       locally_normalized=False)
   defaults.update(overrides)
   return gnat.GNATConfig(**defaults)
+
+
+def streaming_conformer_gnat(vocab_size: int = 1024,
+                             feature_size: int = 80,
+                             **overrides) -> gnat.GNATConfig:
+  """Streamable Conformer-encoder GNAT for online serving.
+
+  Causal left-windowed attention + Conformer blocks (causal conv), so
+  offline training and chunked serving through
+  ``models.encoder.StreamingEncoder`` + ``last_torch_tpu.streaming``
+  produce identical encodings.
+  """
+  defaults = dict(
+      feature_size=feature_size,
+      vocab_size=vocab_size,
+      context_size=1,
+      max_expansions=2,
+      locally_normalized=False,
+      encoder_causal=True,
+      encoder_window=64,
+      encoder_conv_kernel=8)
+  defaults.update(overrides)
+  return gnat.GNATConfig(**defaults)

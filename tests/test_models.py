@@ -122,6 +122,12 @@ def test_model_presets():
                                  encoder_heads=2, encoder_ffn_size=32,
                                  hidden_size=16, embedding_size=16,
                                  max_expansions=1),
+      presets.streaming_conformer_gnat(vocab_size=4, feature_size=8,
+                                       encoder_size=16, encoder_layers=1,
+                                       encoder_heads=2, encoder_ffn_size=32,
+                                       hidden_size=16, embedding_size=16,
+                                       max_expansions=1, encoder_window=4,
+                                       encoder_conv_kernel=3),
   ]:
     model = gnat.GNATModel(config)
     optimizer = gnat.make_optimizer()
