@@ -203,20 +203,39 @@ class GNATTrainState:
 def make_optimizer(learning_rate: float = 1e-3,
                    weight_decay: float = 1e-4,
                    clip_norm: float = 5.0,
-                   accumulate_steps: int = 1
+                   accumulate_steps: int = 1,
+                   warmup_steps: int = 0,
+                   total_steps: int = 0
                    ) -> optax.GradientTransformation:
   """AdamW with global-norm clipping; the standard transducer recipe.
+
+  ``warmup_steps > 0`` switches the constant learning rate to the
+  standard transducer schedule: linear warmup from 0 to
+  ``learning_rate`` over ``warmup_steps``, then cosine decay to zero at
+  ``total_steps`` (constant after warmup when ``total_steps`` is 0).
 
   ``accumulate_steps > 1`` wraps the chain in ``optax.MultiSteps``:
   gradients average over that many micro-batches before one parameter
   update — the way to train at effective batch sizes whose lattice
   activations do not fit one chip (each micro-step stays on the fused
   kernels; only the small parameter-gradient pytree is carried between
-  micro-steps).
+  micro-steps). The schedule then advances per UPDATE, not per
+  micro-batch (MultiSteps semantics).
   """
+  if warmup_steps > 0:
+    if total_steps > warmup_steps:
+      schedule = optax.warmup_cosine_decay_schedule(
+          init_value=0.0, peak_value=learning_rate,
+          warmup_steps=warmup_steps, decay_steps=total_steps)
+    else:
+      schedule = optax.linear_schedule(
+          init_value=0.0, end_value=learning_rate,
+          transition_steps=warmup_steps)
+  else:
+    schedule = learning_rate
   tx = optax.chain(
       optax.clip_by_global_norm(clip_norm),
-      optax.adamw(learning_rate, weight_decay=weight_decay),
+      optax.adamw(schedule, weight_decay=weight_decay),
   )
   if accumulate_steps > 1:
     tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)

@@ -378,3 +378,32 @@ class TestConformerEncoder:
       state, l = step(state, tf, tn, tl, tnl)
       losses.append(float(l))
     assert losses[-1] < losses[0], losses
+
+
+def test_warmup_schedule_scales_first_updates():
+  """warmup_steps > 0: the first update is tiny, later ones larger."""
+  config = gnat.GNATConfig(
+      feature_size=6, vocab_size=8, context_size=1, encoder_size=16,
+      encoder_layers=1, encoder_heads=2, encoder_ffn_size=32,
+      hidden_size=16, embedding_size=16, max_expansions=0)
+  model = gnat.GNATModel(config)
+  rng = np.random.default_rng(0)
+  batch = (jnp.asarray(rng.normal(size=(2, 5, 6)), jnp.float32),
+           jnp.array([5, 5], jnp.int32),
+           jnp.asarray(rng.integers(1, 9, size=(2, 2)), jnp.int32),
+           jnp.array([2, 2], jnp.int32))
+
+  opt = gnat.make_optimizer(learning_rate=1e-2, warmup_steps=10,
+                            total_steps=100)
+  state = gnat.init_train_state(model, jax.random.PRNGKey(0), opt)
+  p0 = jax.tree.leaves(state.params)[0]
+  deltas = []
+  for _ in range(3):
+    prev = jax.tree.leaves(state.params)[0]
+    state, _ = gnat.train_step(model, opt, state, *batch)
+    deltas.append(float(jnp.max(jnp.abs(
+        jax.tree.leaves(state.params)[0] - prev))))
+  # Step 1 uses lr ~= 0 (warmup start); later steps move more.
+  assert deltas[0] < deltas[2]
+  assert deltas[0] < 1e-4
+  del p0
