@@ -168,6 +168,7 @@ def build_vocab(v, hidden=8):
 
 @pytest.mark.parametrize('alignment_factory', [
     alignments.FrameDependent,
+    lambda: alignments.FrameLabelDependent(max_expansions=1),
     lambda: alignments.FrameLabelDependent(max_expansions=2),
 ])
 def test_fused_backward_kernel_matches_xla(alignment_factory):
@@ -367,6 +368,7 @@ def test_fuzz_kernel_pair_matches_xla(seed, max_expansions, batch, max_t):
 
 @pytest.mark.parametrize('alignment_factory', [
     alignments.FrameDependent,
+    lambda: alignments.FrameLabelDependent(max_expansions=1),
     lambda: alignments.FrameLabelDependent(max_expansions=2),
 ])
 def test_online_kernels_match_xla(alignment_factory):
