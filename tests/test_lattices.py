@@ -664,3 +664,22 @@ class TestForcedAlignment:
     emit, scores = lattice.align(params, frames, jnp.array([2]),
                                  jnp.array([[1, 2, 1]]), jnp.array([3]))
     assert np.isneginf(np.asarray(scores)[0])
+
+  def test_align_multiple_batch_dims(self):
+    lattice = build_basic_lattice()
+    params = lattice.init(jax.random.PRNGKey(9), feature_size=8)
+    frames = jax.random.normal(jax.random.PRNGKey(10), (2, 2, 5, 8))
+    num_frames = jnp.full((2, 2), 5)
+    labels = jnp.tile(jnp.array([[1, 2]]), (2, 2, 1)).reshape(2, 2, 2)
+    num_labels = jnp.full((2, 2), 2)
+    emit, scores = lattice.align(params, frames, num_frames, labels,
+                                 num_labels)
+    assert emit.shape == (2, 2, 2)
+    assert scores.shape == (2, 2)
+    flat_emit, flat_scores = lattice.align(
+        params, frames.reshape(4, 5, 8), num_frames.reshape(4),
+        labels.reshape(4, 2), num_labels.reshape(4))
+    npt.assert_array_equal(np.asarray(emit).reshape(4, 2),
+                           np.asarray(flat_emit))
+    npt.assert_allclose(np.asarray(scores).reshape(4),
+                        np.asarray(flat_scores), rtol=1e-6)
