@@ -1176,7 +1176,9 @@ def fused_shortest_distance_fwd(wf_params: Any,
                                 compute_dtype=jnp.bfloat16,
                                 cache_dtype=jnp.float32,
                                 mode: str = 'auto',
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                alpha0=None,
+                                return_final_alpha: bool = False):
   """Runs the fused forward scan.
 
   Args:
@@ -1196,10 +1198,18 @@ def fused_shortest_distance_fwd(wf_params: Any,
       (vocab-tiled streaming logsumexp, no cache — for large V), or
       'auto' (size-based choice via ``_plan``).
     interpret: Run the kernel in interpreter mode (CPU testing).
+    alpha0: Optional [B, S] log-space initial state weights (default: the
+      one-hot start-state alpha). Lets callers chain the scan across
+      frame blocks — e.g. the time-sharded alpha relay
+      (``parallel.sequence``).
+    return_final_alpha: Also return the [B, S] alpha after the last
+      frame (per-sequence padding carries alpha through, as in
+      ``lattices._forward``).
 
   Returns:
     (log_z [B], alpha_history [B, T, S]) — matching ``lattices._forward``
-    under the Log semiring.
+    under the Log semiring — plus final_alpha [B, S] when
+    ``return_final_alpha``.
   """
   batch, max_t, _ = frames.shape
   vocab = wf_params['vocab_w'].shape[-1]
@@ -1247,8 +1257,13 @@ def fused_shortest_distance_fwd(wf_params: Any,
   # reads (Mosaic cannot slice the lane dim at non-128-aligned offsets).
   is_pad = is_pad.reshape(max_t, b_pad // batch_tile, 1, batch_tile)
 
-  alpha0 = jnp.full((b_pad, s_pad), NEG_INF, jnp.float32)
-  alpha0 = alpha0.at[:, 0].set(0.0)
+  if alpha0 is None:
+    alpha0 = jnp.full((b_pad, s_pad), NEG_INF, jnp.float32)
+    alpha0 = alpha0.at[:, 0].set(0.0)
+  else:
+    alpha0 = jnp.pad(jnp.asarray(alpha0, jnp.float32),
+                     ((0, b_pad - batch), (0, s_pad - s)),
+                     constant_values=NEG_INF)
 
   num_b_tiles = b_pad // batch_tile
   num_s_tiles = s_pad // s_tile
@@ -1335,6 +1350,8 @@ def fused_shortest_distance_fwd(wf_params: Any,
   alpha_t = alpha_t[:batch, :s]
   log_z = jax.scipy.special.logsumexp(alpha_t, axis=-1)
   alpha_history = jnp.moveaxis(hist[:, :batch, :s], 0, 1)  # [B, T, S]
+  if return_final_alpha:
+    return log_z, alpha_history, alpha_t
   return log_z, alpha_history
 
 

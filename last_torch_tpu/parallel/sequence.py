@@ -39,7 +39,8 @@ from last_torch_tpu import semirings
 def shortest_distance_time_sharded(lattice, params, frames, num_frames,
                                    mesh: Mesh, axis_name: str,
                                    semiring=semirings.Log,
-                                   cache=None) -> jnp.ndarray:
+                                   cache=None,
+                                   fused: str = 'never') -> jnp.ndarray:
   """Shortest distance with frames sharded over a time (sequence) mesh axis.
 
   Args:
@@ -52,12 +53,26 @@ def shortest_distance_time_sharded(lattice, params, frames, num_frames,
     axis_name: The mesh axis to shard time over.
     semiring: Semiring for the shortest distance.
     cache: Optional prebuilt weight-fn cache.
+    fused: 'never' runs each device's local block as the XLA scan;
+      'auto' (TPU) / 'interpret' (CPU-mesh tests) runs it through the
+      fused forward kernel chained via its ``alpha0`` input — covered
+      configurations only (Log semiring, bigram JointWeightFn).
 
   Returns:
     [batch] shortest distance, replicated over the mesh.
   """
   if cache is None:
     cache = lattice.build_cache(params)
+  from last_torch_tpu.ops import fused_scan
+  from last_torch_tpu import alignments as alignments_lib
+  use_kernel = False
+  if fused != 'never':
+    backend = 'interpret' if fused == 'interpret' else jax.default_backend()
+    use_kernel = fused_scan.supported(lattice, semiring, None, None, None,
+                                      frames, backend)
+  kernel_fd = isinstance(lattice.alignment, alignments_lib.FrameDependent)
+  kernel_k = 0 if kernel_fd else getattr(lattice.alignment,
+                                         'max_expansions', 0)
   num_devices = mesh.shape[axis_name]
   max_t = frames.shape[-2]
   if max_t % num_devices != 0:
@@ -75,6 +90,20 @@ def shortest_distance_time_sharded(lattice, params, frames, num_frames,
 
     def local_scan(alpha):
       """Advances the recursion over this device's frame block."""
+      if use_kernel:
+        local_nf = jnp.clip(num_frames - my_idx.astype(jnp.int32) * local_t,
+                            0, local_t)
+        _, _, alpha_out = fused_scan.fused_shortest_distance_fwd(
+            wf_params, cache, local_frames, local_nf,
+            max_expansions=kernel_k,
+            frame_dependent=kernel_fd,
+            num_context_states=num_context_states,
+            compute_dtype=(jnp.float32 if fused == 'interpret' else
+                           jnp.bfloat16),
+            interpret=fused == 'interpret',
+            alpha0=alpha,
+            return_final_alpha=True)
+        return alpha_out
 
       def step(carry, frame):
         t, alpha = carry

@@ -103,6 +103,13 @@ def test_time_sharded_shortest_distance(eight_devices):
       lattice, params, frames, num_frames, mesh=mesh, axis_name='seq')
   npt.assert_allclose(actual, expected, rtol=1e-5)
 
+  # Same relay with each device's local block on the fused forward
+  # kernel (interpret mode), chained through the kernel's alpha0 input.
+  kernels = sequence.shortest_distance_time_sharded(
+      lattice, params, frames, num_frames, mesh=mesh, axis_name='seq',
+      fused='interpret')
+  npt.assert_allclose(kernels, expected, rtol=1e-5)
+
   with pytest.raises(ValueError, match='divisible'):
     sequence.shortest_distance_time_sharded(
         lattice, params, frames[:, :6], num_frames, mesh=mesh,
