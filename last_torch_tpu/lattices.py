@@ -483,30 +483,28 @@ class RecognitionLattice(Generic[T]):
     """
     if cache is None:
       cache = self.build_cache(params)
-    num_frames = jnp.asarray(num_frames)
-    num_labels = jnp.asarray(num_labels)
-    labels = jnp.asarray(labels, jnp.int32)
+    num_frames, num_labels, labels = self._check_string_args(
+        frames, num_frames, labels, num_labels)
 
     blank_weight, lexical_weight = self._string_weights(
         params, cache, frames, labels)
 
     def total(masks):
       blank_mask, lexical_mask = masks
-      return jnp.sum(self._string_dp(
+      scores = self._string_dp(
           blank_weight + blank_mask, lexical_weight + lexical_mask,
-          num_frames, num_labels, semirings.MaxTropical))
+          num_frames, num_labels, semirings.MaxTropical)
+      return jnp.sum(scores), scores
 
-    path_weights, (_, lexical_marks) = jax.value_and_grad(total)(
-        (jnp.zeros_like(blank_weight), jnp.zeros_like(lexical_weight)))
-    del path_weights  # summed over the batch; per-sequence below
+    (_, scores), (_, lexical_marks) = jax.value_and_grad(
+        total, has_aux=True)(
+            (jnp.zeros_like(blank_weight), jnp.zeros_like(lexical_weight)))
     # [T, batch..., U+1] -> [batch..., U+1, T]; exactly one winning frame
     # per position u < num_labels (each position advances once per path).
     marks = jnp.moveaxis(lexical_marks, 0, -1)
     emit = jnp.argmax(marks, axis=-1).astype(jnp.int32)
     emitted = jnp.max(marks, axis=-1) > 0
     emit = jnp.where(emitted, emit, -1)[..., :labels.shape[-1]]
-    scores = self._string_dp(blank_weight, lexical_weight, num_frames,
-                             num_labels, semirings.MaxTropical)
     return emit, scores
 
   def shortest_distance(self, params, frames, num_frames, semiring=None,
@@ -586,6 +584,16 @@ class RecognitionLattice(Generic[T]):
     Returns:
       [batch_dims...] shortest distance.
     """
+    num_frames, num_labels, labels = self._check_string_args(
+        frames, num_frames, labels, num_labels)
+
+    blank_weight, lexical_weight = self._string_weights(
+        params, cache, frames, labels)
+    return self._string_dp(blank_weight, lexical_weight, num_frames,
+                           num_labels, semiring, weight_lift)
+
+  def _check_string_args(self, frames, num_frames, labels, num_labels):
+    """Shared shape validation for the string DP entry points."""
     num_frames = jnp.asarray(num_frames)
     num_labels = jnp.asarray(num_labels)
     labels = jnp.asarray(labels, jnp.int32)
@@ -599,11 +607,7 @@ class RecognitionLattice(Generic[T]):
     if num_labels.shape != batch_dims:
       raise ValueError('num_labels and num_frames have different batch_dims: '
                        f'{num_labels.shape} vs {batch_dims}')
-
-    blank_weight, lexical_weight = self._string_weights(
-        params, cache, frames, labels)
-    return self._string_dp(blank_weight, lexical_weight, num_frames,
-                           num_labels, semiring, weight_lift)
+    return num_frames, num_labels, labels
 
   def _string_weights(self, params, cache, frames, labels):
     """Per-(frame, label-position) blank and next-label weights.

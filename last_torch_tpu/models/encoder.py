@@ -78,7 +78,12 @@ class TransformerEncoder:
         'layers': [],
     }
     for i in range(self.num_layers):
-      k1, k2, k3, k4, k5, k6, k7, k8 = jax.random.split(keys[2 + i], 8)
+      # Plain-Transformer layers keep the original 4-way split so
+      # conv_kernel=0 initialization stays byte-identical for a given
+      # seed; Conformer-only parameters derive fresh keys via fold_in.
+      k1, k2, k3, k4 = jax.random.split(keys[2 + i], 4)
+      k5, k6, k7, k8 = (jax.random.fold_in(keys[2 + i], j)
+                        for j in (11, 12, 13, 14))
       layer = {
           'ln1_scale': jnp.ones((d,)),
           'ln1_bias': jnp.zeros((d,)),

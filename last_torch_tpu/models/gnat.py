@@ -227,6 +227,10 @@ def make_optimizer(learning_rate: float = 1e-3,
       schedule = optax.warmup_cosine_decay_schedule(
           init_value=0.0, peak_value=learning_rate,
           warmup_steps=warmup_steps, decay_steps=total_steps)
+    elif total_steps:
+      raise ValueError(
+          f'total_steps={total_steps} must exceed warmup_steps='
+          f'{warmup_steps} (or be 0 for constant-after-warmup)')
     else:
       schedule = optax.linear_schedule(
           init_value=0.0, end_value=learning_rate,

@@ -1178,7 +1178,8 @@ def fused_shortest_distance_fwd(wf_params: Any,
                                 mode: str = 'auto',
                                 interpret: bool = False,
                                 alpha0=None,
-                                return_final_alpha: bool = False):
+                                return_final_alpha: bool = False,
+                                with_history: bool = True):
   """Runs the fused forward scan.
 
   Args:
@@ -1205,6 +1206,10 @@ def fused_shortest_distance_fwd(wf_params: Any,
     return_final_alpha: Also return the [B, S] alpha after the last
       frame (per-sequence padding carries alpha through, as in
       ``lattices._forward``).
+    with_history: When False, the per-frame alpha history is not
+      materialized in HBM (every grid step overwrites one dummy block)
+      and ``alpha_history`` is returned as None — for callers that only
+      need log_z / the final alpha, e.g. the time-sharded relay.
 
   Returns:
     (log_z [B], alpha_history [B, T, S]) — matching ``lattices._forward``
@@ -1332,11 +1337,16 @@ def fused_shortest_distance_fwd(wf_params: Any,
           pl.BlockSpec((batch_tile, s_pad), lambda t, b: (b, 0)),
       ],
       out_specs=[
-          pl.BlockSpec((1, batch_tile, s_pad), lambda t, b: (t, b, 0)),
+          # with_history=False parks every step's history block at index
+          # 0 — one [1, B, S] dummy in HBM instead of the [T, B, S] dump.
+          pl.BlockSpec((1, batch_tile, s_pad),
+                       (lambda t, b: (t, b, 0)) if with_history else
+                       (lambda t, b: (0, b, 0))),
           pl.BlockSpec((batch_tile, s_pad), lambda t, b: (b, 0)),
       ],
       out_shape=[
-          jax.ShapeDtypeStruct((max_t, b_pad, s_pad), jnp.float32),
+          jax.ShapeDtypeStruct(
+              (max_t if with_history else 1, b_pad, s_pad), jnp.float32),
           jax.ShapeDtypeStruct((b_pad, s_pad), jnp.float32),
       ],
       scratch_shapes=scratch_shapes,
@@ -1349,7 +1359,8 @@ def fused_shortest_distance_fwd(wf_params: Any,
   # Unpad and reshape to the lattices._forward contract.
   alpha_t = alpha_t[:batch, :s]
   log_z = jax.scipy.special.logsumexp(alpha_t, axis=-1)
-  alpha_history = jnp.moveaxis(hist[:, :batch, :s], 0, 1)  # [B, T, S]
+  alpha_history = (jnp.moveaxis(hist[:, :batch, :s], 0, 1)  # [B, T, S]
+                   if with_history else None)
   if return_final_alpha:
     return log_z, alpha_history, alpha_t
   return log_z, alpha_history

@@ -57,6 +57,8 @@ def shortest_distance_time_sharded(lattice, params, frames, num_frames,
       'auto' (TPU) / 'interpret' (CPU-mesh tests) runs it through the
       fused forward kernel chained via its ``alpha0`` input — covered
       configurations only (Log semiring, bigram JointWeightFn).
+      FORWARD-ONLY: the plain kernel has no VJP, so use 'never' when
+      differentiating through the sharded distance.
 
   Returns:
     [batch] shortest distance, replicated over the mesh.
@@ -67,6 +69,9 @@ def shortest_distance_time_sharded(lattice, params, frames, num_frames,
   from last_torch_tpu import alignments as alignments_lib
   use_kernel = False
   if fused != 'never':
+    # Mirrors the dispatch in lattices.RecognitionLattice._forward
+    # (backend resolution + supported() gate + interpret/bf16 dtype
+    # choice below); keep the two in sync.
     backend = 'interpret' if fused == 'interpret' else jax.default_backend()
     use_kernel = fused_scan.supported(lattice, semiring, None, None, None,
                                       frames, backend)
@@ -102,7 +107,8 @@ def shortest_distance_time_sharded(lattice, params, frames, num_frames,
                            jnp.bfloat16),
             interpret=fused == 'interpret',
             alpha0=alpha,
-            return_final_alpha=True)
+            return_final_alpha=True,
+            with_history=False)
         return alpha_out
 
       def step(carry, frame):

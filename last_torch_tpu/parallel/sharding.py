@@ -51,9 +51,14 @@ GNAT_PARAM_RULES = (
     # Joint network vocab head: shard the vocabulary.
     (r'.*weight_fn.*vocab_w$', P(None, 'model')),
     (r'.*weight_fn.*vocab_b$', P('model')),
-    # Encoder: Megatron-style FFN / attention sharding.
-    (r'.*ffn_in$', P(None, 'model')),
-    (r'.*ffn_out$', P('model', None)),
+    # Encoder: Megatron-style FFN / attention sharding. The Conformer
+    # macaron FFN (ffn1) shards the same way; its convolution-module
+    # parameters (conv_in/conv_depth/conv_out) stay replicated on
+    # purpose — conv_in's GLU pairs columns [0:d] with [d:2d], which a
+    # contiguous column split would cross-shard, and the three tensors
+    # together are small relative to the FFNs.
+    (r'.*ffn1?_in$', P(None, 'model')),
+    (r'.*ffn1?_out$', P('model', None)),
     (r'.*qkv$', P(None, 'model')),
     (r'.*attn_out$', P('model', None)),
 )
