@@ -316,3 +316,45 @@ class StreamingBeamDecoder:
         frame_step, dict(state),
         (jnp.moveaxis(frames, 0, 1), jnp.moveaxis(valid, 0, 1)))
     return state
+
+
+def nbest_offline(lattice, params, frames, num_frames, *, beam_size: int,
+                  n: int = None, max_labels: int = None, cache=None):
+  """Offline n-best label sequences via one whole-utterance beam pass.
+
+  A convenience wrapper for non-streaming use: runs the time-synchronous
+  ``StreamingBeamDecoder`` (with hypothesis recombination) over the full
+  encoded utterance in a single chunk. ``shortest_path`` returns only
+  the 1-best alignment; this returns alternatives with their
+  (recombined) scores — rescoring / confidence inputs the reference
+  library has no equivalent for.
+
+  Args:
+    lattice: ``RecognitionLattice``.
+    params: Lattice parameter pytree.
+    frames: [batch, max_num_frames, feature_size] encoded frames.
+    num_frames: [batch] frame counts.
+    beam_size: Beam width.
+    n: Number of hypotheses to return (default: ``beam_size``).
+    max_labels: Label capacity per hypothesis (default: a safe bound —
+      max_num_frames times the alignment's per-frame label limit).
+    cache: Optional prebuilt weight-fn cache.
+
+  Returns:
+    (labels [batch, n, max_labels], num_labels [batch, n],
+    scores [batch, n]), best first.
+  """
+  from last_torch_tpu import alignments as alignments_lib
+
+  max_t = frames.shape[-2]
+  if max_labels is None:
+    per_frame = (1 if isinstance(lattice.alignment,
+                                 alignments_lib.FrameDependent)
+                 else lattice.alignment.max_expansions)
+    max_labels = max_t * per_frame
+  decoder = StreamingBeamDecoder(lattice, beam_size=beam_size,
+                                 max_labels=max_labels)
+  state = decoder.init_state(frames.shape[0])
+  state = decoder.step(params, state, frames,
+                       jnp.asarray(num_frames, jnp.int32), cache)
+  return decoder.nbest(state, n if n is not None else beam_size)

@@ -375,3 +375,29 @@ def test_streaming_decoders_generic_contexts(make_context):
   # Beam's best path weight is bounded by the global Viterbi optimum.
   _, _, viterbi_w = lattice.shortest_path(params, frames, num_frames)
   assert np.all(np.asarray(scores) <= np.asarray(viterbi_w) + 1e-4)
+
+
+def test_nbest_offline_matches_decode_and_orders_scores():
+  """Offline n-best: 1-best agrees with the beam's own best; scores sorted."""
+  from last_torch_tpu import alignments
+  lattice = build(alignments.FrameDependent())
+  params = lattice.init(jax.random.PRNGKey(0), feature_size=6)
+  frames = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 6))
+  num_frames = jnp.array([6, 4])
+
+  labels, num_labels, scores = streaming.nbest_offline(
+      lattice, params, frames, num_frames, beam_size=4)
+  assert labels.shape[:2] == (2, 4)
+  scores = np.asarray(scores)
+  assert np.all(np.diff(scores, axis=1) <= 1e-6)  # best first
+
+  # 1-best equals the streaming greedy/beam best path labels.
+  dec = streaming.StreamingBeamDecoder(lattice, beam_size=4,
+                                       max_labels=labels.shape[-1])
+  state = dec.init_state(2)
+  state = dec.step(params, state, frames, num_frames,
+                   lattice.build_cache(params))
+  want_labels, want_n, want_score = dec.best(state)
+  npt.assert_array_equal(np.asarray(labels)[:, 0], np.asarray(want_labels))
+  npt.assert_array_equal(np.asarray(num_labels)[:, 0], np.asarray(want_n))
+  npt.assert_allclose(scores[:, 0], np.asarray(want_score), rtol=1e-6)
