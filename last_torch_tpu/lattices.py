@@ -135,8 +135,33 @@ class RecognitionLattice(Generic[T]):
     this is the way to learn which path a given configuration takes —
     subclassed weight functions, unsupported semirings, masks, or
     over-budget vocabularies silently fall back to XLA.
+
+    TRACE-TIME state, with the jit caveats that implies: it is set while
+    tracing, so a call served entirely from a jit cache does NOT refresh
+    it, and interleaving differently-configured lattice ops can leave it
+    describing the other call. Read it immediately after the first
+    (tracing) invocation of the op in question, or use the pure
+    ``would_fuse`` predicate, which needs no call at all.
     """
     return self._last_path
+
+  def would_fuse(self, frames, semiring=semirings.Log) -> bool:
+    """Whether the loss/shortest-distance on ``frames`` takes the fused
+    kernels, as a pure structural query (no computation, no mutable
+    state — unlike ``last_path`` this cannot go stale under jit caching).
+
+    Args:
+      frames: The [batch, T, feature] frames array (or a ShapeDtypeStruct
+        of the same shape) the op would be called with.
+      semiring: The semiring the op would use.
+    """
+    if self.fused == 'never':
+      return False
+    from last_torch_tpu.ops import fused_scan
+    backend = ('interpret' if self.fused == 'interpret' else
+               jax.default_backend())
+    return fused_scan.supported(self, semiring, None, None, None, frames,
+                                backend)
 
   # -------------------------------------------------------------------
   # Parameter / cache management.
@@ -229,7 +254,8 @@ class RecognitionLattice(Generic[T]):
           params=params, cache=cache, frames=frames, num_frames=num_frames)
     return denominator - numerator
 
-  def shortest_path(self, params, frames, num_frames, cache=None):
+  def shortest_path(self, params, frames, num_frames, cache=None,
+                    reference_compat: bool = False):
     """Computes the shortest path in the recognition lattice.
 
     The shortest path is the path with the highest score — the "shortest"
@@ -243,6 +269,11 @@ class RecognitionLattice(Generic[T]):
       frames: [batch_dims..., max_num_frames, feature_size] padded frames.
       num_frames: [batch_dims...] number of frames.
       cache: Optional weight function cache data.
+      reference_compat: Emit the reference's raw ``argmax`` label values
+        (reference ``lattices.py:244``) instead of the documented
+        ``1 + argmax``: lexical label y becomes y - 1 (colliding with
+        blank for y = 1). A migration aid for consumers of
+        reference-decoded alignments; see PARITY.md.
 
     Returns:
       (alignment_labels, num_alignment_labels, path_weights) tuple:
@@ -285,7 +316,7 @@ class RecognitionLattice(Generic[T]):
         self._last_path = 'fused'
         frame_dependent = isinstance(self.alignment,
                                      alignments.FrameDependent)
-        return viterbi.viterbi_decode(
+        labels, num_labels, weights = viterbi.viterbi_decode(
             params['weight_fn'], cache, frames, num_frames,
             max_expansions=(0 if frame_dependent else
                             self.alignment.max_expansions),
@@ -295,6 +326,9 @@ class RecognitionLattice(Generic[T]):
                            jnp.bfloat16),
             normalize=normalize,
             interpret=self.fused == 'interpret')
+        if reference_compat:
+          labels = jnp.where(labels == 0, 0, labels - 1)
+        return labels, num_labels, weights
 
     def forward_fn(lexical_mask):
       path_weights, _ = self._forward(
@@ -319,6 +353,9 @@ class RecognitionLattice(Generic[T]):
     alignment_labels = jnp.where(
         is_blank, 0, 1 + jnp.argmax(viterbi_lexical_mask, axis=-1))
     alignment_labels = alignment_labels.reshape(*batch_dims, -1)
+    if reference_compat:
+      alignment_labels = jnp.where(alignment_labels == 0, 0,
+                                   alignment_labels - 1)
     num_alignment_labels = (
         num_alignment_states * num_frames.astype(jnp.int32))
     return alignment_labels, num_alignment_labels, path_weights
@@ -657,8 +694,16 @@ class RecognitionLattice(Generic[T]):
     return to_time_major(blank_weight), to_time_major(lexical_weight)
 
   def _string_dp(self, blank_weight, lexical_weight, num_frames,
-                 num_labels, semiring, weight_lift: WeightLift = None):
-    """The (frame x label-position) recursion over precomputed weights."""
+                 num_labels, semiring, weight_lift: WeightLift = None,
+                 alpha0=None, t_offset=0, final_gather: bool = True):
+    """The (frame x label-position) recursion over precomputed weights.
+
+    ``alpha0`` / ``t_offset`` / ``final_gather`` let the time-sharded
+    relay (``parallel.sequence.string_forward_time_sharded``) run the
+    recursion over one frame block: seed the label-position carry from
+    the left neighbor, count global frame indices for the padding test,
+    and return the raw final alpha instead of the ``num_labels`` gather.
+    """
     num_frames = jnp.asarray(num_frames)
     num_labels = jnp.asarray(num_labels)
     batch_dims = num_frames.shape
@@ -677,18 +722,23 @@ class RecognitionLattice(Generic[T]):
       return (t + 1, next_alpha), None
 
     num_alpha_states = blank_weight.shape[-1]
-    init_alpha = _init_context_state_weights(
-        batch_dims=batch_dims,
-        dtype=semirings.value_dtype(lift(blank_weight)),
-        num_states=num_alpha_states,
-        start=0,
-        semiring=semiring)
+    if alpha0 is not None:
+      init_alpha = alpha0
+    else:
+      init_alpha = _init_context_state_weights(
+          batch_dims=batch_dims,
+          dtype=semirings.value_dtype(lift(blank_weight)),
+          num_states=num_alpha_states,
+          start=0,
+          semiring=semiring)
     (_, alpha), _ = jax.lax.scan(
         jax.checkpoint(
             shortest_distance_step,
             policy=jax.checkpoint_policies.nothing_saveable),
-        (jnp.zeros((), jnp.int32), init_alpha),
+        (jnp.asarray(t_offset, jnp.int32), init_alpha),
         (blank_weight, lexical_weight))
+    if not final_gather:
+      return alpha
     is_final = num_labels[..., None] == jnp.arange(num_alpha_states)
     zero = semiring.zeros([], semirings.value_dtype(alpha))
     return semiring.sum(semirings.where(is_final, alpha, zero), axis=-1)

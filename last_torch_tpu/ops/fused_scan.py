@@ -194,6 +194,7 @@ def _fused_backward_kernel(
     bwt_ref,        # [1, h] (blank head, transposed copy)
     bb_ref,         # [1, 1] SMEM
     hist_ref,       # [1, 1, Bt, S_pad] alpha before this frame
+    beta0_ref,      # [1, Bt, S_pad] beta seed at the last frame
     # Outputs.
     dpf_ref,        # [1, 1, Bt, h]
     dpc_ref,        # [S_pad, h]
@@ -201,6 +202,7 @@ def _fused_backward_kernel(
     dvb_ref,        # [1, V]
     dbw_ref,        # [1, h]
     dbb_ref,        # [1, 1] SMEM
+    beta_out_ref,   # [1, Bt, S_pad] beta after the first frame
     # Scratch.
     beta_scr,       # [num_b_tiles, Bt, S_pad] f32 carry
     blank_scr,      # [Bt, S_pad] f32
@@ -248,7 +250,10 @@ def _fused_backward_kernel(
 
   @pl.when(t == 0)
   def _():
-    beta_scr[b] = jnp.zeros((batch_tile, s_pad), jnp.float32)
+    # Seed beta at the (time-reversed) first step: semiring-ones for a
+    # whole sequence, or the relayed carry from the right-neighbor block
+    # under time sharding (parallel.sequence).
+    beta_scr[b] = beta0_ref[0]
 
   @pl.when((t == 0) & (b == 0))
   def _():
@@ -419,7 +424,13 @@ def _fused_backward_kernel(
     dpc_scr[i * s_tile:(i + 1) * s_tile, :] += jnp.sum(d_pre, axis=0)
 
   dpf_ref[0, 0] = dpf_acc
-  beta_scr[b] = jnp.where(pad, beta, final_nb)
+  nb_eff = jnp.where(pad, beta, final_nb)
+  beta_scr[b] = nb_eff
+  # beta after the block's first frame; its out-spec ignores t, so the
+  # last grid step's write (frame 0) wins. Padded states are masked
+  # semiring-dead so a relayed seed never carries their junk across
+  # blocks (they contribute nothing either way — see the blank guard).
+  beta_out_ref[0] = jnp.where(col < num_real_states, nb_eff, NEG_INF)
 
   @pl.when((t == pl.num_programs(0) - 1) & (b == pl.num_programs(1) - 1))
   def _():
@@ -767,6 +778,7 @@ def _online_backward_kernel(
     bwt_ref,        # [1, h]
     bb_ref,         # [1, 1] SMEM
     hist_ref,       # [1, 1, Bt, S_pad]
+    beta0_ref,      # [1, Bt, S_pad] beta seed at the last frame
     # Outputs.
     dpf_ref,        # [1, 1, Bt, h]
     dpc_ref,        # [S_pad, h]
@@ -774,6 +786,7 @@ def _online_backward_kernel(
     dvb_ref,        # [NV, 1, Vt]
     dbw_ref,        # [1, h]
     dbb_ref,        # [1, 1] SMEM
+    beta_out_ref,   # [1, Bt, S_pad] beta after the first frame
     # Scratch; then P pair a-tiles [NS, Bt, s_tile] and P pair nb-tiles
     # [NV, Bt, Vt] (P = 1 for FrameDependent, else max_expansions).
     beta_scr,       # [num_b_tiles, Bt, S_pad] f32
@@ -827,7 +840,9 @@ def _online_backward_kernel(
 
   @pl.when(t == 0)
   def _():
-    beta_scr[b] = jnp.zeros((batch_tile, s_pad), jnp.float32)
+    # Semiring-ones, or the relayed time-sharding seed (see the resident-
+    # cache kernel).
+    beta_scr[b] = beta0_ref[0]
 
   @pl.when((t == 0) & (b == 0))
   def _():
@@ -1039,7 +1054,9 @@ def _online_backward_kernel(
       jnp.zeros((batch_tile, hidden), jnp.float32))
 
   dpf_ref[0, 0] = dpf_acc
-  beta_scr[b] = jnp.where(pad, beta, final_nb)
+  nb_eff = jnp.where(pad, beta, final_nb)
+  beta_scr[b] = nb_eff
+  beta_out_ref[0] = jnp.where(col < num_real_states, nb_eff, NEG_INF)
 
   @pl.when((t == pl.num_programs(0) - 1) & (b == pl.num_programs(1) - 1))
   def _():
@@ -1366,6 +1383,233 @@ def fused_shortest_distance_fwd(wf_params: Any,
   return log_z, alpha_history
 
 
+def _bwd_tiles(mode, s, vocab_padded, s_tile, bwd_batch_tile):
+  """Backward-kernel tile auto-tune (measured on v5e); idempotent."""
+  if (mode == 'cache' and s_tile == 128 and bwd_batch_tile == 4 and
+      _round_up(max(s, 1 + vocab_padded), 128) % 384 == 0):
+    # When the padded state count divides into 384-wide tiles,
+    # fewer/larger reduction matvecs and batch tile 8 are ~4% faster
+    # end-to-end and still fit VMEM.
+    s_tile = 384
+    bwd_batch_tile = 8
+  if mode == 'online' and bwd_batch_tile == 4:
+    # The online backward keeps no O(S*V) VMEM state; larger batch
+    # tiles amortize the per-tile joint recomputation.
+    bwd_batch_tile = 8
+  return s_tile, bwd_batch_tile
+
+
+def run_fused_backward(wf_params: Any,
+                       cache: jnp.ndarray,
+                       frames: jnp.ndarray,
+                       num_frames: jnp.ndarray,
+                       log_z: jnp.ndarray,
+                       g: jnp.ndarray,
+                       alpha_history: jnp.ndarray,
+                       *,
+                       max_expansions: int,
+                       frame_dependent: bool,
+                       num_context_states: int,
+                       bwd_batch_tile: int = 4,
+                       s_tile: int = 128,
+                       compute_dtype=jnp.bfloat16,
+                       cache_dtype=jnp.float32,
+                       mode: str = 'auto',
+                       interpret: bool = False,
+                       beta0=None):
+  """Runs the fused backward (beta) scan over one frame block.
+
+  The gradient half of ``log_partition``: given the forward residuals
+  (global ``log_z``, the block's ``alpha_history``) and the cotangent
+  ``g`` of ``log_z``, it runs the reverse beta recursion over the block's
+  frames, forms cotangent-scaled arc marginals and pushes them through
+  the joint-network heads on-chip.
+
+  ``beta0`` (optional [batch, num_context_states] log-space beta at the
+  block's RIGHT edge; default semiring-ones) and the returned
+  ``beta_out`` (beta at the block's LEFT edge) let the time-sharded
+  relay (``parallel.sequence``) chain this kernel across devices in
+  reverse, mirroring the forward kernel's ``alpha0`` chaining — the
+  distributed analogue of the reference's backward-recomputation design
+  (reference ``lattices.py:539-557``).
+
+  Returns:
+    (d_wf_params, d_cache, d_frames, beta_out).
+  """
+  num_frames = jnp.asarray(num_frames, jnp.int32)
+  batch, max_t, _ = frames.shape
+  true_vocab = wf_params['vocab_w'].shape[-1]
+  s = num_context_states
+  hidden = wf_params['frame_proj'].shape[-1]
+  mode, cache_dtype = _resolve_mode(mode, cache_dtype, s, true_vocab,
+                                    hidden)
+  vocab = _round_up(true_vocab, _LANES)
+  s_tile, bwd_batch_tile = _bwd_tiles(mode, s, vocab, s_tile,
+                                      bwd_batch_tile)
+  s_pad = _round_up(max(s, 1 + vocab), s_tile)
+  tile = bwd_batch_tile
+  num_s_tiles = s_pad // s_tile
+  pf, pc, is_pad, hist, logz_b, b_pad, num_b_tiles = (
+      _stage_reverse_inputs(wf_params, cache, frames, num_frames, log_z,
+                            alpha_history, tile, s_pad, s))
+  g_b = jnp.pad(jnp.asarray(g, jnp.float32),
+                (0, b_pad - batch)).reshape(num_b_tiles, tile, 1)
+  if beta0 is None:
+    # Semiring-ones everywhere (the single-block seed, padded rows
+    # included, matching the kernels' historical zero init exactly).
+    beta0_b = jnp.zeros((b_pad, s_pad), jnp.float32)
+  else:
+    beta0_b = jnp.pad(jnp.asarray(beta0, jnp.float32),
+                      ((0, b_pad - batch), (0, s_pad - s)),
+                      constant_values=NEG_INF)
+  beta0_b = beta0_b.reshape(num_b_tiles, tile, s_pad)
+
+  padded_params, _ = _pad_vocab(wf_params)
+  if mode == 'cache':
+    kernel = functools.partial(
+        _fused_backward_kernel,
+        batch_tile=tile,
+        s_tile=s_tile,
+        num_s_tiles=num_s_tiles,
+        max_expansions=max_expansions,
+        frame_dependent=frame_dependent,
+        compute_dtype=compute_dtype,
+        cache_dtype=cache_dtype,
+        num_real_states=s)
+    mode_scratch = [
+        pltpu.VMEM((tile, s_pad), jnp.float32),
+        pltpu.VMEM((tile * s_pad, vocab), cache_dtype),
+    ]
+    tail_scratch = []
+    vw_in = padded_params['vocab_w']
+    vb_in = padded_params['vocab_b'][None, :]
+    vw_shape = (hidden, vocab)
+    vb_shape = (1, vocab)
+    vw_spec = pl.BlockSpec(vw_shape, lambda t, b: (0, 0))
+    vb_spec = pl.BlockSpec(vb_shape, lambda t, b: (0, 0))
+  else:
+    v_tile = _choose_v_tile(vocab)
+    num_v_tiles = vocab // v_tile
+    num_pairs = 1 if frame_dependent else max_expansions
+    kernel = functools.partial(
+        _online_backward_kernel,
+        batch_tile=tile,
+        s_tile=s_tile,
+        num_s_tiles=num_s_tiles,
+        v_tile=v_tile,
+        num_v_tiles=num_v_tiles,
+        max_expansions=max_expansions,
+        frame_dependent=frame_dependent,
+        compute_dtype=compute_dtype,
+        num_real_states=s)
+    mode_scratch = [
+        pltpu.VMEM((num_s_tiles, tile, s_tile), jnp.float32),  # vec
+        pltpu.VMEM((num_s_tiles, tile, s_tile), jnp.float32),  # blank
+        pltpu.VMEM((num_v_tiles, tile, v_tile), jnp.float32),  # max
+        pltpu.VMEM((num_v_tiles, tile, v_tile), jnp.float32),  # sum
+        pltpu.VMEM((num_v_tiles, tile, v_tile), jnp.float32),  # lse_y in
+        pltpu.VMEM((num_s_tiles, tile, s_tile), jnp.float32),  # lse_y out
+        pltpu.VMEM((tile * s_tile, hidden), jnp.float32),      # d(joint)
+    ]
+    tail_scratch = (
+        [pltpu.VMEM((num_s_tiles, tile, s_tile), jnp.float32)
+         for _ in range(num_pairs)] +
+        [pltpu.VMEM((num_v_tiles, tile, v_tile), jnp.float32)
+         for _ in range(num_pairs)])
+    vw_in = jnp.moveaxis(
+        padded_params['vocab_w'].reshape(hidden, num_v_tiles, v_tile),
+        1, 0)
+    vb_in = padded_params['vocab_b'].reshape(num_v_tiles, 1, v_tile)
+    vw_shape = (num_v_tiles, hidden, v_tile)
+    vb_shape = (num_v_tiles, 1, v_tile)
+    vw_spec = pl.BlockSpec(vw_shape, lambda t, b: (0, 0, 0))
+    vb_spec = pl.BlockSpec(vb_shape, lambda t, b: (0, 0, 0))
+
+  rev = lambda t: max_t - 1 - t
+  dpf, dpc, dvw, dvb, dbw, dbb, beta_out = pl.pallas_call(
+      kernel,
+      grid=(max_t, num_b_tiles),
+      in_specs=[
+          pl.BlockSpec((1, 1, tile, 1), lambda t, b: (rev(t), b, 0, 0)),
+          pl.BlockSpec((1, tile, 1), lambda t, b: (b, 0, 0)),
+          pl.BlockSpec((1, tile, 1), lambda t, b: (b, 0, 0)),
+          pl.BlockSpec((1, 1, tile, hidden),
+                       lambda t, b: (rev(t), b, 0, 0)),
+          pl.BlockSpec((s_pad, hidden), lambda t, b: (0, 0)),
+          vw_spec,
+          vb_spec,
+          pl.BlockSpec((hidden, 1), lambda t, b: (0, 0)),
+          pl.BlockSpec((1, hidden), lambda t, b: (0, 0)),
+          pl.BlockSpec((1, 1), lambda t, b: (0, 0),
+                       memory_space=pltpu.SMEM),
+          pl.BlockSpec((1, 1, tile, s_pad),
+                       lambda t, b: (rev(t), b, 0, 0)),
+          pl.BlockSpec((1, tile, s_pad), lambda t, b: (b, 0, 0)),
+      ],
+      out_specs=[
+          pl.BlockSpec((1, 1, tile, hidden),
+                       lambda t, b: (rev(t), b, 0, 0)),
+          pl.BlockSpec((s_pad, hidden), lambda t, b: (0, 0)),
+          pl.BlockSpec(vw_shape,
+                       (lambda t, b: (0, 0)) if mode == 'cache' else
+                       (lambda t, b: (0, 0, 0))),
+          pl.BlockSpec(vb_shape,
+                       (lambda t, b: (0, 0)) if mode == 'cache' else
+                       (lambda t, b: (0, 0, 0))),
+          pl.BlockSpec((1, hidden), lambda t, b: (0, 0)),
+          pl.BlockSpec((1, 1), lambda t, b: (0, 0),
+                       memory_space=pltpu.SMEM),
+          pl.BlockSpec((1, tile, s_pad), lambda t, b: (b, 0, 0)),
+      ],
+      out_shape=[
+          jax.ShapeDtypeStruct((max_t, num_b_tiles, tile, hidden),
+                               jnp.float32),
+          jax.ShapeDtypeStruct((s_pad, hidden), jnp.float32),
+          jax.ShapeDtypeStruct(vw_shape, jnp.float32),
+          jax.ShapeDtypeStruct(vb_shape, jnp.float32),
+          jax.ShapeDtypeStruct((1, hidden), jnp.float32),
+          jax.ShapeDtypeStruct((1, 1), jnp.float32),
+          jax.ShapeDtypeStruct((num_b_tiles, tile, s_pad), jnp.float32),
+      ],
+      scratch_shapes=(
+          [pltpu.VMEM((num_b_tiles, tile, s_pad), jnp.float32)] +
+          mode_scratch + [
+              pltpu.VMEM((s_pad, hidden), jnp.float32),
+              pltpu.VMEM(vw_shape, jnp.float32),
+              pltpu.VMEM(vb_shape, jnp.float32),
+              pltpu.VMEM((1, hidden), jnp.float32),
+              pltpu.SMEM((1, 1), jnp.float32),
+          ] + tail_scratch),
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
+      interpret=interpret,
+  )(is_pad, logz_b, g_b, pf, pc, vw_in, vb_in,
+    wf_params['blank_w'][:, None],
+    wf_params['blank_w'][None, :], wf_params['blank_b'][None, None],
+    hist, beta0_b)
+
+  if mode != 'cache':
+    # Undo the vocab-tile-major layout.
+    dvw = jnp.moveaxis(dvw, 0, 1).reshape(hidden, vocab)
+    dvb = dvb.reshape(1, vocab)
+  dpf = dpf.reshape(max_t, b_pad, hidden)[:, :batch]  # [T, B, h]
+  dpc = dpc[:s]
+  d_wf = {
+      'frame_proj': jnp.einsum('btf,tbh->fh', frames, dpf,
+                               preferred_element_type=jnp.float32),
+      'context_proj': cache.T @ dpc,
+      'vocab_w': dvw[:, :true_vocab],
+      'vocab_b': dvb[0, :true_vocab],
+      'blank_w': dbw[0],
+      'blank_b': dbb[0, 0],
+  }
+  d_cache = dpc @ wf_params['context_proj'].T
+  d_frames = jnp.einsum('tbh,fh->btf', dpf, wf_params['frame_proj'],
+                        preferred_element_type=jnp.float32)
+  beta_out = beta_out.reshape(b_pad, s_pad)[:batch, :s]
+  return d_wf, d_cache, d_frames, beta_out
+
+
 def log_partition(wf_params: Any,
                   cache: jnp.ndarray,
                   frames: jnp.ndarray,
@@ -1393,30 +1637,20 @@ def log_partition(wf_params: Any,
   materializes ~10 [B, S, V] HBM temporaries per frame; this kernel
   materializes none. 'online' mode (large vocabularies) streams
   vocab-tiled lexical blocks instead of caching — see
-  ``_online_backward_kernel``.
+  ``_online_backward_kernel``. The backward half lives in
+  ``run_fused_backward`` so the time-sharded relay can drive it
+  per-block with a chained beta carry.
 
   Returns [batch] log Z; gradients flow to wf_params, cache and frames.
   """
   num_frames = jnp.asarray(num_frames, jnp.int32)
-  batch, max_t, _ = frames.shape
-  true_vocab = wf_params['vocab_w'].shape[-1]
   s = num_context_states
+  true_vocab = wf_params['vocab_w'].shape[-1]
   hidden = wf_params['frame_proj'].shape[-1]
   mode, cache_dtype = _resolve_mode(mode, cache_dtype, s, true_vocab,
                                     hidden)
-  vocab = _round_up(true_vocab, _LANES)  # static; padded in fn_bwd
-  # Auto-tune (measured on v5e): when the padded state count divides into
-  # 384-wide tiles, fewer/larger reduction matvecs and batch tile 8 are
-  # ~4% faster end-to-end and still fit VMEM.
-  if (mode == 'cache' and s_tile == 128 and bwd_batch_tile == 4 and
-      _round_up(max(s, 1 + vocab), 128) % 384 == 0):
-    s_tile = 384
-    bwd_batch_tile = 8
-  if mode == 'online' and bwd_batch_tile == 4:
-    # The online backward keeps no O(S*V) VMEM state; larger batch tiles
-    # amortize the per-tile joint recomputation.
-    bwd_batch_tile = 8
-  s_pad = _round_up(max(s, 1 + vocab), s_tile)
+  s_tile, bwd_batch_tile = _bwd_tiles(
+      mode, s, _round_up(true_vocab, _LANES), s_tile, bwd_batch_tile)
 
   def run_forward(wf_params, cache, frames, num_frames):
     return fused_shortest_distance_fwd(
@@ -1444,152 +1678,17 @@ def log_partition(wf_params: Any,
 
   def fn_bwd(residuals, g):
     wf_params, cache, frames, num_frames, log_z, alpha_history = residuals
-    tile = bwd_batch_tile
-    num_s_tiles = s_pad // s_tile
-    pf, pc, is_pad, hist, logz_b, b_pad, num_b_tiles = (
-        _stage_reverse_inputs(wf_params, cache, frames, num_frames, log_z,
-                              alpha_history, tile, s_pad, s))
-    g_b = jnp.pad(g, (0, b_pad - batch)).reshape(num_b_tiles, tile, 1)
-
-    padded_params, _ = _pad_vocab(wf_params)
-    if mode == 'cache':
-      kernel = functools.partial(
-          _fused_backward_kernel,
-          batch_tile=tile,
-          s_tile=s_tile,
-          num_s_tiles=num_s_tiles,
-          max_expansions=max_expansions,
-          frame_dependent=frame_dependent,
-          compute_dtype=compute_dtype,
-          cache_dtype=cache_dtype,
-          num_real_states=s)
-      mode_scratch = [
-          pltpu.VMEM((tile, s_pad), jnp.float32),
-          pltpu.VMEM((tile * s_pad, vocab), cache_dtype),
-      ]
-      tail_scratch = []
-      vw_in = padded_params['vocab_w']
-      vb_in = padded_params['vocab_b'][None, :]
-      vw_shape = (hidden, vocab)
-      vb_shape = (1, vocab)
-      vw_spec = pl.BlockSpec(vw_shape, lambda t, b: (0, 0))
-      vb_spec = pl.BlockSpec(vb_shape, lambda t, b: (0, 0))
-    else:
-      v_tile = _choose_v_tile(vocab)
-      num_v_tiles = vocab // v_tile
-      num_pairs = 1 if frame_dependent else max_expansions
-      kernel = functools.partial(
-          _online_backward_kernel,
-          batch_tile=tile,
-          s_tile=s_tile,
-          num_s_tiles=num_s_tiles,
-          v_tile=v_tile,
-          num_v_tiles=num_v_tiles,
-          max_expansions=max_expansions,
-          frame_dependent=frame_dependent,
-          compute_dtype=compute_dtype,
-          num_real_states=s)
-      mode_scratch = [
-          pltpu.VMEM((num_s_tiles, tile, s_tile), jnp.float32),  # vec
-          pltpu.VMEM((num_s_tiles, tile, s_tile), jnp.float32),  # blank
-          pltpu.VMEM((num_v_tiles, tile, v_tile), jnp.float32),  # max
-          pltpu.VMEM((num_v_tiles, tile, v_tile), jnp.float32),  # sum
-          pltpu.VMEM((num_v_tiles, tile, v_tile), jnp.float32),  # lse_y in
-          pltpu.VMEM((num_s_tiles, tile, s_tile), jnp.float32),  # lse_y out
-          pltpu.VMEM((tile * s_tile, hidden), jnp.float32),      # d(joint)
-      ]
-      tail_scratch = (
-          [pltpu.VMEM((num_s_tiles, tile, s_tile), jnp.float32)
-           for _ in range(num_pairs)] +
-          [pltpu.VMEM((num_v_tiles, tile, v_tile), jnp.float32)
-           for _ in range(num_pairs)])
-      vw_in = jnp.moveaxis(
-          padded_params['vocab_w'].reshape(hidden, num_v_tiles, v_tile),
-          1, 0)
-      vb_in = padded_params['vocab_b'].reshape(num_v_tiles, 1, v_tile)
-      vw_shape = (num_v_tiles, hidden, v_tile)
-      vb_shape = (num_v_tiles, 1, v_tile)
-      vw_spec = pl.BlockSpec(vw_shape, lambda t, b: (0, 0, 0))
-      vb_spec = pl.BlockSpec(vb_shape, lambda t, b: (0, 0, 0))
-
-    rev = lambda t: max_t - 1 - t
-    dpf, dpc, dvw, dvb, dbw, dbb = pl.pallas_call(
-        kernel,
-        grid=(max_t, num_b_tiles),
-        in_specs=[
-            pl.BlockSpec((1, 1, tile, 1), lambda t, b: (rev(t), b, 0, 0)),
-            pl.BlockSpec((1, tile, 1), lambda t, b: (b, 0, 0)),
-            pl.BlockSpec((1, tile, 1), lambda t, b: (b, 0, 0)),
-            pl.BlockSpec((1, 1, tile, hidden),
-                         lambda t, b: (rev(t), b, 0, 0)),
-            pl.BlockSpec((s_pad, hidden), lambda t, b: (0, 0)),
-            vw_spec,
-            vb_spec,
-            pl.BlockSpec((hidden, 1), lambda t, b: (0, 0)),
-            pl.BlockSpec((1, hidden), lambda t, b: (0, 0)),
-            pl.BlockSpec((1, 1), lambda t, b: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, tile, s_pad),
-                         lambda t, b: (rev(t), b, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, tile, hidden),
-                         lambda t, b: (rev(t), b, 0, 0)),
-            pl.BlockSpec((s_pad, hidden), lambda t, b: (0, 0)),
-            pl.BlockSpec(vw_shape,
-                         (lambda t, b: (0, 0)) if mode == 'cache' else
-                         (lambda t, b: (0, 0, 0))),
-            pl.BlockSpec(vb_shape,
-                         (lambda t, b: (0, 0)) if mode == 'cache' else
-                         (lambda t, b: (0, 0, 0))),
-            pl.BlockSpec((1, hidden), lambda t, b: (0, 0)),
-            pl.BlockSpec((1, 1), lambda t, b: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((max_t, num_b_tiles, tile, hidden),
-                                 jnp.float32),
-            jax.ShapeDtypeStruct((s_pad, hidden), jnp.float32),
-            jax.ShapeDtypeStruct(vw_shape, jnp.float32),
-            jax.ShapeDtypeStruct(vb_shape, jnp.float32),
-            jax.ShapeDtypeStruct((1, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        ],
-        scratch_shapes=(
-            [pltpu.VMEM((num_b_tiles, tile, s_pad), jnp.float32)] +
-            mode_scratch + [
-                pltpu.VMEM((s_pad, hidden), jnp.float32),
-                pltpu.VMEM(vw_shape, jnp.float32),
-                pltpu.VMEM(vb_shape, jnp.float32),
-                pltpu.VMEM((1, hidden), jnp.float32),
-                pltpu.SMEM((1, 1), jnp.float32),
-            ] + tail_scratch),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(is_pad, logz_b, g_b, pf, pc, vw_in, vb_in,
-      wf_params['blank_w'][:, None],
-      wf_params['blank_w'][None, :], wf_params['blank_b'][None, None],
-      hist)
-
-    if mode != 'cache':
-      # Undo the vocab-tile-major layout.
-      dvw = jnp.moveaxis(dvw, 0, 1).reshape(hidden, vocab)
-      dvb = dvb.reshape(1, vocab)
-    dpf = dpf.reshape(max_t, b_pad, hidden)[:, :batch]  # [T, B, h]
-    dpc = dpc[:s]
-    d_wf = {
-        'frame_proj': jnp.einsum('btf,tbh->fh', frames, dpf,
-                                 preferred_element_type=jnp.float32),
-        'context_proj': cache.T @ dpc,
-        'vocab_w': dvw[:, :true_vocab],
-        'vocab_b': dvb[0, :true_vocab],
-        'blank_w': dbw[0],
-        'blank_b': dbb[0, 0],
-    }
-    d_cache = dpc @ wf_params['context_proj'].T
-    d_frames = jnp.einsum('tbh,fh->btf', dpf, wf_params['frame_proj'],
-                          preferred_element_type=jnp.float32)
+    d_wf, d_cache, d_frames, _ = run_fused_backward(
+        wf_params, cache, frames, num_frames, log_z, g, alpha_history,
+        max_expansions=max_expansions,
+        frame_dependent=frame_dependent,
+        num_context_states=s,
+        bwd_batch_tile=bwd_batch_tile,
+        s_tile=s_tile,
+        compute_dtype=compute_dtype,
+        cache_dtype=cache_dtype,
+        mode=mode,
+        interpret=interpret)
     return (d_wf, d_cache, d_frames,
             np.zeros(num_frames.shape, jax.dtypes.float0))
 

@@ -12,7 +12,7 @@
 # See the License for the specific language governing permissions and
 # limitations under the License.
 
-"""Sequence (time-axis) sharded lattice forward — the alpha relay.
+"""Sequence (time-axis) sharded lattice computations — the alpha relay.
 
 The recognition-lattice forward recursion is sequential in time, but its
 carry is tiny: ``[batch, num_context_states]``. For sequences too long for
@@ -22,18 +22,197 @@ the lattice analogue of ring/context parallelism (SURVEY §5). Each device
 stores only ``T / D`` frames; arc weights are (re)computed on the fly inside
 the local scan, so nothing O(T * S * V) is ever materialized.
 
-This is a memory-scaling construct: total sequential work is unchanged (the
-recursion is inherently serial in T), but per-device frame residency drops
-by the axis size.
+This is a memory-scaling construct: the recursion is inherently serial in
+T, so wall-clock stays O(T), but per-device residency of the frames, the
+alpha history saved for the backward, and every per-frame temporary drops
+by the axis size D. Inactive relay stages are skipped with ``lax.cond``
+(the stage predicate is a concrete per-device scalar under ``shard_map``),
+so total FLOPs across the mesh equal a single device's — not D times them.
+
+Training works: every relay here carries a ``jax.custom_vjp`` whose
+backward runs the relay in REVERSE — device D-1 first, ``ppermute`` with
+the inverted permutation — relaying the carry cotangent (XLA path) or the
+log-space beta (fused-kernel path, ``ops.fused_scan.run_fused_backward``)
+while each device recomputes its own block from the saved incoming alpha
+(the distributed extension of the reference's backward-recomputation
+rationale, reference ``lattices.py:539-557``). Weight-function cotangents
+are ``psum``-reduced over the axis; frame cotangents stay sharded.
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from last_torch_tpu import semirings
+
+
+def _float0_like(tree):
+  return jax.tree.map(
+      lambda x: np.zeros(np.shape(x), jax.dtypes.float0), tree)
+
+
+def _psum_from(my_idx, device, tree, axis_name):
+  """Broadcasts ``device``'s value of a replicated-shape tree to all."""
+  return jax.tree.map(
+      lambda x: jax.lax.psum(
+          jnp.where(my_idx == device, x, jnp.zeros_like(x)), axis_name),
+      tree)
+
+
+def _check_divisible(frames, num_devices, axis_name):
+  max_t = frames.shape[-2]
+  if max_t % num_devices != 0:
+    raise ValueError(f'max_num_frames={max_t} must be divisible by the '
+                     f'{axis_name!r} axis size {num_devices}')
+  return max_t // num_devices
+
+
+def _relay(mesh: Mesh, axis_name: str, local_fn):
+  """Builds a differentiable time-block relay over ``axis_name``.
+
+  ``local_fn(carry, local_frames, num_frames, my_idx, diff_args, aux)``
+  advances the recursion carry over one device's frame block. It must be
+  differentiable (``jax.vjp``-able) in ``carry``, ``local_frames`` and
+  ``diff_args``; ``aux`` is non-differentiated (e.g. integer labels).
+
+  Returns ``run(carry0, frames, num_frames, diff_args, aux) -> final``
+  where ``frames`` is globally shaped [B, T, F] (sharded over
+  ``axis_name`` on axis -2), everything else replicated, and ``final`` is
+  the carry after all D blocks, replicated. ``run`` is a
+  ``jax.custom_vjp``: its backward relays the carry cotangent in reverse
+  stage order, running ``jax.vjp`` of ``local_fn`` only on the active
+  device per stage (``lax.cond``), and ``psum``-reduces the ``diff_args``
+  cotangents over the axis.
+  """
+  num_devices = mesh.shape[axis_name]
+  perm_fwd = [(i, (i + 1) % num_devices) for i in range(num_devices)]
+  perm_bwd = [(i, (i - 1) % num_devices) for i in range(num_devices)]
+
+  def fwd_shard(carry0, local_frames, num_frames, diff_args, aux):
+    my_idx = jax.lax.axis_index(axis_name)
+
+    def stage(c, s):
+      carry, saved = c
+      active = my_idx == s
+      advanced = jax.lax.cond(
+          active,
+          lambda cr: local_fn(cr, local_frames, num_frames, my_idx,
+                              diff_args, aux),
+          lambda cr: cr,
+          carry)
+      # Each device remembers the carry it consumed (its block's input);
+      # the backward recomputes the block from it.
+      saved = semirings.where(active, carry, saved)
+      advanced = jax.tree.map(
+          lambda x: jax.lax.ppermute(x, axis_name, perm_fwd), advanced)
+      return (advanced, saved), None
+
+    (carry, saved), _ = jax.lax.scan(
+        stage, (carry0, carry0), jnp.arange(num_devices))
+    # After D shifts the final carry sits on device 0; broadcast it.
+    final = _psum_from(my_idx, 0, carry, axis_name)
+    return final, jax.tree.map(lambda x: x[None], saved)
+
+  def bwd_shard(ct_final, saved, local_frames, num_frames, diff_args,
+                aux):
+    my_idx = jax.lax.axis_index(axis_name)
+    saved = jax.tree.map(lambda x: x[0], saved)
+    d_diff0 = jax.tree.map(jnp.zeros_like, diff_args)
+    d_frames0 = jnp.zeros_like(local_frames)
+
+    def stage(c, s):
+      ct, d_diff, d_frames = c
+      active = my_idx == (num_devices - 1 - s)
+
+      def run(ct):
+        _, vjp_fn = jax.vjp(
+            lambda cr, fr, da: local_fn(cr, fr, num_frames, my_idx, da,
+                                        aux),
+            saved, local_frames, diff_args)
+        return vjp_fn(ct)
+
+      def skip(ct):
+        return ct, d_frames0, d_diff0
+
+      d_carry, d_fr, d_da = jax.lax.cond(active, run, skip, ct)
+      d_diff = jax.tree.map(jnp.add, d_diff, d_da)
+      d_frames = d_frames + d_fr
+      ct = jax.tree.map(
+          lambda x: jax.lax.ppermute(x, axis_name, perm_bwd), d_carry)
+      return (ct, d_diff, d_frames), None
+
+    (ct, d_diff, d_frames), _ = jax.lax.scan(
+        stage, (ct_final, d_diff0, d_frames0), jnp.arange(num_devices))
+    # Device 0's d(carry_in) — the cotangent of carry0 — was produced at
+    # the last stage and permuted to device D-1.
+    d_carry0 = _psum_from(my_idx, num_devices - 1, ct, axis_name)
+    d_diff = jax.tree.map(
+        lambda x: jax.lax.psum(x, axis_name), d_diff)
+    return d_carry0, d_frames, d_diff
+
+  def shard(fn, in_specs, out_specs):
+    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+
+  replicated = lambda tree: jax.tree.map(lambda _: P(), tree)
+  frames_spec = P(None, axis_name, None)
+
+  @jax.custom_vjp
+  def run(carry0, frames, num_frames, diff_args, aux):
+    final, _ = _fwd(carry0, frames, num_frames, diff_args, aux)
+    return final
+
+  def _fwd(carry0, frames, num_frames, diff_args, aux):
+    carry_spec = replicated(carry0)
+    saved_spec = jax.tree.map(
+        lambda x: P(axis_name, *([None] * x.ndim)), carry0)
+    fn = shard(
+        fwd_shard,
+        in_specs=(carry_spec, frames_spec, P(None), replicated(diff_args),
+                  replicated(aux)),
+        out_specs=(carry_spec, saved_spec))
+    frames = jax.device_put(frames, NamedSharding(mesh, frames_spec))
+    return fn(carry0, frames, num_frames, diff_args, aux)
+
+  def run_fwd(carry0, frames, num_frames, diff_args, aux):
+    final, saved = _fwd(carry0, frames, num_frames, diff_args, aux)
+    return final, (saved, frames, num_frames, diff_args, aux)
+
+  def run_bwd(residuals, ct_final):
+    saved, frames, num_frames, diff_args, aux = residuals
+    carry_spec = replicated(ct_final)
+    saved_spec = jax.tree.map(
+        lambda x: P(axis_name, *([None] * (x.ndim - 1))), saved)
+    fn = shard(
+        bwd_shard,
+        in_specs=(carry_spec, saved_spec, frames_spec, P(None),
+                  replicated(diff_args), replicated(aux)),
+        out_specs=(carry_spec, frames_spec, replicated(diff_args)))
+    d_carry0, d_frames, d_diff = fn(ct_final, saved, frames, num_frames,
+                                    diff_args, aux)
+    return (d_carry0, d_frames, _float0_like(num_frames), d_diff,
+            _float0_like(aux))
+
+  run.defvjp(run_fwd, run_bwd)
+  return run
+
+
+def _init_alpha(lattice, batch, num_states=None, start=None,
+                dtype=jnp.float32, semiring=semirings.Log):
+  if num_states is None:
+    num_states, _ = lattice.context.shape()
+  if start is None:
+    start = lattice.context.start()
+  init_scalar = semirings.where(
+      jnp.arange(num_states) == start,
+      semiring.ones([], dtype), semiring.zeros([], dtype))
+  return jax.tree.map(
+      lambda w: jnp.broadcast_to(w, (batch, num_states)), init_scalar)
 
 
 def shortest_distance_time_sharded(lattice, params, frames, num_frames,
@@ -42,6 +221,12 @@ def shortest_distance_time_sharded(lattice, params, frames, num_frames,
                                    cache=None,
                                    fused: str = 'never') -> jnp.ndarray:
   """Shortest distance with frames sharded over a time (sequence) mesh axis.
+
+  Differentiable: gradients flow to ``params`` (and ``frames``) through a
+  reverse relay — see the module docstring. The XLA relay supports any
+  differentiable semiring (Log marginal-gradients, MaxTropical one-hot
+  paths, ...); the fused relay chains the Pallas kernel pair through
+  their ``alpha0``/``beta0`` carries (Log semiring, bigram JointWeightFn).
 
   Args:
     lattice: ``last_torch_tpu.RecognitionLattice``.
@@ -55,10 +240,8 @@ def shortest_distance_time_sharded(lattice, params, frames, num_frames,
     cache: Optional prebuilt weight-fn cache.
     fused: 'never' runs each device's local block as the XLA scan;
       'auto' (TPU) / 'interpret' (CPU-mesh tests) runs it through the
-      fused forward kernel chained via its ``alpha0`` input — covered
-      configurations only (Log semiring, bigram JointWeightFn).
-      FORWARD-ONLY: the plain kernel has no VJP, so use 'never' when
-      differentiating through the sharded distance.
+      fused kernel pair chained via ``alpha0`` (forward) and ``beta0``
+      (backward) — covered configurations only.
 
   Returns:
     [batch] shortest distance, replicated over the mesh.
@@ -66,108 +249,307 @@ def shortest_distance_time_sharded(lattice, params, frames, num_frames,
   if cache is None:
     cache = lattice.build_cache(params)
   from last_torch_tpu.ops import fused_scan
-  from last_torch_tpu import alignments as alignments_lib
   use_kernel = False
   if fused != 'never':
     # Mirrors the dispatch in lattices.RecognitionLattice._forward
-    # (backend resolution + supported() gate + interpret/bf16 dtype
-    # choice below); keep the two in sync.
+    # (backend resolution + supported() gate); keep the two in sync.
     backend = 'interpret' if fused == 'interpret' else jax.default_backend()
     use_kernel = fused_scan.supported(lattice, semiring, None, None, None,
                                       frames, backend)
-  kernel_fd = isinstance(lattice.alignment, alignments_lib.FrameDependent)
-  kernel_k = 0 if kernel_fd else getattr(lattice.alignment,
-                                         'max_expansions', 0)
   num_devices = mesh.shape[axis_name]
-  max_t = frames.shape[-2]
-  if max_t % num_devices != 0:
-    raise ValueError(f'max_num_frames={max_t} must be divisible by the '
-                     f'{axis_name!r} axis size {num_devices}')
-  local_t = max_t // num_devices
-  num_align_states = lattice.alignment.num_states()
-  num_context_states, _ = lattice.context.shape()
+  local_t = _check_divisible(frames, num_devices, axis_name)
   num_frames = jnp.asarray(num_frames, jnp.int32)
   wf_params = params['weight_fn']
+  batch = frames.shape[0]
 
-  def sharded(local_frames, num_frames, wf_params, cache):
+  if use_kernel:
+    log_z = _fused_relay(lattice, mesh, axis_name, local_t,
+                         interpret=fused == 'interpret')(
+                             wf_params, cache, frames, num_frames)
+    return log_z
+
+  num_align_states = lattice.alignment.num_states()
+
+  def local_fn(alpha, local_frames, num_frames, my_idx, diff_args, aux):
+    del aux
+    wf_params, cache = diff_args
+
+    def step(carry, frame):
+      t, alpha = carry
+      blank, lexical = lattice.weight_fn.apply(wf_params, cache, frame)
+      blank = [blank] * num_align_states
+      lexical = [lexical] * num_align_states
+      next_alpha = lattice.alignment.forward(
+          alpha=alpha,
+          blank=blank,
+          lexical=lexical,
+          context=lattice.context,
+          semiring=semiring)
+      is_padding = (t >= num_frames)[..., None]
+      next_alpha = semirings.where(is_padding, alpha, next_alpha)
+      return (t + 1, next_alpha), None
+
+    t_offset = my_idx.astype(jnp.int32) * local_t
+    (_, alpha), _ = jax.lax.scan(
+        jax.checkpoint(step,
+                       policy=jax.checkpoint_policies.nothing_saveable),
+        (t_offset, alpha), jnp.moveaxis(local_frames, -2, 0))
+    return alpha
+
+  carry0 = _init_alpha(lattice, batch, semiring=semiring)
+  run = _relay(mesh, axis_name, local_fn)
+  final = run(carry0, frames, num_frames, (wf_params, cache), ())
+  return semiring.sum(final, axis=-1)
+
+
+def _fused_relay(lattice, mesh: Mesh, axis_name: str, local_t: int,
+                 interpret: bool):
+  """log Z via per-block fused kernels chained across the mesh.
+
+  Forward: each device's block runs ``fused_shortest_distance_fwd`` with
+  ``alpha0`` seeded from the relay (``with_history=False`` — nothing
+  O(T_local * S) is kept). Backward: the reverse relay seeds
+  ``run_fused_backward``'s ``beta0`` from the right neighbor, recomputes
+  the block's alpha history from the saved incoming alpha (memory:
+  [B, T/D, S] per device — the point of time sharding), and psums the
+  weight-fn/cache cotangents.
+  """
+  from last_torch_tpu import alignments as alignments_lib
+  from last_torch_tpu.ops import fused_scan
+  num_devices = mesh.shape[axis_name]
+  perm_fwd = [(i, (i + 1) % num_devices) for i in range(num_devices)]
+  perm_bwd = [(i, (i - 1) % num_devices) for i in range(num_devices)]
+  frame_dependent = isinstance(lattice.alignment,
+                               alignments_lib.FrameDependent)
+  kernel_kwargs = dict(
+      max_expansions=(0 if frame_dependent else
+                      lattice.alignment.max_expansions),
+      frame_dependent=frame_dependent,
+      num_context_states=lattice.context.shape()[0],
+      compute_dtype=jnp.float32 if interpret else jnp.bfloat16,
+      interpret=interpret)
+  num_states = lattice.context.shape()[0]
+
+  def local_nf(num_frames, my_idx):
+    return jnp.clip(num_frames - my_idx.astype(jnp.int32) * local_t, 0,
+                    local_t)
+
+  def fwd_shard(local_frames, num_frames, wf_params, cache):
     my_idx = jax.lax.axis_index(axis_name)
     batch = local_frames.shape[0]
+    nf = local_nf(num_frames, my_idx)
+    alpha0 = _init_alpha(lattice, batch, num_states=num_states)
 
-    def local_scan(alpha):
-      """Advances the recursion over this device's frame block."""
-      if use_kernel:
-        local_nf = jnp.clip(num_frames - my_idx.astype(jnp.int32) * local_t,
-                            0, local_t)
-        _, _, alpha_out = fused_scan.fused_shortest_distance_fwd(
-            wf_params, cache, local_frames, local_nf,
-            max_expansions=kernel_k,
-            frame_dependent=kernel_fd,
-            num_context_states=num_context_states,
-            compute_dtype=(jnp.float32 if fused == 'interpret' else
-                           jnp.bfloat16),
-            interpret=fused == 'interpret',
-            alpha0=alpha,
-            return_final_alpha=True,
-            with_history=False)
-        return alpha_out
+    def stage(c, s):
+      alpha, saved = c
+      active = my_idx == s
 
-      def step(carry, frame):
-        t, alpha = carry
-        blank, lexical = lattice.weight_fn.apply(wf_params, cache, frame)
-        blank = [blank] * num_align_states
-        lexical = [lexical] * num_align_states
-        next_alpha = lattice.alignment.forward(
-            alpha=alpha,
-            blank=blank,
-            lexical=lexical,
-            context=lattice.context,
-            semiring=semiring)
-        is_padding = (t >= num_frames)[..., None]
-        next_alpha = semirings.where(is_padding, alpha, next_alpha)
-        return (t + 1, next_alpha), None
+      def adv(a):
+        _, _, out = fused_scan.fused_shortest_distance_fwd(
+            wf_params, cache, local_frames, nf,
+            alpha0=a, return_final_alpha=True, with_history=False,
+            **kernel_kwargs)
+        return out
 
-      t_offset = my_idx.astype(jnp.int32) * local_t
-      (_, alpha), _ = jax.lax.scan(
-          jax.checkpoint(step,
-                         policy=jax.checkpoint_policies.nothing_saveable),
-          (t_offset, alpha), jnp.moveaxis(local_frames, -2, 0))
-      return alpha
+      advanced = jax.lax.cond(active, adv, lambda a: a, alpha)
+      saved = jnp.where(active, alpha, saved)
+      advanced = jax.lax.ppermute(advanced, axis_name, perm_fwd)
+      return (advanced, saved), None
 
-    init_scalar = semirings.where(
-        jnp.arange(num_context_states) == lattice.context.start(),
-        semiring.ones([], jnp.float32), semiring.zeros([], jnp.float32))
-    alpha = jax.tree.map(
-        lambda w: jnp.broadcast_to(w, (batch, num_context_states)),
-        init_scalar)
+    (alpha, saved), _ = jax.lax.scan(
+        stage, (alpha0, alpha0), jnp.arange(num_devices))
+    final = _psum_from(my_idx, 0, alpha, axis_name)
+    log_z = jax.scipy.special.logsumexp(final, axis=-1)
+    return log_z, saved[None]
 
-    # Relay: at stage s, the device holding time-block s advances the
-    # carry; the ppermute then hands it to the next block's device. SPMD
-    # runs the local scan on every device each stage, but only the active
-    # device's result is kept — per-device memory is what this scales.
-    perm = [(i, (i + 1) % num_devices) for i in range(num_devices)]
+  def bwd_shard(g, log_z, saved, local_frames, num_frames, wf_params,
+                cache):
+    my_idx = jax.lax.axis_index(axis_name)
+    batch = local_frames.shape[0]
+    nf = local_nf(num_frames, my_idx)
+    saved = saved[0]
+    d_wf0 = jax.tree.map(jnp.zeros_like, wf_params)
+    d_cache0 = jnp.zeros_like(cache)
+    d_frames0 = jnp.zeros_like(local_frames)
+    beta0 = jnp.zeros((batch, num_states), jnp.float32)
 
-    def stage(alpha, s):
-      advanced = local_scan(alpha)
-      alpha = semirings.where(my_idx == s, advanced, alpha)
-      alpha = jax.tree.map(
-          lambda x: jax.lax.ppermute(x, axis_name, perm), alpha)
-      return alpha, None
+    def stage(c, s):
+      beta, d_wf, d_cache, d_frames = c
+      active = my_idx == (num_devices - 1 - s)
 
-    alpha, _ = jax.lax.scan(stage, alpha, jnp.arange(num_devices))
-    # After D shifts the final carry sits on device 0; broadcast it.
-    sd = semiring.sum(alpha, axis=-1)
-    return jax.tree.map(
-        lambda x: jax.lax.psum(
-            jnp.where(my_idx == 0, x, jnp.zeros_like(x)), axis_name), sd)
+      def run(b):
+        _, hist, _ = fused_scan.fused_shortest_distance_fwd(
+            wf_params, cache, local_frames, nf,
+            alpha0=saved, return_final_alpha=True, with_history=True,
+            **kernel_kwargs)
+        return fused_scan.run_fused_backward(
+            wf_params, cache, local_frames, nf, log_z, g, hist,
+            beta0=b, **kernel_kwargs)
 
+      def skip(b):
+        return d_wf0, d_cache0, d_frames0, b
+
+      dw, dc, df, beta = jax.lax.cond(active, run, skip, beta)
+      d_wf = jax.tree.map(jnp.add, d_wf, dw)
+      d_cache = d_cache + dc
+      d_frames = d_frames + df
+      beta = jax.lax.ppermute(beta, axis_name, perm_bwd)
+      return (beta, d_wf, d_cache, d_frames), None
+
+    (_, d_wf, d_cache, d_frames), _ = jax.lax.scan(
+        stage, (beta0, d_wf0, d_cache0, d_frames0),
+        jnp.arange(num_devices))
+    d_wf = jax.tree.map(lambda x: jax.lax.psum(x, axis_name), d_wf)
+    d_cache = jax.lax.psum(d_cache, axis_name)
+    return d_wf, d_cache, d_frames
+
+  frames_spec = P(None, axis_name, None)
   replicated = lambda tree: jax.tree.map(lambda _: P(), tree)
-  fn = jax.shard_map(
-      sharded,
-      mesh=mesh,
-      in_specs=(P(None, axis_name, None), P(None), replicated(wf_params),
-                replicated(cache)),
-      out_specs=replicated(semiring.zeros([1])),
-      check_vma=False)
-  frames = jax.device_put(
-      frames, NamedSharding(mesh, P(None, axis_name, None)))
-  return fn(frames, num_frames, wf_params, cache)
+
+  @jax.custom_vjp
+  def log_partition(wf_params, cache, frames, num_frames):
+    log_z, _ = _fwd(wf_params, cache, frames, num_frames)
+    return log_z
+
+  def _fwd(wf_params, cache, frames, num_frames):
+    fn = jax.shard_map(
+        fwd_shard, mesh=mesh,
+        in_specs=(frames_spec, P(None), replicated(wf_params), P()),
+        out_specs=(P(None), P(axis_name, None, None)),
+        check_vma=False)
+    frames = jax.device_put(frames, NamedSharding(mesh, frames_spec))
+    return fn(frames, num_frames, wf_params, cache)
+
+  def fn_fwd(wf_params, cache, frames, num_frames):
+    log_z, saved = _fwd(wf_params, cache, frames, num_frames)
+    return log_z, (wf_params, cache, frames, num_frames, log_z, saved)
+
+  def fn_bwd(residuals, g):
+    wf_params, cache, frames, num_frames, log_z, saved = residuals
+    fn = jax.shard_map(
+        bwd_shard, mesh=mesh,
+        in_specs=(P(None), P(None), P(axis_name, None, None), frames_spec,
+                  P(None), replicated(wf_params), P()),
+        out_specs=(replicated(wf_params), P(), frames_spec),
+        check_vma=False)
+    d_wf, d_cache, d_frames = fn(g, log_z, saved, frames, num_frames,
+                                 wf_params, cache)
+    return d_wf, d_cache, d_frames, _float0_like(num_frames)
+
+  log_partition.defvjp(fn_fwd, fn_bwd)
+  return log_partition
+
+
+def string_forward_time_sharded(lattice, params, frames, num_frames,
+                                labels, num_labels, mesh: Mesh,
+                                axis_name: str,
+                                semiring=semirings.Log,
+                                cache=None) -> jnp.ndarray:
+  """Numerator (string forward) with frames sharded over a time axis.
+
+  The string-forward carry is [batch, max_num_labels + 1] — even smaller
+  than the denominator's — so the same relay applies: each device
+  computes its block's per-(frame, label-position) weights locally
+  (labels are replicated; nothing O(T * U) global is materialized) and
+  advances the label-position recursion. Differentiable via the generic
+  cotangent relay.
+
+  Returns:
+    [batch] string shortest distance, replicated over the mesh.
+  """
+  if cache is None:
+    cache = lattice.build_cache(params)
+  num_devices = mesh.shape[axis_name]
+  local_t = _check_divisible(frames, num_devices, axis_name)
+  num_frames, num_labels, labels = lattice._check_string_args(
+      frames, num_frames, labels, num_labels)
+  wf_params = params['weight_fn']
+  batch = frames.shape[0]
+  num_alpha_states = labels.shape[-1] + 1
+
+  def local_fn(alpha, local_frames, num_frames, my_idx, diff_args, aux):
+    wf_params, cache = diff_args
+    labels, num_labels = aux
+    blank_w, lexical_w = lattice._string_weights(
+        {'weight_fn': wf_params}, cache, local_frames, labels)
+    return lattice._string_dp(
+        blank_w, lexical_w, num_frames, num_labels, semiring,
+        alpha0=alpha, t_offset=my_idx.astype(jnp.int32) * local_t,
+        final_gather=False)
+
+  carry0 = _init_alpha(lattice, batch, num_states=num_alpha_states,
+                       start=0, semiring=semiring)
+  run = _relay(mesh, axis_name, local_fn)
+  final = run(carry0, frames, num_frames, (wf_params, cache),
+              (labels, num_labels))
+  is_final = num_labels[..., None] == jnp.arange(num_alpha_states)
+  zero = semiring.zeros([], semirings.value_dtype(final))
+  return semiring.sum(semirings.where(is_final, final, zero), axis=-1)
+
+
+def loss_time_sharded(lattice, params, frames, num_frames, labels,
+                      num_labels, mesh: Mesh, axis_name: str,
+                      cache=None, fused: str = 'never') -> jnp.ndarray:
+  """GNAT loss (negative log-probability) under time sharding.
+
+  ``denominator - numerator`` with both DPs relayed over ``axis_name``;
+  the denominator is skipped for locally normalized weight functions
+  (the same type gate as ``RecognitionLattice.loss``). Fully
+  differentiable — this is the training loss for utterances too long for
+  one chip.
+
+  Returns:
+    [batch] loss, replicated over the mesh.
+  """
+  from last_torch_tpu import weight_fns as weight_fns_lib
+  if cache is None:
+    cache = lattice.build_cache(params)
+  numerator = string_forward_time_sharded(
+      lattice, params, frames, num_frames, labels, num_labels, mesh,
+      axis_name, cache=cache)
+  if isinstance(lattice.weight_fn, weight_fns_lib.LocallyNormalizedWeightFn):
+    return -numerator
+  denominator = shortest_distance_time_sharded(
+      lattice, params, frames, num_frames, mesh, axis_name, cache=cache,
+      fused=fused)
+  return denominator - numerator
+
+
+def make_time_sharded_train_step(model, optimizer, mesh: Mesh,
+                                 axis_name: str = 'seq',
+                                 fused: str = 'never'):
+  """Builds a jitted train step whose lattice DPs are time-sharded.
+
+  The encoder runs data-replicated (its activations are [B, T, H]; for
+  the long-T regimes this construct targets, pair it with the banded
+  local attention so encoder memory is O(T * W)); the lattice loss —
+  the memory-dominant part, whose backward needs per-frame alpha
+  residuals — runs through ``loss_time_sharded``.
+
+  Returns ``step(state, frames, num_frames, labels, num_labels) ->
+  (state, loss)``.
+  """
+  import optax
+  from last_torch_tpu.models import gnat
+
+  def loss_fn(params, frames, num_frames, labels, num_labels):
+    encoded = model.encoder.apply(params['encoder'], frames, num_frames)
+    per_seq = loss_time_sharded(
+        model.lattice, params['lattice'], encoded, num_frames, labels,
+        num_labels, mesh, axis_name, fused=fused)
+    # Infeasible sequences are masked out, as in GNATModel.mean_loss.
+    finite = jnp.isfinite(per_seq)
+    per_seq = jnp.where(finite, per_seq, 0.0)
+    return jnp.sum(per_seq) / jnp.maximum(jnp.sum(finite), 1)
+
+  @jax.jit
+  def step(state, frames, num_frames, labels, num_labels):
+    loss, grads = jax.value_and_grad(loss_fn)(
+        state.params, frames, num_frames, labels, num_labels)
+    updates, opt_state = optimizer.update(grads, state.opt_state,
+                                          state.params)
+    params = optax.apply_updates(state.params, updates)
+    return gnat.GNATTrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1), loss
+
+  return step

@@ -129,6 +129,21 @@ class TestRecognitionLatticeBasics:
     npt.assert_array_equal(path_weights == 0,
                            [False, False, False, True])
 
+  def test_shortest_path_reference_compat(self):
+    """reference_compat=True emits the reference's raw argmax labels
+    (reference ``lattices.py:244``): lexical y -> y - 1, blank stays 0."""
+    lattice = build_basic_lattice()
+    key = jax.random.PRNGKey(1)
+    params = lattice.init(key, feature_size=8)
+    frames = jax.random.uniform(key, (4, 6, 8))
+    num_frames = jnp.array([6, 3, 2, 0])
+    ours, n_ours, w_ours = lattice.shortest_path(params, frames, num_frames)
+    ref, n_ref, w_ref = lattice.shortest_path(
+        params, frames, num_frames, reference_compat=True)
+    npt.assert_array_equal(n_ref, n_ours)
+    npt.assert_allclose(w_ref, w_ours)
+    npt.assert_array_equal(ref, jnp.where(ours == 0, 0, ours - 1))
+
   def test_frame_label_dependent(self):
     lattice = build_basic_lattice(
         alignments.FrameLabelDependent(max_expansions=2))

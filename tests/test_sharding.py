@@ -116,6 +116,176 @@ def test_time_sharded_shortest_distance(eight_devices):
         axis_name='seq')
 
 
+def _relay_lattice():
+  import last_torch_tpu
+  from last_torch_tpu import alignments, contexts, weight_fns
+
+  context = contexts.FullNGram(vocab_size=3, context_size=1)
+  lattice = last_torch_tpu.RecognitionLattice(
+      context=context,
+      alignment=alignments.FrameDependent(),
+      weight_fn_cacher_factory=lambda ctx: weight_fns.SharedEmbCacher(
+          num_context_states=ctx.shape()[0], embedding_size=8),
+      weight_fn_factory=lambda ctx: weight_fns.JointWeightFn(
+          vocab_size=ctx.shape()[1], hidden_size=8))
+  params = lattice.init(jax.random.PRNGKey(0), feature_size=4)
+  frames = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 4))
+  num_frames = jnp.array([8, 5])
+  return lattice, params, frames, num_frames
+
+
+class TestTimeShardedTraining:
+  """The relay's custom-VJP backward == single-device gradients."""
+
+  @pytest.mark.parametrize('fused', ['never', 'interpret'])
+  def test_shortest_distance_grads(self, eight_devices, fused):
+    from last_torch_tpu import semirings
+    from last_torch_tpu.parallel import sequence
+    lattice, params, frames, num_frames = _relay_lattice()
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]),
+                             axis_names=('seq',))
+
+    def single(params, frames):
+      sd, _ = lattice._forward(
+          params=params, cache=lattice.build_cache(params), frames=frames,
+          num_frames=num_frames, semiring=semirings.Log)
+      return jnp.sum(sd)
+
+    def sharded(params, frames):
+      return jnp.sum(sequence.shortest_distance_time_sharded(
+          lattice, params, frames, num_frames, mesh=mesh, axis_name='seq',
+          fused=fused))
+
+    npt.assert_allclose(sharded(params, frames), single(params, frames),
+                        rtol=1e-5)
+    g1 = jax.grad(single, argnums=(0, 1))(params, frames)
+    g2 = jax.grad(sharded, argnums=(0, 1))(params, frames)
+    jax.tree.map(
+        lambda a, b: npt.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
+        g1, g2)
+
+  def test_tropical_semiring_grads(self, eight_devices):
+    """The cotangent relay is semiring-generic: Viterbi one-hot grads."""
+    from last_torch_tpu import semirings
+    from last_torch_tpu.parallel import sequence
+    lattice, params, frames, num_frames = _relay_lattice()
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]),
+                             axis_names=('seq',))
+
+    def single(frames):
+      sd, _ = lattice._forward(
+          params=params, cache=lattice.build_cache(params), frames=frames,
+          num_frames=num_frames, semiring=semirings.MaxTropical)
+      return jnp.sum(sd)
+
+    def sharded(frames):
+      return jnp.sum(sequence.shortest_distance_time_sharded(
+          lattice, params, frames, num_frames, mesh=mesh, axis_name='seq',
+          semiring=semirings.MaxTropical))
+
+    npt.assert_allclose(sharded(frames), single(frames), rtol=1e-5)
+    npt.assert_allclose(jax.grad(sharded)(frames),
+                        jax.grad(single)(frames), rtol=1e-4, atol=1e-6)
+
+  def test_string_forward_and_loss_grads(self, eight_devices):
+    from last_torch_tpu import semirings
+    from last_torch_tpu.parallel import sequence
+    lattice, params, frames, num_frames = _relay_lattice()
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]),
+                             axis_names=('seq',))
+    labels = jnp.array([[1, 2, 1], [3, 1, 0]], jnp.int32)
+    num_labels = jnp.array([3, 2])
+
+    def single_num(params, frames):
+      cache = lattice.build_cache(params)
+      return jnp.sum(lattice._string_forward(
+          params, cache, frames, num_frames, labels, num_labels,
+          semirings.Log))
+
+    def sharded_num(params, frames):
+      return jnp.sum(sequence.string_forward_time_sharded(
+          lattice, params, frames, num_frames, labels, num_labels, mesh,
+          'seq'))
+
+    npt.assert_allclose(sharded_num(params, frames),
+                        single_num(params, frames), rtol=1e-5)
+    g1 = jax.grad(single_num, argnums=(0, 1))(params, frames)
+    g2 = jax.grad(sharded_num, argnums=(0, 1))(params, frames)
+    jax.tree.map(
+        lambda a, b: npt.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
+        g1, g2)
+
+    def single_loss(params):
+      return jnp.sum(lattice(params, frames=frames, num_frames=num_frames,
+                             labels=labels, num_labels=num_labels))
+
+    def sharded_loss(params):
+      return jnp.sum(sequence.loss_time_sharded(
+          lattice, params, frames, num_frames, labels, num_labels, mesh,
+          'seq'))
+
+    npt.assert_allclose(sharded_loss(params), single_loss(params),
+                        rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: npt.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
+        jax.grad(single_loss)(params), jax.grad(sharded_loss)(params))
+
+  def test_train_step_matches_single_device(self, eight_devices):
+    """One time-sharded train step == one single-device train step."""
+    import optax
+    from last_torch_tpu.parallel import sequence
+    config = tiny_config()
+    model = gnat.GNATModel(config)
+    optimizer = optax.sgd(1e-2)
+    frames, num_frames, labels, num_labels = tiny_batch(batch=2)
+    num_frames = jnp.array([6, 4], jnp.int32)
+
+    state0 = gnat.init_train_state(model, jax.random.PRNGKey(0), optimizer)
+    single_state, loss_single = gnat.train_step(
+        model, optimizer, state0, frames, num_frames, labels, num_labels)
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:2]),
+                             axis_names=('seq',))
+    step_fn = sequence.make_time_sharded_train_step(model, optimizer, mesh)
+    state = gnat.init_train_state(model, jax.random.PRNGKey(0), optimizer)
+    new_state, loss_sharded = step_fn(state, frames, num_frames, labels,
+                                      num_labels)
+    assert int(new_state.step) == 1
+    npt.assert_allclose(float(loss_sharded), float(loss_single), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: npt.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
+        jax.device_get(new_state.params),
+        jax.device_get(single_state.params))
+
+  def test_relay_runs_each_block_once(self, eight_devices):
+    """Inactive relay stages are lax.cond-skipped: D local scans total,
+    not D^2 (the D x redundant-compute fix)."""
+    from last_torch_tpu.parallel import sequence
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]),
+                             axis_names=('seq',))
+    count = {'n': 0}
+
+    def bump():
+      count['n'] += 1
+
+    def local_fn(carry, local_frames, num_frames, my_idx, diff_args, aux):
+      del num_frames, my_idx, aux
+      jax.debug.callback(bump)
+      (w,) = diff_args
+      return carry * w + jnp.sum(local_frames[..., 0], axis=-1,
+                                 keepdims=True)
+
+    run = sequence._relay(mesh, 'seq', local_fn)
+    frames = jnp.arange(2 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 3)
+    carry0 = jnp.zeros((2, 1))
+    out = run(carry0, frames, jnp.array([8, 8], jnp.int32),
+              (jnp.ones(()),), ())
+    jax.block_until_ready(out)
+    npt.assert_allclose(out, jnp.sum(frames[..., 0], axis=-1,
+                                     keepdims=True))
+    assert count['n'] == 4
+
+
 def test_graft_entry_dryrun(eight_devices):
   """The driver-facing multichip dry run executes."""
   import __graft_entry__
