@@ -298,6 +298,7 @@ class NextStateTable(ContextDependency):
       raise ValueError('next_state_table should be an int32 ndarray, but '
                        f'got dtype {next_state_table.dtype}')
     self.next_state_table = next_state_table
+    self._segment_plan = None
 
   def shape(self) -> tuple[int, int]:
     return tuple(self.next_state_table.shape)
@@ -312,26 +313,56 @@ class NextStateTable(ContextDependency):
     next_state = self.next_state_table[state, zero_based]
     return jnp.where(is_epsilon, state, next_state)
 
+  def _reduce_plan(self):
+    """[num_states, K] gather of each state's incoming arcs (K = max
+    in-degree), padded with the dummy arc index num_arcs. Computed once
+    in numpy from the (concrete) transition table."""
+    if self._segment_plan is None:
+      import numpy as np
+      table = np.asarray(self.next_state_table)
+      num_states, vocab_size = table.shape
+      num_arcs = num_states * vocab_size
+      dest = table.reshape(-1)
+      counts = np.bincount(dest, minlength=num_states)
+      k = max(int(counts.max()), 1)
+      order = np.argsort(dest, kind='stable')
+      sorted_dest = dest[order]
+      starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+      pos = np.arange(num_arcs) - starts[sorted_dest]
+      idx = np.full((num_states, k), num_arcs, np.int32)
+      idx[sorted_dest, pos] = order
+      self._segment_plan = jnp.asarray(idx)
+    return self._segment_plan
+
   def forward_reduce(self, weights, semiring: semirings.Semiring):
-    # Semiring-correct segment reduction (fixes reference SURVEY §2.2-Q4):
-    # route each (p, y) arc weight to its destination state with a boolean
-    # one-hot mask and reduce with semiring.sum. Dense and branch-free, at
-    # the cost of an S*V x S mask — O(S^2 * V) memory/compute per call,
-    # deliberate for the moderate DFAs this class is meant for (FullNGram's
-    # block reduce is the production path). If large NextStateTable DFAs
-    # become a use case, switch to a sorted segment reduce keyed on the
-    # transition table instead of densifying.
+    # Semiring-correct segment reduction (fixes reference SURVEY §2.2-Q4,
+    # the hard-coded scatter_reduce('sum').max at reference
+    # ``contexts.py:303-317``), as the sorted segment reduce SURVEY
+    # §2.2-Q4 prescribes: arcs are gathered per destination state with a
+    # precomputed [S, max_in_degree] index (padding points at a
+    # semiring-zero dummy arc) and folded with ``semiring.sum`` — O(S *
+    # max_in_degree) instead of the O(S^2 * V) dense one-hot routing
+    # mask. Tiny DFAs keep the dense mask: a single masked reduce beats
+    # a gather at small sizes and needs no concrete-table precompute.
     batch_dims = _check_reduce_shape(self.shape(), weights)
     num_states, vocab_size = self.shape()
     num_arcs = num_states * vocab_size
-    # [num_arcs, num_states] boolean routing mask.
-    onehot = self.next_state_table.reshape(num_arcs, 1) == jnp.arange(
-        num_states)
     zero = semiring.zeros([], semirings.value_dtype(weights))
     flat = jax.tree.map(
-        lambda w: w.reshape(batch_dims + (num_arcs, 1)), weights)
-    masked = jax.tree.map(lambda w, z: jnp.where(onehot, w, z), flat, zero)
-    return semiring.sum(masked, axis=-2)
+        lambda w: w.reshape(batch_dims + (num_arcs,)), weights)
+    if num_arcs * num_states <= 1 << 16:
+      onehot = self.next_state_table.reshape(num_arcs, 1) == jnp.arange(
+          num_states)
+      masked = jax.tree.map(
+          lambda w, z: jnp.where(onehot, w[..., None], z), flat, zero)
+      return semiring.sum(masked, axis=-2)
+    idx = self._reduce_plan()
+    padded = jax.tree.map(
+        lambda w, z: jnp.concatenate(
+            [w, jnp.broadcast_to(z, batch_dims + (1,))], axis=-1),
+        flat, zero)
+    gathered = jax.tree.map(lambda w: w[..., idx], padded)
+    return semiring.sum(gathered, axis=-1)
 
   def backward_broadcast(self, weights):
     _check_broadcast_shape(self.shape()[0], weights)

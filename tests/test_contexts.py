@@ -199,3 +199,50 @@ def test_next_state_table_forward_reduce_max_tropical():
   actual = table.forward_reduce(weights, semirings.MaxTropical)
   # Destination 1 receives column 0; destination 2 receives column 1.
   npt.assert_array_equal(actual, [-np.inf, 4., 5.])
+
+
+def test_next_state_table_segment_reduce_large_dfa():
+  """The O(S * max_in_degree) segment route (taken above the dense-mask
+  threshold; SURVEY §2.2-Q4's prescribed sorted segment reduce) matches
+  FullNGram's block reduce on a 273-state trigram DFA, for values AND
+  gradients, under Real/Log/MaxTropical."""
+  import jax
+  ngram = contexts.FullNGram(vocab_size=16, context_size=2)
+  table = contexts.NextStateTable(ngram.next_state_table())
+  num_states, vocab_size = ngram.shape()
+  assert num_states * vocab_size * num_states > 1 << 16  # segment route
+  rng = np.random.default_rng(7)
+  weights = jnp.asarray(
+      rng.normal(size=(2, num_states, vocab_size)), jnp.float32)
+  for sr in [semirings.Real, semirings.Log, semirings.MaxTropical]:
+    npt.assert_allclose(
+        table.forward_reduce(weights, sr),
+        ngram.forward_reduce(weights, sr), rtol=1e-5, atol=1e-6)
+  # Gradients flow through the gather identically to the block reduce.
+  f_table = lambda w: jnp.sum(table.forward_reduce(w, semirings.Log))
+  f_ngram = lambda w: jnp.sum(ngram.forward_reduce(w, semirings.Log))
+  npt.assert_allclose(jax.grad(f_table)(weights),
+                      jax.grad(f_ngram)(weights), rtol=1e-5, atol=1e-6)
+
+
+def test_next_state_table_segment_reduce_skewed_in_degree():
+  """A DFA where one state absorbs most arcs (max in-degree near the arc
+  count) still reduces correctly on the segment route."""
+  rng = np.random.default_rng(11)
+  num_states, vocab_size = 40, 50  # 40*50*40 = 80000 > dense threshold
+  table_np = np.zeros((num_states, vocab_size), np.int32)  # all -> state 0
+  # A few scattered non-zero destinations.
+  for _ in range(60):
+    table_np[rng.integers(num_states), rng.integers(vocab_size)] = (
+        rng.integers(num_states))
+  table = contexts.NextStateTable(jnp.asarray(table_np))
+  weights = jnp.asarray(
+      rng.normal(size=(num_states, vocab_size)), jnp.float32)
+  # Oracle: explicit per-destination logsumexp.
+  expected = np.full(num_states, -np.inf)
+  for p in range(num_states):
+    for y in range(vocab_size):
+      d = table_np[p, y]
+      expected[d] = np.logaddexp(expected[d], float(weights[p, y]))
+  npt.assert_allclose(
+      table.forward_reduce(weights, semirings.Log), expected, rtol=1e-5)
