@@ -182,6 +182,9 @@ class StreamingBeamDecoder:
         'score': score.at[:, 0].set(0.0),
         'labels': jnp.zeros((batch_size, k, u), jnp.int32),
         'num_labels': jnp.zeros((batch_size, k), jnp.int32),
+        # Rolling hash of the label sequence, updated O(1) per append;
+        # recombination sort-keys on it so equal sequences are adjacent.
+        'hash': jnp.zeros((batch_size, k), jnp.uint32),
     }
 
   def best(self, state):
@@ -221,49 +224,76 @@ class StreamingBeamDecoder:
           x, parent.reshape(parent.shape + (1,) * (x.ndim - 2)), axis=1)
       ctx = take(hyp['context'])
       labels, nlab = take(hyp['labels']), take(hyp['num_labels'])
+      old_hash = take(hyp['hash'])
       pos = jnp.minimum(nlab, u - 1)
+      grows = nlab < u
       write = ((jnp.arange(u)[None, None, :] == pos[:, :, None]) &
-               (nlab < u)[:, :, None])
+               grows[:, :, None])
+      new_hash = (old_hash * jnp.uint32(1000003) +
+                  label.astype(jnp.uint32))
       return {
           'context': lattice.context.next_state(ctx, label),
           'labels': jnp.where(write, label[:, :, None], labels),
           'num_labels': jnp.minimum(nlab + 1, u),
+          'hash': jnp.where(grows, new_hash, old_hash),
       }
 
     def recombine(pool):
       """Merges hypotheses with identical label sequences.
 
       Duplicates (same labels, count and context state) collapse onto
-      their first occurrence — score max'ed or logsumexp'ed per
-      ``self.merge`` — and the remaining copies drop to -inf so top-k
-      never spends multiple beam slots on one label sequence.
+      one survivor — score max'ed or logsumexp'ed per ``self.merge`` —
+      and the remaining copies drop to -inf so top-k never spends
+      multiple beam slots on one label sequence.
+
+      Sort-based, O(M log M + M * U) per frame instead of the quadratic
+      all-pairs comparison: hypotheses sort by their rolling label hash,
+      so identical sequences land adjacent and one adjacent full
+      comparison delimits the groups exactly. A 32-bit hash collision
+      between UNEQUAL neighbors can only split a group (a missed merge —
+      one wasted beam slot), never falsely merge: the full comparison
+      gates every merge.
       """
       if self.merge == 'none':
         return pool
-      score = pool['score']  # [B, M]
-      m = score.shape[1]
-      same = ((pool['num_labels'][:, :, None] ==
-               pool['num_labels'][:, None, :]) &
-              (pool['context'][:, :, None] == pool['context'][:, None, :]) &
-              jnp.all(pool['labels'][:, :, None, :] ==
-                      pool['labels'][:, None, :, :], axis=-1))  # [B, M, M]
-      pos = jnp.arange(m)
-      is_dup = jnp.any(same & (pos[None, None, :] < pos[None, :, None]),
-                       axis=-1)  # an identical hypothesis appears earlier
-      group = jnp.where(same, score[:, None, :], float('-inf'))
+      m = pool['score'].shape[1]
+      order = jnp.argsort(pool['hash'], axis=1)
+      take = lambda x: jnp.take_along_axis(
+          x, order.reshape(order.shape + (1,) * (x.ndim - 2)), axis=1)
+      pool = {f: take(v) for f, v in pool.items()}
+      score = pool['score']
+      same_prev = (
+          (pool['hash'][:, 1:] == pool['hash'][:, :-1]) &
+          (pool['num_labels'][:, 1:] == pool['num_labels'][:, :-1]) &
+          (pool['context'][:, 1:] == pool['context'][:, :-1]) &
+          jnp.all(pool['labels'][:, 1:] == pool['labels'][:, :-1],
+                  axis=-1))
+      is_new = jnp.concatenate(
+          [jnp.ones((batch, 1), bool), ~same_prev], axis=1)
+      gid = jnp.cumsum(is_new.astype(jnp.int32), axis=1) - 1  # [B, M]
+      rows = jnp.arange(batch)[:, None]
+      gmax = jnp.full((batch, m), float('-inf')).at[rows, gid].max(score)
       if self.merge == 'logsumexp':
-        merged = jax.scipy.special.logsumexp(group, axis=-1)
+        shift = gmax[rows, gid]
+        safe = jnp.where(jnp.isfinite(shift), shift, 0.0)
+        gsum = jnp.zeros((batch, m)).at[rows, gid].add(
+            jnp.exp(score - safe))
+        gmerged = jnp.where(
+            gsum > 0,
+            jnp.where(jnp.isfinite(gmax), gmax, 0.0) + jnp.log(gsum),
+            float('-inf'))
       else:
-        merged = jnp.max(group, axis=-1)
-      return {**pool,
-              'score': jnp.where(is_dup, float('-inf'), merged)}
+        gmerged = gmax
+      new_score = jnp.where(is_new, gmerged[rows, gid], float('-inf'))
+      return {**pool, 'score': new_score}
 
     def top_k_merge(pools):
       """Top-k over a list of candidate pools (fields + score)."""
+      fields = [f for f in pools[0] if f != 'score']
       score = jnp.concatenate([p['score'] for p in pools], axis=1)
       merged = {
           f: jnp.concatenate([p[f] for p in pools], axis=1)
-          for f in ('context', 'labels', 'num_labels')
+          for f in fields
       }
       merged = recombine({**merged, 'score': score})
       score = merged.pop('score')
@@ -336,8 +366,13 @@ def nbest_offline(lattice, params, frames, num_frames, *, beam_size: int,
     num_frames: [batch] frame counts.
     beam_size: Beam width.
     n: Number of hypotheses to return (default: ``beam_size``).
-    max_labels: Label capacity per hypothesis (default: a safe bound —
-      max_num_frames times the alignment's per-frame label limit).
+    max_labels: Label capacity per hypothesis. Default: the
+      frames-implied bound (max_num_frames times the alignment's
+      per-frame label limit) capped at 512 — per-frame recombination
+      carries O(beam-pool * max_labels) label state, so an uncapped
+      default would make long utterances pay for a worst-case
+      every-frame-emits transcript no real hypothesis reaches. Pass an
+      explicit budget for transcripts beyond 512 labels.
     cache: Optional prebuilt weight-fn cache.
 
   Returns:
@@ -351,7 +386,7 @@ def nbest_offline(lattice, params, frames, num_frames, *, beam_size: int,
     per_frame = (1 if isinstance(lattice.alignment,
                                  alignments_lib.FrameDependent)
                  else lattice.alignment.max_expansions)
-    max_labels = max_t * per_frame
+    max_labels = min(max_t * per_frame, 512)
   decoder = StreamingBeamDecoder(lattice, beam_size=beam_size,
                                  max_labels=max_labels)
   state = decoder.init_state(frames.shape[0])

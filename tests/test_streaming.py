@@ -212,10 +212,20 @@ class TestBeam:
     npt.assert_array_equal(np.asarray(n1), np.asarray(n2))
     npt.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
 
+    # Wide beams too (the sort-based recombination path at scale).
+    l1, n1, s1 = run(16, [(0, 8)])
+    l2, n2, s2 = run(16, [(0, 5), (5, 8)])
+    npt.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    npt.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+    l1, n1, s1 = run(32, [(0, 8)])
+    l2, n2, s2 = run(32, [(0, 1), (1, 8)])
+    npt.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    npt.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+
     # Wider beams never find a worse best path, and never beat Viterbi.
     _, _, viterbi_w = lattice.shortest_path(params, frames, num_frames)
     prev = None
-    for k in [1, 2, 4, 8]:
+    for k in [1, 2, 4, 8, 16, 32]:
       _, _, s = run(k, [(0, 8)])
       if prev is not None:
         assert np.all(np.asarray(s) >= prev - 1e-5)
