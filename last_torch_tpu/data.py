@@ -194,8 +194,24 @@ def prefetch_to_device(batches: Iterable[dict],
     # producer and drop the staged device batches instead of pinning
     # them in HBM forever.
     cancelled.set()
+    # A q.put already in flight (0.1 s poll window) can land after a
+    # single drain, leaving one staged batch pinned until GC — drain,
+    # wait for the producer to actually exit, then drain whatever it
+    # managed to enqueue in between.
+    for _ in range(25):  # bounded: a source blocked in IO stays daemon
+      try:
+        while True:
+          q.get_nowait()
+      except queue.Empty:
+        pass
+      thread.join(timeout=0.2)
+      if not thread.is_alive():
+        break
     try:
       while True:
         q.get_nowait()
     except queue.Empty:
       pass
+    close = getattr(batches, 'close', None)
+    if close is not None:
+      close()

@@ -104,6 +104,10 @@ class ErrorRateState(NamedTuple):
   Add states together (or ``jax.lax.psum`` them across hosts/devices),
   then call ``error_rate`` once — the corpus rate is
   total_edits / total_ref_labels, NOT a mean of per-utterance rates.
+
+  Totals are int64 when ``jax_enable_x64`` is on; otherwise int32, which
+  silently wraps past ~2.1e9 accumulated edits / reference labels —
+  enable x64 for corpora anywhere near that scale.
   """
   total_edits: jnp.ndarray      # [] int32/int64
   total_ref_labels: jnp.ndarray  # [] int32/int64
@@ -117,8 +121,11 @@ class ErrorRateState(NamedTuple):
 
 
 def empty_error_rate_state() -> ErrorRateState:
-  zero = jnp.zeros((), jnp.int32)
-  return ErrorRateState(zero, zero, zero)
+  # int64 totals when available (see the class docstring's overflow note).
+  import jax
+  total_dtype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+  zero = jnp.zeros((), total_dtype)
+  return ErrorRateState(zero, zero, jnp.zeros((), jnp.int32))
 
 
 def update_error_rate(state: ErrorRateState,
@@ -142,8 +149,8 @@ def update_error_rate(state: ErrorRateState,
   num_ref = jnp.asarray(num_ref, jnp.int32)
   if valid is None:
     valid = jnp.ones(edits.shape, bool)
-  edits = jnp.where(valid, edits, 0)
-  refs = jnp.where(valid, num_ref, 0)
+  edits = jnp.where(valid, edits, 0).astype(state.total_edits.dtype)
+  refs = jnp.where(valid, num_ref, 0).astype(state.total_ref_labels.dtype)
   return ErrorRateState(
       state.total_edits + jnp.sum(edits),
       state.total_ref_labels + jnp.sum(refs),

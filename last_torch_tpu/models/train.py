@@ -68,10 +68,21 @@ def maybe_initialize_distributed() -> bool:
     # resume).
     return True
   kwargs = {'coordinator_address': coordinator}
-  if os.environ.get('NUM_PROCESSES'):
-    kwargs['num_processes'] = int(os.environ['NUM_PROCESSES'])
-  if os.environ.get('PROCESS_ID'):
-    kwargs['process_id'] = int(os.environ['PROCESS_ID'])
+  # Accept the conventional JAX_-prefixed launcher variables as well as
+  # the bare names.
+  num_processes = (os.environ.get('JAX_NUM_PROCESSES') or
+                   os.environ.get('NUM_PROCESSES'))
+  process_id = (os.environ.get('JAX_PROCESS_ID') or
+                os.environ.get('PROCESS_ID'))
+  if bool(num_processes) != bool(process_id):
+    raise ValueError(
+        'NUM_PROCESSES and PROCESS_ID (or their JAX_-prefixed variants) '
+        'must be provided together (or both omitted for launchers that '
+        f'supply them automatically); got num_processes={num_processes!r}, '
+        f'process_id={process_id!r}')
+  if num_processes:
+    kwargs['num_processes'] = int(num_processes)
+    kwargs['process_id'] = int(process_id)
   jax.distributed.initialize(**kwargs)
   return True
 
