@@ -68,6 +68,11 @@ class TransformerEncoder:
   # -> CAUSAL depthwise conv of this kernel width -> swish -> pointwise).
   # The conv is causal even offline so streaming inference stays exact.
   conv_kernel: int = 0
+  # Blocked O(T * 2W) attention for the causal+window config instead of
+  # the dense O(T^2) logits. None = auto (banded when it pays off, i.e.
+  # max_t > 2 * window); True / False force it. Same mask semantics as
+  # the dense path — outputs agree up to float summation order.
+  banded_attention: Any = None
 
   def init(self, key: jax.Array) -> Params:
     keys = jax.random.split(key, 2 + self.num_layers)
@@ -112,6 +117,62 @@ class TransformerEncoder:
     params['final_ln_bias'] = jnp.zeros((d,))
     return params
 
+  def _banded_attention(self, q, k, v, mask):
+    """Blocked O(T * 2W) causal-windowed attention.
+
+    With ``causal=True`` and ``window=W``, query t attends keys
+    (t - W, t], which all lie inside the query's own W-wide time block
+    or the block before it. Blocking time into W-frame tiles therefore
+    computes [W, 2W] logits per tile instead of the dense [T, T] —
+    O(T * W) logits memory/compute, unlocking long-T encoding (the
+    dense path is ~327 MB/layer of float32 logits at T=1600). Mask
+    semantics match the dense path exactly; outputs agree up to float
+    summation order.
+
+    Args:
+      q, k, v: [batch, T, heads, head_dim] (already head-split).
+      mask: [batch, T] bool frame-validity mask.
+
+    Returns:
+      [batch, T, heads, head_dim] attention context.
+    """
+    b, t, h, hd = q.shape
+    w = self.window
+    nb = -(-t // w)
+    t_pad = nb * w
+
+    def pad(x):
+      return jnp.pad(x, ((0, 0), (0, t_pad - t)) +
+                     ((0, 0),) * (x.ndim - 2))
+
+    qb = pad(q).reshape(b, nb, w, h, hd)
+    kb = pad(k).reshape(b, nb, w, h, hd)
+    vb = pad(v).reshape(b, nb, w, h, hd)
+    maskb = pad(mask).reshape(b, nb, w)
+
+    def with_prev(x):
+      """Prepends each block's left neighbor (zeros before block 0)."""
+      prev = jnp.concatenate([jnp.zeros_like(x[:, :1]), x[:, :-1]],
+                             axis=1)
+      return jnp.concatenate([prev, x], axis=2)  # [B, nb, 2W, ...]
+
+    k2, v2, m2 = with_prev(kb), with_prev(vb), with_prev(maskb)
+    # Block 0's zero-filled "previous block" is masked by m2 == False
+    # (the zeros of a bool mask), which also covers global key index < 0.
+    q_off = jnp.arange(w)
+    k_off = jnp.arange(2 * w) - w  # relative to the query block start
+    visible = ((q_off[:, None] >= k_off[None, :]) &
+               (q_off[:, None] - k_off[None, :] < w))
+    neg_inf = jnp.asarray(-1e9, jnp.float32)
+    bias = jnp.where(visible[None, None] & m2[:, :, None, :], 0.0,
+                     neg_inf)  # [B, nb, W, 2W]
+    logits = jnp.einsum('bnqhd,bnkhd->bnhqk', qb, k2,
+                        preferred_element_type=jnp.float32)
+    logits = logits / math.sqrt(hd) + bias[:, :, None]
+    weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+    ctx = jnp.einsum('bnhqk,bnkhd->bnqhd', weights, v2)
+    return ctx.reshape(b, t_pad, h, hd)[:, :t]
+
   def _conv_module(self, layer, x, history=None):
     """Conformer convolution module on [batch, T, d].
 
@@ -155,17 +216,23 @@ class TransformerEncoder:
     # Fixed sinusoidal positions; cheap, no parameters.
     pos = _sinusoidal_positions(max_t, self.model_size).astype(self.dtype)
     x = x + pos
-    neg_inf = jnp.asarray(-1e9, self.dtype)
-    attn_bias = jnp.where(mask[:, None, None, :], 0.0, neg_inf)
-    if self.causal:
-      # Causal (optionally left-windowed) attention: the offline result
-      # then matches StreamingEncoder's chunked computation (up to float
-      # summation order) — the train/serve parity guarantee.
-      q_pos = jnp.arange(max_t)
-      visible = q_pos[:, None] >= q_pos[None, :]
-      if self.window:
-        visible &= q_pos[:, None] - q_pos[None, :] < self.window
-      attn_bias = attn_bias + jnp.where(visible, 0.0, neg_inf)[None, None]
+    use_banded = (self.causal and self.window and
+                  (self.banded_attention if self.banded_attention
+                   is not None else max_t > 2 * self.window))
+    attn_bias = None
+    if not use_banded:
+      neg_inf = jnp.asarray(-1e9, self.dtype)
+      attn_bias = jnp.where(mask[:, None, None, :], 0.0, neg_inf)
+      if self.causal:
+        # Causal (optionally left-windowed) attention: the offline result
+        # then matches StreamingEncoder's chunked computation (up to
+        # float summation order) — the train/serve parity guarantee.
+        q_pos = jnp.arange(max_t)
+        visible = q_pos[:, None] >= q_pos[None, :]
+        if self.window:
+          visible &= q_pos[:, None] - q_pos[None, :] < self.window
+        attn_bias = attn_bias + jnp.where(visible, 0.0,
+                                          neg_inf)[None, None]
 
     head_dim = self.model_size // self.num_heads
     ffn_scale = 0.5 if self.conv_kernel else 1.0
@@ -184,11 +251,14 @@ class TransformerEncoder:
       split_heads = lambda t: t.reshape(*t.shape[:-1], self.num_heads,
                                         head_dim)
       q, k, v = split_heads(q), split_heads(k), split_heads(v)
-      logits = jnp.einsum('bqhd,bkhd->bhqk', q, k,
-                          preferred_element_type=jnp.float32)
-      logits = logits / math.sqrt(head_dim) + attn_bias
-      weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-      context = jnp.einsum('bhqk,bkhd->bqhd', weights, v)
+      if use_banded:
+        context = self._banded_attention(q, k, v, mask)
+      else:
+        logits = jnp.einsum('bqhd,bkhd->bhqk', q, k,
+                            preferred_element_type=jnp.float32)
+        logits = logits / math.sqrt(head_dim) + attn_bias
+        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        context = jnp.einsum('bhqk,bkhd->bqhd', weights, v)
       context = context.reshape(*context.shape[:-2], self.model_size)
       x = x + context @ layer['attn_out'].astype(self.dtype)
 

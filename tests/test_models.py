@@ -185,6 +185,45 @@ class TestCausalStreamingEncoder:
     npt.assert_allclose(np.concatenate(outs, axis=1), np.asarray(offline),
                         atol=1e-4)
 
+  def test_banded_attention_matches_dense(self):
+    """The blocked O(T * 2W) path == the dense masked path, including
+    ragged num_frames, a T the window does not divide, and Conformer
+    blocks."""
+    import dataclasses
+    for conv_kernel in (0, 3):
+      enc = encoder_lib.TransformerEncoder(
+          feature_size=8, model_size=16, num_layers=2, num_heads=2,
+          ffn_size=32, causal=True, window=4, conv_kernel=conv_kernel)
+      params = enc.init(jax.random.PRNGKey(0))
+      frames = jax.random.normal(jax.random.PRNGKey(3), (3, 11, 8))
+      nf = jnp.array([11, 7, 4], jnp.int32)
+      dense = dataclasses.replace(enc, banded_attention=False)
+      banded = dataclasses.replace(enc, banded_attention=True)
+      npt.assert_allclose(
+          np.asarray(banded.apply(params, frames, nf)),
+          np.asarray(dense.apply(params, frames, nf)), atol=1e-5)
+
+  def test_banded_auto_gate_and_streaming_parity(self):
+    """auto (T > 2W) engages banded; streamed chunks still match it."""
+    enc = self.make(window=3)  # T=9 > 2*3 -> auto-banded
+    params = enc.init(jax.random.PRNGKey(0))
+    frames = jax.random.normal(jax.random.PRNGKey(4), (2, 9, 8))
+    nf = jnp.full((2,), 9, jnp.int32)
+    offline = enc.apply(params, frames, nf)
+    import dataclasses
+    dense = dataclasses.replace(enc, banded_attention=False)
+    npt.assert_allclose(np.asarray(offline),
+                        np.asarray(dense.apply(params, frames, nf)),
+                        atol=1e-5)
+    stream = encoder_lib.StreamingEncoder(enc)
+    state = stream.init_state(2)
+    outs = []
+    for lo, hi in [(0, 2), (2, 9)]:
+      state, out = stream.step(params, state, frames[:, lo:hi])
+      outs.append(np.asarray(out))
+    npt.assert_allclose(np.concatenate(outs, axis=1), np.asarray(offline),
+                        atol=1e-4)
+
   def test_streaming_requires_causal_window(self):
     import pytest
     with pytest.raises(ValueError, match='causal'):
