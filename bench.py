@@ -100,13 +100,14 @@ def bench_headline():
   grad_fn = jax.jit(jax.value_and_grad(total_loss, argnums=(0, 1)))
   t0 = time.perf_counter()
   jax.block_until_ready(grad_fn(params, batch['frames']))
-  log(f'headline compile+first-step: {time.perf_counter() - t0:.1f}s')
+  compile_s = time.perf_counter() - t0
+  log(f'headline compile+first-step: {compile_s:.1f}s')
 
   p50 = time_fn(grad_fn, params, batch['frames'], iters=3)
   frames_per_sec = 32 * 1600 / p50
   log(f'headline p50 step: {p50 * 1e3:.1f} ms; '
       f'{frames_per_sec:,.0f} frames/s/chip')
-  return frames_per_sec, p50
+  return frames_per_sec, p50, compile_s
 
 
 def bench_secondary():
@@ -233,7 +234,7 @@ def bench_secondary():
 
 
 def main():
-  frames_per_sec, p50 = bench_headline()
+  frames_per_sec, p50, compile_s = bench_headline()
 
   baseline_path = os.path.join(
       os.path.dirname(__file__), 'benchmarks', 'reference_baseline.json')
@@ -255,6 +256,10 @@ def main():
       'value': round(frames_per_sec, 1),
       'unit': 'frames/s/chip',
       'vs_baseline': round(vs_baseline, 2) if vs_baseline else None,
+      # Compile+first-step seconds: ~100 s warm (.jax_cache hit), ~350 s
+      # after a kernel rewrite invalidates the cache. Tracked so cache
+      # invalidation one-offs are distinguishable from regressions.
+      'compile_first_step_s': round(compile_s, 1),
   }))
 
 

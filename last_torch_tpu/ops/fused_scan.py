@@ -63,6 +63,23 @@ def _round_up(x: int, m: int) -> int:
   return (x + m - 1) // m * m
 
 
+def _mxu_precision(compute_dtype):
+  """In-kernel dot precision, pinned per compute_dtype.
+
+  Without an explicit precision, in-kernel ``dot_general``s inherit the
+  ambient ``jax_default_matmul_precision`` — and a global 'highest'
+  (which the f32 parity tooling legitimately sets) lowers bfloat16
+  operands to an fp32-contract ``tpu.matmul`` Mosaic rejects ("Bad lhs
+  type", found on hardware by benchmarks/tpu_tp_kernel_check.py).
+  Pinning makes kernel lowering a pure function of ``compute_dtype``:
+  bfloat16 operands use DEFAULT (the MXU's native mode), float32
+  operands use HIGHEST (exact — what the f32 spot-checks measure).
+  The always-f32 exp-space matvecs keep the ambient default, as before.
+  """
+  return (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
+          else jax.lax.Precision.DEFAULT)
+
+
 def _fused_forward_kernel(
     # Inputs.
     is_pad_ref,     # [1, 1, 1, Bt] int32 (1 where t >= num_frames[b])
@@ -118,14 +135,16 @@ def _fused_forward_kernel(
     joint2d = joint.astype(compute_dtype).reshape(n, -1)
     lex = jax.lax.dot_general(
         joint2d, vw, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=_mxu_precision(compute_dtype))
     lex = lex + vb_ref[0][None, :]
     m2d = jnp.max(lex, axis=1, keepdims=True)
     exp_scr[i * n:(i + 1) * n, :] = jnp.exp(lex - m2d).astype(cache_dtype)
     m_tiles.append(m2d.reshape(batch_tile, s_tile))
     blank = jax.lax.dot_general(
         joint2d, bw, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=_mxu_precision(compute_dtype))
     blank_scr[:, i * s_tile:(i + 1) * s_tile] = blank.reshape(
         batch_tile, s_tile) + bb_ref[0, 0]
   blank = blank_scr[:, :]
@@ -287,14 +306,16 @@ def _fused_backward_kernel(
     joint2d = tile_joint(i).astype(compute_dtype).reshape(n, -1)
     lex = jax.lax.dot_general(
         joint2d, vw_c, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=_mxu_precision(compute_dtype))
     lex = lex + vb_ref[0][None, :]
     m2d = jnp.max(lex, axis=1, keepdims=True)          # [n, 1]
     lex_scr[i * n:(i + 1) * n, :] = jnp.exp(lex - m2d).astype(cache_dtype)
     m_tiles.append(m2d.reshape(batch_tile, s_tile))
     blank = jax.lax.dot_general(
         joint2d, bw_c, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=_mxu_precision(compute_dtype))
     blank_scr[:, i * s_tile:(i + 1) * s_tile] = blank.reshape(
         batch_tile, s_tile) + bb_ref[0, 0]
   blank = blank_scr[:, :]
@@ -409,7 +430,8 @@ def _fused_backward_kernel(
     dvw_scr[:, :] += jnp.sum(
         jax.lax.dot_general(
             joint3_c, d_lex3, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32), axis=0)
+            preferred_element_type=jnp.float32,
+            precision=_mxu_precision(compute_dtype)), axis=0)
     dvb_scr[:, :] += jnp.sum(
         d_lex3.astype(jnp.float32), axis=(0, 1), keepdims=True)[0]
     dbw_scr[:, :] += jnp.sum(
@@ -417,7 +439,8 @@ def _fused_backward_kernel(
     dbb_scr[0, 0] += jnp.sum(d_blank3)
     d_joint3 = jax.lax.dot_general(
         d_lex3, vw_c, (((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=_mxu_precision(compute_dtype))
     d_joint3 = d_joint3 + d_blank3 * bwt_ref[:][None, :, :]
     d_pre = d_joint3 * (1.0 - joint * joint)
     dpf_acc = dpf_acc + jnp.sum(d_pre, axis=1)
@@ -512,14 +535,16 @@ def _fused_marginals_kernel(
     joint2d = tile_joint(i).astype(compute_dtype).reshape(n, -1)
     lex = jax.lax.dot_general(
         joint2d, vw_c, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=_mxu_precision(compute_dtype))
     lex = lex + vb_ref[0][None, :]
     m2d = jnp.max(lex, axis=1, keepdims=True)
     lex_scr[i * n:(i + 1) * n, :] = jnp.exp(lex - m2d).astype(cache_dtype)
     m_tiles.append(m2d.reshape(batch_tile, s_tile))
     blank = jax.lax.dot_general(
         joint2d, bw_c, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=_mxu_precision(compute_dtype))
     blank_scr[:, i * s_tile:(i + 1) * s_tile] = blank.reshape(
         batch_tile, s_tile) + bb_ref[0, 0]
   blank = blank_scr[:, :]
@@ -698,7 +723,8 @@ def _online_forward_kernel(
       if want_blank:
         blank2d = jax.lax.dot_general(
             joint2d, bw, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=_mxu_precision(compute_dtype))
         blank_scr[i] = blank2d.reshape(batch_tile, s_tile) + bb_ref[0, 0]
       vec_t = vec_scr[i]
 
@@ -706,7 +732,8 @@ def _online_forward_kernel(
         vw_t = vw_ref[v].astype(compute_dtype)
         lex2d = jax.lax.dot_general(
             joint2d, vw_t, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=_mxu_precision(compute_dtype))
         lex = (lex2d + vb_ref[v]).reshape(batch_tile, s_tile, v_tile)
         chunk = vec_t[:, :, None] + lex
         cm = jnp.max(chunk, axis=1)                 # [Bt, v_tile]
@@ -870,7 +897,8 @@ def _online_backward_kernel(
     vw_t = vw_ref[v].astype(compute_dtype)
     lex2d = jax.lax.dot_general(
         joint2d, vw_t, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=_mxu_precision(compute_dtype))
     return (lex2d + vb_ref[v]).reshape(batch_tile, s_tile, v_tile)
 
   def to_lex_space(x):
@@ -896,7 +924,8 @@ def _online_backward_kernel(
         batch_tile * s_tile, -1)
     blank2d = jax.lax.dot_general(
         joint2d, bw_c, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=_mxu_precision(compute_dtype))
     blank_scr[i] = blank2d.reshape(batch_tile, s_tile) + bb_ref[0, 0]
     return 0
 
@@ -1030,13 +1059,15 @@ def _online_backward_kernel(
       dvw_scr[v] += jnp.sum(
           jax.lax.dot_general(
               joint3_c, d_lex3, (((1,), (1,)), ((0,), (0,))),
-              preferred_element_type=jnp.float32), axis=0)
+              preferred_element_type=jnp.float32,
+              precision=_mxu_precision(compute_dtype)), axis=0)
       dvb_scr[v] += jnp.sum(
           d_lex3.astype(jnp.float32), axis=(0, 1), keepdims=True)[0]
       vw_t = vw_ref[v].astype(compute_dtype)
       djoint_scr[:, :] += jax.lax.dot_general(
           d_lex3, vw_t, (((2,), (1,)), ((), ())),
-          preferred_element_type=jnp.float32).reshape(n, hidden)
+          preferred_element_type=jnp.float32,
+          precision=_mxu_precision(compute_dtype)).reshape(n, hidden)
       return 0
 
     jax.lax.fori_loop(0, num_v_tiles, v_body, 0)

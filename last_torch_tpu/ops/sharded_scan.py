@@ -61,6 +61,7 @@ from last_torch_tpu import semirings
 from last_torch_tpu.ops.fused_scan import NEG_INF
 from last_torch_tpu.ops.fused_scan import _choose_v_tile
 from last_torch_tpu.ops.fused_scan import _LANES
+from last_torch_tpu.ops.fused_scan import _mxu_precision
 from last_torch_tpu.ops.fused_scan import _round_up
 
 
@@ -116,7 +117,8 @@ def _frame_reduce_fwd_kernel(
         compute_dtype).reshape(batch_tile * s_tile, -1)
     blank2d = jax.lax.dot_general(
         joint2d, bw, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=_mxu_precision(compute_dtype))
     blank_ref[i] = blank2d.reshape(batch_tile, s_tile) + bb_ref[0, 0]
     vec_t = vec_scr[i]
 
@@ -124,7 +126,8 @@ def _frame_reduce_fwd_kernel(
       vw_t = vw_ref[v].astype(compute_dtype)
       lex2d = jax.lax.dot_general(
           joint2d, vw_t, (((1,), (0,)), ((), ())),
-          preferred_element_type=jnp.float32)
+          preferred_element_type=jnp.float32,
+          precision=_mxu_precision(compute_dtype))
       lex = (lex2d + vb_ref[v]).reshape(batch_tile, s_tile, v_tile)
       chunk = vec_t[:, :, None] + lex
       cm = jnp.max(chunk, axis=1)
@@ -235,7 +238,8 @@ def _frame_reduce_bwd_kernel(
       vw_t = vw_ref[v].astype(compute_dtype)
       lex2d = jax.lax.dot_general(
           joint2d, vw_t, (((1,), (0,)), ((), ())),
-          preferred_element_type=jnp.float32)
+          preferred_element_type=jnp.float32,
+          precision=_mxu_precision(compute_dtype))
       lex = (lex2d + vb_ref[v]).reshape(batch_tile, s_tile, v_tile)
       # The clip guards bfloat16 rounding; true exponents are <= 0.
       p = jnp.exp(jnp.minimum(
@@ -245,12 +249,14 @@ def _frame_reduce_bwd_kernel(
       dvw_scr[v] += jnp.sum(
           jax.lax.dot_general(
               joint3_c, d_lex3, (((1,), (1,)), ((0,), (0,))),
-              preferred_element_type=jnp.float32), axis=0)
+              preferred_element_type=jnp.float32,
+              precision=_mxu_precision(compute_dtype)), axis=0)
       dvb_scr[v] += jnp.sum(
           d_lex3.astype(jnp.float32), axis=(0, 1), keepdims=True)[0]
       djoint_scr[:, :] += jax.lax.dot_general(
           d_lex3, vw_t, (((2,), (1,)), ((), ())),
-          preferred_element_type=jnp.float32).reshape(n, hidden)
+          preferred_element_type=jnp.float32,
+          precision=_mxu_precision(compute_dtype)).reshape(n, hidden)
       return dvec_acc
 
     dvec_acc = jax.lax.fori_loop(
@@ -279,9 +285,9 @@ def _frame_reduce_bwd_kernel(
     dbb_ref[0, 0] = dbb_scr[0, 0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def frame_reduce(vec, pf_t, pc, vw, vb, bw, bb, batch_tile=8,
-                 interpret=False):
+                 interpret=False, compute_dtype=None):
   """One frame's blank head + vocab-shard logsumexp reduction.
 
   Args:
@@ -294,12 +300,15 @@ def frame_reduce(vec, pf_t, pc, vw, vb, bw, bb, batch_tile=8,
     bb: [] blank bias.
     batch_tile: Rows per grid step.
     interpret: Pallas interpreter mode (CPU tests).
+    compute_dtype: MXU input dtype; None = bfloat16 compiled / float32
+      interpreted. Pass jnp.float32 for exact on-hardware parity checks
+      (benchmarks/tpu_tp_kernel_check.py).
 
   Returns:
     (red [B, Vl], blank [B, S_pad]); fully differentiable (kernel VJP).
   """
   red, blank = _frame_reduce_fwd(vec, pf_t, pc, vw, vb, bw, bb, batch_tile,
-                                 interpret)
+                                 interpret, compute_dtype)
   return red, blank
 
 
@@ -312,7 +321,10 @@ def _tiles(s_pad, v_local):
   return s_tile, s_pad // s_tile, v_tile, v_local // v_tile
 
 
-def _frame_reduce_fwd(vec, pf_t, pc, vw, vb, bw, bb, batch_tile, interpret):
+def _frame_reduce_fwd(vec, pf_t, pc, vw, vb, bw, bb, batch_tile, interpret,
+                      compute_dtype=None):
+  if compute_dtype is None:
+    compute_dtype = jnp.float32 if interpret else jnp.bfloat16
   batch, s_pad = vec.shape
   hidden = pc.shape[-1]
   v_local = vw.shape[-1]
@@ -334,7 +346,7 @@ def _frame_reduce_fwd(vec, pf_t, pc, vw, vb, bw, bb, batch_tile, interpret):
       num_s_tiles=num_s_tiles,
       v_tile=v_tile,
       num_v_tiles=num_v_tiles,
-      compute_dtype=jnp.float32 if interpret else jnp.bfloat16)
+      compute_dtype=compute_dtype)
 
   # Vocab-tile-major head layout for leading-axis fori indexing.
   vw3 = jnp.moveaxis(vw.reshape(hidden, num_v_tiles, v_tile), 1, 0)
@@ -374,14 +386,17 @@ def _frame_reduce_fwd(vec, pf_t, pc, vw, vb, bw, bb, batch_tile, interpret):
 
 
 def _frame_reduce_vjp_fwd(vec, pf_t, pc, vw, vb, bw, bb, batch_tile,
-                          interpret):
+                          interpret, compute_dtype):
   red, blank = _frame_reduce_fwd(vec, pf_t, pc, vw, vb, bw, bb, batch_tile,
-                                 interpret)
+                                 interpret, compute_dtype)
   return (red, blank), (vec, pf_t, pc, vw, vb, bw, red)
 
 
-def _frame_reduce_vjp_bwd(batch_tile, interpret, residuals, cotangents):
+def _frame_reduce_vjp_bwd(batch_tile, interpret, compute_dtype, residuals,
+                          cotangents):
   vec, pf_t, pc, vw, vb, bw, red = residuals
+  if compute_dtype is None:
+    compute_dtype = jnp.float32 if interpret else jnp.bfloat16
   d_red, d_blank = cotangents
   batch, s_pad = vec.shape
   hidden = pc.shape[-1]
@@ -405,7 +420,7 @@ def _frame_reduce_vjp_bwd(batch_tile, interpret, residuals, cotangents):
       num_s_tiles=num_s_tiles,
       v_tile=v_tile,
       num_v_tiles=num_v_tiles,
-      compute_dtype=jnp.float32 if interpret else jnp.bfloat16)
+      compute_dtype=compute_dtype)
 
   vw3 = jnp.moveaxis(vw.reshape(hidden, num_v_tiles, v_tile), 1, 0)
   vb3 = vb.reshape(num_v_tiles, 1, v_tile)
