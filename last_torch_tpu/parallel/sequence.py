@@ -219,7 +219,8 @@ def shortest_distance_time_sharded(lattice, params, frames, num_frames,
                                    mesh: Mesh, axis_name: str,
                                    semiring=semirings.Log,
                                    cache=None,
-                                   fused: str = 'never') -> jnp.ndarray:
+                                   fused: str = 'never',
+                                   weight_lift=None) -> jnp.ndarray:
   """Shortest distance with frames sharded over a time (sequence) mesh axis.
 
   Differentiable: gradients flow to ``params`` (and ``frames``) through a
@@ -242,6 +243,9 @@ def shortest_distance_time_sharded(lattice, params, frames, num_frames,
       'auto' (TPU) / 'interpret' (CPU-mesh tests) runs it through the
       fused kernel pair chained via ``alpha0`` (forward) and ``beta0``
       (backward) — covered configurations only.
+    weight_lift: Optional lifting of plain weight arrays into semiring
+      values (tuple-valued semirings such as Expectation); XLA relay
+      only.
 
   Returns:
     [batch] shortest distance, replicated over the mesh.
@@ -254,8 +258,8 @@ def shortest_distance_time_sharded(lattice, params, frames, num_frames,
     # Mirrors the dispatch in lattices.RecognitionLattice._forward
     # (backend resolution + supported() gate); keep the two in sync.
     backend = 'interpret' if fused == 'interpret' else jax.default_backend()
-    use_kernel = fused_scan.supported(lattice, semiring, None, None, None,
-                                      frames, backend)
+    use_kernel = fused_scan.supported(lattice, semiring, None, None,
+                                      weight_lift, frames, backend)
   num_devices = mesh.shape[axis_name]
   local_t = _check_divisible(frames, num_devices, axis_name)
   num_frames = jnp.asarray(num_frames, jnp.int32)
@@ -269,6 +273,7 @@ def shortest_distance_time_sharded(lattice, params, frames, num_frames,
     return log_z
 
   num_align_states = lattice.alignment.num_states()
+  lift = weight_lift if weight_lift is not None else (lambda w: w)
 
   def local_fn(alpha, local_frames, num_frames, my_idx, diff_args, aux):
     del aux
@@ -277,8 +282,8 @@ def shortest_distance_time_sharded(lattice, params, frames, num_frames,
     def step(carry, frame):
       t, alpha = carry
       blank, lexical = lattice.weight_fn.apply(wf_params, cache, frame)
-      blank = [blank] * num_align_states
-      lexical = [lexical] * num_align_states
+      blank = [lift(blank)] * num_align_states
+      lexical = [lift(lexical)] * num_align_states
       next_alpha = lattice.alignment.forward(
           alpha=alpha,
           blank=blank,
@@ -296,7 +301,11 @@ def shortest_distance_time_sharded(lattice, params, frames, num_frames,
         (t_offset, alpha), jnp.moveaxis(local_frames, -2, 0))
     return alpha
 
-  carry0 = _init_alpha(lattice, batch, semiring=semiring)
+  # Tuple-valued semirings: the carry's dtype structure follows the
+  # lifted weights (mirrors lattices._forward's init).
+  dtype = semirings.value_dtype(
+      jax.eval_shape(lift, jax.ShapeDtypeStruct((), jnp.float32)))
+  carry0 = _init_alpha(lattice, batch, semiring=semiring, dtype=dtype)
   run = _relay(mesh, axis_name, local_fn)
   final = run(carry0, frames, num_frames, (wf_params, cache), ())
   return semiring.sum(final, axis=-1)

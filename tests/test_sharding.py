@@ -187,6 +187,24 @@ class TestTimeShardedTraining:
     npt.assert_allclose(jax.grad(sharded)(frames),
                         jax.grad(single)(frames), rtol=1e-4, atol=1e-6)
 
+  def test_expectation_semiring_relay(self, eight_devices):
+    """Tuple-valued semiring carries relay too (entropy expectation)."""
+    from last_torch_tpu import semirings
+    from last_torch_tpu.parallel import sequence
+    lattice, params, frames, num_frames = _relay_lattice()
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]),
+                             axis_names=('seq',))
+    sr = semirings.LogLogExpectation
+    lift = lambda w: sr.weighted(w, jnp.log(jnp.maximum(-w, 1e-30)))
+    expected = lattice.shortest_distance(
+        params, frames, num_frames, semiring=sr, weight_lift=lift)
+    actual = sequence.shortest_distance_time_sharded(
+        lattice, params, frames, num_frames, mesh=mesh, axis_name='seq',
+        semiring=sr, weight_lift=lift)
+    jax.tree.map(
+        lambda a, b: npt.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        actual, expected)
+
   def test_string_forward_and_loss_grads(self, eight_devices):
     from last_torch_tpu import semirings
     from last_torch_tpu.parallel import sequence
