@@ -47,14 +47,18 @@ def main():
   context = contexts.FullNGram(vocab_size=vocab, context_size=2)
   num_states = context.shape()[0]
 
-  lattice = last_torch_tpu.RecognitionLattice(
-      context=context,
-      alignment=alignments.FrameLabelDependent(max_expansions=k),
-      weight_fn_cacher_factory=lambda ctx: weight_fns.SharedEmbCacher(
-          num_context_states=num_states, embedding_size=emb),
-      weight_fn_factory=lambda ctx: weight_fns.JointWeightFn(
-          vocab_size=vocab, hidden_size=hidden,
-          compute_dtype=jnp.bfloat16))
+  def make(fused):
+    return last_torch_tpu.RecognitionLattice(
+        context=context,
+        alignment=alignments.FrameLabelDependent(max_expansions=k),
+        weight_fn_cacher_factory=lambda ctx: weight_fns.SharedEmbCacher(
+            num_context_states=num_states, embedding_size=emb),
+        weight_fn_factory=lambda ctx: weight_fns.JointWeightFn(
+            vocab_size=vocab, hidden_size=hidden,
+            compute_dtype=jnp.bfloat16),
+        fused=fused)
+
+  lattice = make('never')
   params = lattice.init(jax.random.PRNGKey(0), feature_size=hidden)
   rng = np.random.default_rng(1)
   frames = jnp.asarray(rng.normal(size=(batch, max_t, hidden)) * 0.5,
@@ -93,11 +97,47 @@ def main():
   hbm_ms = 6.0 * max_t * lex_bytes / 819e9 * 1e3  # v5e ~819 GB/s
 
   print(f'trigram V={vocab} S={num_states} B={batch} T={max_t} '
-        f'hidden={hidden} k={k}')
-  print(f'XLA fwd+bwd step: {step_ms:.1f} ms (compile {compile_s:.1f}s)')
+        f'hidden={hidden} k={k}', flush=True)
+  print(f'XLA fwd+bwd step: {step_ms:.1f} ms (compile {compile_s:.1f}s)',
+        flush=True)
   print(f'fused matmul floor (optimistic): {floor_ms:.1f} ms; '
-        f'XLA HBM estimate for lexical traffic: {hbm_ms:.1f} ms')
-  print(f'max possible fused speedup ~{step_ms / max(floor_ms, 1e-9):.2f}x')
+        f'XLA HBM estimate for lexical traffic: {hbm_ms:.1f} ms',
+        flush=True)
+  print(f'max possible fused speedup ~{step_ms / max(floor_ms, 1e-9):.2f}x',
+        flush=True)
+
+  # The segment-major fused trigram kernel pair (ops/trigram_scan.py).
+  fused_lattice = make('auto')
+  assert fused_lattice.would_fuse(frames), 'trigram kernel did not gate in'
+
+  def fused_loss(params, frames):
+    return jnp.sum(fused_lattice(params, frames, num_frames, labels,
+                                 num_labels))
+
+  fgrad = jax.jit(jax.value_and_grad(fused_loss, argnums=(0, 1)))
+  t0 = time.monotonic()
+  (fval, fg) = jax.block_until_ready(fgrad(params, frames))
+  fcompile = time.monotonic() - t0
+  times = []
+  for _ in range(3):
+    t0 = time.monotonic()
+    jax.block_until_ready(fgrad(params, frames))
+    times.append(time.monotonic() - t0)
+  fused_ms = float(np.median(times)) * 1e3
+  print(f'FUSED kernel fwd+bwd step: {fused_ms:.1f} ms '
+        f'(compile {fcompile:.1f}s) -> {step_ms / fused_ms:.2f}x over XLA',
+        flush=True)
+  # Numerical sanity vs the XLA value/grads at the bf16 contract.
+  (xval, xg) = jax.jit(jax.value_and_grad(total_loss,
+                                          argnums=(0, 1)))(params, frames)
+  rel = abs(float(fval) - float(xval)) / max(abs(float(xval)), 1e-9)
+  leaves_f = [np.asarray(x) for x in jax.tree.leaves(jax.device_get(fg))]
+  leaves_x = [np.asarray(x) for x in jax.tree.leaves(jax.device_get(xg))]
+  gscale = max(np.abs(x).max() for x in leaves_x)
+  gerr = max(np.abs(a - b).max() / gscale
+             for a, b in zip(leaves_f, leaves_x))
+  print(f'fused-vs-XLA: loss rel {rel:.1e}, grads within {gerr:.1e} of '
+        f'global scale', flush=True)
 
 
 if __name__ == '__main__':

@@ -157,11 +157,13 @@ class RecognitionLattice(Generic[T]):
     """
     if self.fused == 'never':
       return False
-    from last_torch_tpu.ops import fused_scan
+    from last_torch_tpu.ops import fused_scan, trigram_scan
     backend = ('interpret' if self.fused == 'interpret' else
                jax.default_backend())
-    return fused_scan.supported(self, semiring, None, None, None, frames,
-                                backend)
+    return (fused_scan.supported(self, semiring, None, None, None, frames,
+                                 backend) or
+            trigram_scan.supported(self, semiring, None, None, None,
+                                   frames, backend))
 
   # -------------------------------------------------------------------
   # Parameter / cache management.
@@ -823,6 +825,21 @@ class RecognitionLattice(Generic[T]):
             compute_dtype=(jnp.float32 if self.fused == 'interpret' else
                            jnp.bfloat16),
             interpret=self.fused == 'interpret')
+      from last_torch_tpu.ops import trigram_scan
+      if trigram_scan.supported(self, semiring, blank_mask, lexical_mask,
+                                weight_lift, frames, backend):
+        self._last_path = 'fused'
+        frame_dependent = isinstance(self.alignment,
+                                     alignments.FrameDependent)
+        return trigram_scan.fused_shortest_distance_fwd(
+            wf_params, cache, frames, num_frames,
+            max_expansions=(0 if frame_dependent else
+                            self.alignment.max_expansions),
+            frame_dependent=frame_dependent,
+            vocab=self.context.vocab_size,
+            compute_dtype=(jnp.float32 if self.fused == 'interpret' else
+                           jnp.bfloat16),
+            interpret=self.fused == 'interpret')
 
     self._last_path = 'xla'
     xs = {'frame': jnp.moveaxis(frames, -2, 0)}
@@ -919,6 +936,22 @@ class RecognitionLattice(Generic[T]):
                             self.alignment.max_expansions),
             frame_dependent=frame_dependent,
             num_context_states=self.context.shape()[0],
+            compute_dtype=dtype,
+            interpret=self.fused == 'interpret')
+      from last_torch_tpu.ops import trigram_scan
+      if trigram_scan.supported(self, semirings.Log, None, None, None,
+                                frames, backend):
+        self._last_path = 'fused'
+        frame_dependent = isinstance(self.alignment,
+                                     alignments.FrameDependent)
+        dtype = (jnp.float32 if self.fused == 'interpret' else
+                 jnp.bfloat16)
+        return trigram_scan.log_partition(
+            params['weight_fn'], cache, frames, num_frames,
+            max_expansions=(0 if frame_dependent else
+                            self.alignment.max_expansions),
+            frame_dependent=frame_dependent,
+            vocab=self.context.vocab_size,
             compute_dtype=dtype,
             interpret=self.fused == 'interpret')
 
