@@ -106,7 +106,11 @@ def main():
   print(f'max possible fused speedup ~{step_ms / max(floor_ms, 1e-9):.2f}x',
         flush=True)
 
-  # The segment-major fused trigram kernel pair (ops/trigram_scan.py).
+  # The segment-major fused trigram kernel pair (ops/trigram_scan.py),
+  # force-enabled: it is gated off by default on hardware (measured
+  # slower than XLA; see the module note).
+  from last_torch_tpu.ops import trigram_scan
+  trigram_scan.FORCE = True
   fused_lattice = make('auto')
   assert fused_lattice.would_fuse(frames), 'trigram kernel did not gate in'
 

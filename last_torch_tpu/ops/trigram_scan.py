@@ -63,6 +63,19 @@ from last_torch_tpu.ops.fused_scan import _round_up
 # E-cache VMEM budget (v5e: 128 MB total; leave room for inputs/buffers).
 _CACHE_BUDGET = 80 * 1024 * 1024
 
+# Measured on v5e (benchmarks/tpu_trigram_probe.py, V=64 S=4161 B=8 T=200
+# k=2): the kernel pair is CORRECT on hardware (loss rel 1.3e-6, grads
+# within 4.7e-4 of global gradient scale — the bf16 contract) but runs
+# 189 ms vs the XLA path's 134 ms (0.71x). The cost is not FLOPs but
+# iteration count: Mosaic values top out at 3-D, so every within-frame
+# phase loops over the P = V+1 segments sequentially (~400-600 fori
+# iterations/frame at ~1-2 us fixed cost each), and no grouping scheme
+# avoids that without 4-D batched dots. The kernels therefore stay
+# GATED OFF for compiled backends ('interpret' only, plus FORCE for
+# benchmarking) and XLA remains the trigram production route — the
+# full analysis lives in ops/README.md's negative-results entry.
+FORCE = False
+
 
 def layout(vocab: int):
   """Segment-major trigram state layout.
@@ -95,6 +108,8 @@ def supported(lattice, semiring, blank_mask, lexical_mask, weight_lift,
   from last_torch_tpu import weight_fns as weight_fns_lib
   if backend not in ('tpu', 'axon', 'interpret'):
     return False
+  if backend != 'interpret' and not FORCE:
+    return False  # measured slower than XLA on hardware; see module note
   if semiring is not semirings_lib.Log:
     return False
   if blank_mask is not None or lexical_mask is not None:
