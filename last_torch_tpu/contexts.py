@@ -331,7 +331,10 @@ class NextStateTable(ContextDependency):
       pos = np.arange(num_arcs) - starts[sorted_dest]
       idx = np.full((num_states, k), num_arcs, np.int32)
       idx[sorted_dest, pos] = order
-      self._segment_plan = jnp.asarray(idx)
+      # Cache the NUMPY array: a jnp array materialized during a jit
+      # trace is a tracer, and caching it on self leaks it into later
+      # calls (UnexpectedTracerError). Numpy indices gather fine.
+      self._segment_plan = idx
     return self._segment_plan
 
   def forward_reduce(self, weights, semiring: semirings.Semiring):
