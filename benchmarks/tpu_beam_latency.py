@@ -10,7 +10,11 @@ RTT; the reported number is per chunk.
 
 Usage: python benchmarks/tpu_beam_latency.py
 
-Results (v5e, recorded 2026-08-17, round 3): see BASELINE.md.
+Results (v5e, recorded 2026-08-17, round 3):
+  greedy 7.6 ms/chunk; beam 4: 8.9; beam 16: 12.1; beam 32: 16.0 ms —
+  8x the beam costs 1.8x the latency. (Lattice-only, amortized in-jit;
+  round 2's 34.6 ms serving figure included the encoder chunk and
+  per-call tunnel RTT.)
 """
 
 import sys
