@@ -41,7 +41,6 @@ are ``psum``-reduced over the axis; frame cotangents stay sharded.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -275,6 +275,62 @@ class TestTimeShardedTraining:
         jax.device_get(new_state.params),
         jax.device_get(single_state.params))
 
+  @pytest.mark.parametrize('num_devices,max_expansions,seed', [
+      (2, 0, 0),
+      (4, 2, 1),
+      (8, 1, 2),
+  ])
+  def test_relay_fuzz(self, eight_devices, num_devices, max_expansions,
+                      seed):
+    """Random configs: axis sizes, FLD orders, ragged/zero num_frames —
+    loss values and gradients equal the single-device path."""
+    import last_torch_tpu
+    from last_torch_tpu import alignments, contexts, weight_fns
+    from last_torch_tpu.parallel import sequence
+    rng = np.random.default_rng(seed)
+    vocab = int(rng.integers(2, 6))
+    alignment = (alignments.FrameLabelDependent(max_expansions)
+                 if max_expansions else alignments.FrameDependent())
+    lattice = last_torch_tpu.RecognitionLattice(
+        context=contexts.FullNGram(vocab_size=vocab, context_size=1),
+        alignment=alignment,
+        weight_fn_cacher_factory=lambda ctx: weight_fns.SharedEmbCacher(
+            num_context_states=ctx.shape()[0], embedding_size=8),
+        weight_fn_factory=lambda ctx: weight_fns.JointWeightFn(
+            vocab_size=ctx.shape()[1], hidden_size=8))
+    params = lattice.init(jax.random.PRNGKey(seed), feature_size=4)
+    batch = int(rng.integers(1, 4))
+    max_t = num_devices * int(rng.integers(1, 4))
+    frames = jax.random.normal(jax.random.PRNGKey(seed + 10),
+                               (batch, max_t, 4))
+    num_frames = jnp.asarray(
+        rng.integers(0, max_t + 1, size=(batch,)), jnp.int32)
+    max_u = 2
+    labels = jnp.asarray(rng.integers(1, vocab + 1, size=(batch, max_u)),
+                         jnp.int32)
+    num_labels = jnp.minimum(
+        jnp.asarray(rng.integers(0, max_u + 1, size=(batch,)), jnp.int32),
+        num_frames * (max_expansions if max_expansions else 1))
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:num_devices]),
+                             axis_names=('seq',))
+
+    def single(params):
+      losses = lattice(params, frames=frames, num_frames=num_frames,
+                       labels=labels, num_labels=num_labels)
+      return jnp.sum(jnp.where(jnp.isfinite(losses), losses, 0.0))
+
+    def sharded(params):
+      losses = sequence.loss_time_sharded(
+          lattice, params, frames, num_frames, labels, num_labels, mesh,
+          'seq')
+      return jnp.sum(jnp.where(jnp.isfinite(losses), losses, 0.0))
+
+    npt.assert_allclose(sharded(params), single(params), rtol=1e-5,
+                        atol=1e-6)
+    jax.tree.map(
+        lambda a, b: npt.assert_allclose(a, b, rtol=1e-4, atol=1e-5),
+        jax.grad(sharded)(params), jax.grad(single)(params))
+
   def test_relay_runs_each_block_once(self, eight_devices):
     """Inactive relay stages are lax.cond-skipped: D local scans total,
     not D^2 (the D x redundant-compute fix)."""
