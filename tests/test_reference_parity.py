@@ -24,13 +24,23 @@ sys.path.insert(0, '/root/reference')
 last_torch = pytest.importorskip('last_torch')
 
 
-@pytest.fixture(scope='module')
-def workload():
-  batch, max_t, vocab, num_states = 3, 2, 2, 3
+# (context_size, max_expansions): bigram/FrameDependent (the minimum
+# slice), TRIGRAM/FrameDependent (7 states), and bigram/FLD(2).
+CONFIGS = [(1, 0), (2, 0), (1, 2)]
+
+
+@pytest.fixture(scope='module', params=CONFIGS,
+                ids=[f'ctx{c}_k{k}' for c, k in CONFIGS])
+def workload(request):
+  context_size, max_expansions = request.param
+  vocab = 2
+  num_states = sum(vocab**i for i in range(context_size + 1))
+  batch, max_t = 3, 2
   table = (1 + np.arange(batch * max_t * num_states * (1 + vocab)).reshape(
       batch, max_t, num_states, 1 + vocab)).astype(np.float32)
   table *= np.array([[-1, 1], [1, -1], [1, 1]],
                     np.float32)[:, :, None, None]
+  table *= 0.25  # keep Real-semiring products in range at 7 states
   frames = np.broadcast_to(
       np.arange(max_t, dtype=np.float32)[None, :, None],
       (batch, max_t, 1)).copy()
@@ -38,13 +48,20 @@ def workload():
   labels = np.array([[1, 2, 0], [2, 1, 0], [1, 2, 0]])
   num_labels = np.array([1, 1, 0])
   return dict(table=table, frames=frames, num_frames=num_frames,
-              labels=labels, num_labels=num_labels)
+              labels=labels, num_labels=num_labels,
+              context_size=context_size, max_expansions=max_expansions)
+
+
+def _alignment(mod, k):
+  return (mod.FrameLabelDependent(max_expansions=k) if k
+          else mod.FrameDependent())
 
 
 def build_ours(workload):
   lattice = last_torch_tpu.RecognitionLattice(
-      context=contexts.FullNGram(vocab_size=2, context_size=1),
-      alignment=alignments.FrameDependent(),
+      context=contexts.FullNGram(vocab_size=2,
+                                 context_size=workload['context_size']),
+      alignment=_alignment(alignments, workload['max_expansions']),
       weight_fn_factory=lambda _: weight_fns.TableWeightFn(
           jnp.asarray(workload['table'])),
       weight_fn_cacher_factory=lambda _: weight_fns.NullCacher())
@@ -55,8 +72,10 @@ def build_ours(workload):
 
 def build_reference(workload):
   return last_torch.RecognitionLattice(
-      context=last_torch.contexts.FullNGram(vocab_size=2, context_size=1),
-      alignment=last_torch.alignments.FrameDependent(),
+      context=last_torch.contexts.FullNGram(
+          vocab_size=2, context_size=workload['context_size']),
+      alignment=_alignment(last_torch.alignments,
+                           workload['max_expansions']),
       weight_fn_factory=lambda _: last_torch.weight_fns.TableWeightFn(
           torch.tensor(workload['table'])),
       weight_fn_cacher_factory=lambda _: last_torch.weight_fns.NullCacher())
