@@ -71,7 +71,7 @@ def _check_divisible(frames, num_devices, axis_name):
   return max_t // num_devices
 
 
-def _relay(mesh: Mesh, axis_name: str, local_fn):
+def _relay(mesh: Mesh, axis_name: str, local_fn, batch_axis=None):
   """Builds a differentiable time-block relay over ``axis_name``.
 
   ``local_fn(carry, local_frames, num_frames, my_idx, diff_args, aux)``
@@ -87,6 +87,12 @@ def _relay(mesh: Mesh, axis_name: str, local_fn):
   stage order, running ``jax.vjp`` of ``local_fn`` only on the active
   device per stage (``lax.cond``), and ``psum``-reduces the ``diff_args``
   cotangents over the axis.
+
+  ``batch_axis`` composes data parallelism: every batch-leading operand
+  (carry, frames, num_frames, aux, and the frame cotangents) additionally
+  shards its axis 0 over that mesh axis — the relay is independent per
+  batch row, so the shard bodies are untouched; ``diff_args`` cotangents
+  psum over BOTH axes.
   """
   num_devices = mesh.shape[axis_name]
   perm_fwd = [(i, (i + 1) % num_devices) for i in range(num_devices)]
@@ -150,8 +156,9 @@ def _relay(mesh: Mesh, axis_name: str, local_fn):
     # Device 0's d(carry_in) — the cotangent of carry0 — was produced at
     # the last stage and permuted to device D-1.
     d_carry0 = _psum_from(my_idx, num_devices - 1, ct, axis_name)
-    d_diff = jax.tree.map(
-        lambda x: jax.lax.psum(x, axis_name), d_diff)
+    axes = ((axis_name,) if batch_axis is None else
+            (axis_name, batch_axis))
+    d_diff = jax.tree.map(lambda x: jax.lax.psum(x, axes), d_diff)
     return d_carry0, d_frames, d_diff
 
   def shard(fn, in_specs, out_specs):
@@ -159,7 +166,10 @@ def _relay(mesh: Mesh, axis_name: str, local_fn):
                          out_specs=out_specs, check_vma=False)
 
   replicated = lambda tree: jax.tree.map(lambda _: P(), tree)
-  frames_spec = P(None, axis_name, None)
+  frames_spec = P(batch_axis, axis_name, None)
+  nf_spec = P(batch_axis)
+  batch_spec = lambda tree: jax.tree.map(
+      lambda x: P(batch_axis, *([None] * (x.ndim - 1))), tree)
 
   @jax.custom_vjp
   def run(carry0, frames, num_frames, diff_args, aux):
@@ -167,13 +177,14 @@ def _relay(mesh: Mesh, axis_name: str, local_fn):
     return final
 
   def _fwd(carry0, frames, num_frames, diff_args, aux):
-    carry_spec = replicated(carry0)
+    carry_spec = batch_spec(carry0)
     saved_spec = jax.tree.map(
-        lambda x: P(axis_name, *([None] * x.ndim)), carry0)
+        lambda x: P(axis_name, batch_axis, *([None] * (x.ndim - 1))),
+        carry0)
     fn = shard(
         fwd_shard,
-        in_specs=(carry_spec, frames_spec, P(None), replicated(diff_args),
-                  replicated(aux)),
+        in_specs=(carry_spec, frames_spec, nf_spec, replicated(diff_args),
+                  batch_spec(aux)),
         out_specs=(carry_spec, saved_spec))
     frames = jax.device_put(frames, NamedSharding(mesh, frames_spec))
     return fn(carry0, frames, num_frames, diff_args, aux)
@@ -184,13 +195,14 @@ def _relay(mesh: Mesh, axis_name: str, local_fn):
 
   def run_bwd(residuals, ct_final):
     saved, frames, num_frames, diff_args, aux = residuals
-    carry_spec = replicated(ct_final)
+    carry_spec = batch_spec(ct_final)
     saved_spec = jax.tree.map(
-        lambda x: P(axis_name, *([None] * (x.ndim - 1))), saved)
+        lambda x: P(axis_name, batch_axis, *([None] * (x.ndim - 2))),
+        saved)
     fn = shard(
         bwd_shard,
-        in_specs=(carry_spec, saved_spec, frames_spec, P(None),
-                  replicated(diff_args), replicated(aux)),
+        in_specs=(carry_spec, saved_spec, frames_spec, nf_spec,
+                  replicated(diff_args), batch_spec(aux)),
         out_specs=(carry_spec, frames_spec, replicated(diff_args)))
     d_carry0, d_frames, d_diff = fn(ct_final, saved, frames, num_frames,
                                     diff_args, aux)
@@ -219,7 +231,8 @@ def shortest_distance_time_sharded(lattice, params, frames, num_frames,
                                    semiring=semirings.Log,
                                    cache=None,
                                    fused: str = 'never',
-                                   weight_lift=None) -> jnp.ndarray:
+                                   weight_lift=None,
+                                   batch_axis=None) -> jnp.ndarray:
   """Shortest distance with frames sharded over a time (sequence) mesh axis.
 
   Differentiable: gradients flow to ``params`` (and ``frames``) through a
@@ -245,6 +258,9 @@ def shortest_distance_time_sharded(lattice, params, frames, num_frames,
     weight_lift: Optional lifting of plain weight arrays into semiring
       values (tuple-valued semirings such as Expectation); XLA relay
       only.
+    batch_axis: Optional mesh axis composing data parallelism: batch
+      rows shard over it while frames also shard over ``axis_name``
+      (dp x seq). Weight-fn cotangents psum over both axes.
 
   Returns:
     [batch] shortest distance, replicated over the mesh.
@@ -267,7 +283,8 @@ def shortest_distance_time_sharded(lattice, params, frames, num_frames,
 
   if use_kernel:
     log_z = _fused_relay(lattice, mesh, axis_name, local_t,
-                         interpret=fused == 'interpret')(
+                         interpret=fused == 'interpret',
+                         batch_axis=batch_axis)(
                              wf_params, cache, frames, num_frames)
     return log_z
 
@@ -305,13 +322,13 @@ def shortest_distance_time_sharded(lattice, params, frames, num_frames,
   dtype = semirings.value_dtype(
       jax.eval_shape(lift, jax.ShapeDtypeStruct((), jnp.float32)))
   carry0 = _init_alpha(lattice, batch, semiring=semiring, dtype=dtype)
-  run = _relay(mesh, axis_name, local_fn)
+  run = _relay(mesh, axis_name, local_fn, batch_axis=batch_axis)
   final = run(carry0, frames, num_frames, (wf_params, cache), ())
   return semiring.sum(final, axis=-1)
 
 
 def _fused_relay(lattice, mesh: Mesh, axis_name: str, local_t: int,
-                 interpret: bool):
+                 interpret: bool, batch_axis=None):
   """log Z via per-block fused kernels chained across the mesh.
 
   Forward: each device's block runs ``fused_shortest_distance_fwd`` with
@@ -407,12 +424,16 @@ def _fused_relay(lattice, mesh: Mesh, axis_name: str, local_t: int,
     (_, d_wf, d_cache, d_frames), _ = jax.lax.scan(
         stage, (beta0, d_wf0, d_cache0, d_frames0),
         jnp.arange(num_devices))
-    d_wf = jax.tree.map(lambda x: jax.lax.psum(x, axis_name), d_wf)
-    d_cache = jax.lax.psum(d_cache, axis_name)
+    d_wf = jax.tree.map(lambda x: jax.lax.psum(x, psum_axes), d_wf)
+    d_cache = jax.lax.psum(d_cache, psum_axes)
     return d_wf, d_cache, d_frames
 
-  frames_spec = P(None, axis_name, None)
+  frames_spec = P(batch_axis, axis_name, None)
+  b_spec = P(batch_axis)
+  saved_spec = P(axis_name, batch_axis, None)
   replicated = lambda tree: jax.tree.map(lambda _: P(), tree)
+  psum_axes = ((axis_name,) if batch_axis is None else
+               (axis_name, batch_axis))
 
   @jax.custom_vjp
   def log_partition(wf_params, cache, frames, num_frames):
@@ -422,8 +443,8 @@ def _fused_relay(lattice, mesh: Mesh, axis_name: str, local_t: int,
   def _fwd(wf_params, cache, frames, num_frames):
     fn = jax.shard_map(
         fwd_shard, mesh=mesh,
-        in_specs=(frames_spec, P(None), replicated(wf_params), P()),
-        out_specs=(P(None), P(axis_name, None, None)),
+        in_specs=(frames_spec, b_spec, replicated(wf_params), P()),
+        out_specs=(b_spec, saved_spec),
         check_vma=False)
     frames = jax.device_put(frames, NamedSharding(mesh, frames_spec))
     return fn(frames, num_frames, wf_params, cache)
@@ -436,8 +457,8 @@ def _fused_relay(lattice, mesh: Mesh, axis_name: str, local_t: int,
     wf_params, cache, frames, num_frames, log_z, saved = residuals
     fn = jax.shard_map(
         bwd_shard, mesh=mesh,
-        in_specs=(P(None), P(None), P(axis_name, None, None), frames_spec,
-                  P(None), replicated(wf_params), P()),
+        in_specs=(b_spec, b_spec, saved_spec, frames_spec,
+                  b_spec, replicated(wf_params), P()),
         out_specs=(replicated(wf_params), P(), frames_spec),
         check_vma=False)
     d_wf, d_cache, d_frames = fn(g, log_z, saved, frames, num_frames,
@@ -452,7 +473,8 @@ def string_forward_time_sharded(lattice, params, frames, num_frames,
                                 labels, num_labels, mesh: Mesh,
                                 axis_name: str,
                                 semiring=semirings.Log,
-                                cache=None) -> jnp.ndarray:
+                                cache=None,
+                                batch_axis=None) -> jnp.ndarray:
   """Numerator (string forward) with frames sharded over a time axis.
 
   The string-forward carry is [batch, max_num_labels + 1] — even smaller
@@ -487,7 +509,7 @@ def string_forward_time_sharded(lattice, params, frames, num_frames,
 
   carry0 = _init_alpha(lattice, batch, num_states=num_alpha_states,
                        start=0, semiring=semiring)
-  run = _relay(mesh, axis_name, local_fn)
+  run = _relay(mesh, axis_name, local_fn, batch_axis=batch_axis)
   final = run(carry0, frames, num_frames, (wf_params, cache),
               (labels, num_labels))
   is_final = num_labels[..., None] == jnp.arange(num_alpha_states)
@@ -497,7 +519,8 @@ def string_forward_time_sharded(lattice, params, frames, num_frames,
 
 def loss_time_sharded(lattice, params, frames, num_frames, labels,
                       num_labels, mesh: Mesh, axis_name: str,
-                      cache=None, fused: str = 'never') -> jnp.ndarray:
+                      cache=None, fused: str = 'never',
+                      batch_axis=None) -> jnp.ndarray:
   """GNAT loss (negative log-probability) under time sharding.
 
   ``denominator - numerator`` with both DPs relayed over ``axis_name``;
@@ -514,18 +537,19 @@ def loss_time_sharded(lattice, params, frames, num_frames, labels,
     cache = lattice.build_cache(params)
   numerator = string_forward_time_sharded(
       lattice, params, frames, num_frames, labels, num_labels, mesh,
-      axis_name, cache=cache)
+      axis_name, cache=cache, batch_axis=batch_axis)
   if isinstance(lattice.weight_fn, weight_fns_lib.LocallyNormalizedWeightFn):
     return -numerator
   denominator = shortest_distance_time_sharded(
       lattice, params, frames, num_frames, mesh, axis_name, cache=cache,
-      fused=fused)
+      fused=fused, batch_axis=batch_axis)
   return denominator - numerator
 
 
 def make_time_sharded_train_step(model, optimizer, mesh: Mesh,
                                  axis_name: str = 'seq',
-                                 fused: str = 'never'):
+                                 fused: str = 'never',
+                                 batch_axis=None):
   """Builds a jitted train step whose lattice DPs are time-sharded.
 
   The encoder runs data-replicated (its activations are [B, T, H]; for
@@ -544,7 +568,7 @@ def make_time_sharded_train_step(model, optimizer, mesh: Mesh,
     encoded = model.encoder.apply(params['encoder'], frames, num_frames)
     per_seq = loss_time_sharded(
         model.lattice, params['lattice'], encoded, num_frames, labels,
-        num_labels, mesh, axis_name, fused=fused)
+        num_labels, mesh, axis_name, fused=fused, batch_axis=batch_axis)
     # Infeasible sequences are masked out, as in GNATModel.mean_loss.
     finite = jnp.isfinite(per_seq)
     per_seq = jnp.where(finite, per_seq, 0.0)

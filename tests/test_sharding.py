@@ -275,6 +275,33 @@ class TestTimeShardedTraining:
         jax.device_get(new_state.params),
         jax.device_get(single_state.params))
 
+  @pytest.mark.parametrize('fused', ['never', 'interpret'])
+  def test_data_x_seq_composition(self, eight_devices, fused):
+    """dp x seq: batch shards over 'data' while frames shard over 'seq';
+    loss and gradients equal the single-device path."""
+    from last_torch_tpu.parallel import sequence
+    lattice, params, frames, num_frames = _relay_lattice()
+    # Batch 2 over data axis 2; T=8 over seq axis 4.
+    mesh = jax.sharding.Mesh(
+        np.array(jax.devices()[:8]).reshape(2, 4),
+        axis_names=('data', 'seq'))
+    labels = jnp.array([[1, 2, 1], [3, 1, 0]], jnp.int32)
+    num_labels = jnp.array([3, 2])
+
+    def single(params):
+      return jnp.sum(lattice(params, frames=frames, num_frames=num_frames,
+                             labels=labels, num_labels=num_labels))
+
+    def sharded(params):
+      return jnp.sum(sequence.loss_time_sharded(
+          lattice, params, frames, num_frames, labels, num_labels, mesh,
+          'seq', fused=fused, batch_axis='data'))
+
+    npt.assert_allclose(sharded(params), single(params), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: npt.assert_allclose(a, b, rtol=1e-4, atol=5e-6),
+        jax.grad(single)(params), jax.grad(sharded)(params))
+
   @pytest.mark.parametrize('num_devices,max_expansions,seed', [
       (2, 0, 0),
       (4, 2, 1),
