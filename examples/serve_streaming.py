@@ -25,6 +25,12 @@ Run (CPU is fine for the demo sizes):
 """
 
 import jax
+
+# Small-model demo: run on CPU even when a TPU platform is preconfigured
+# (environment variables are too late once jax is imported; the config
+# update is the reliable switch).
+jax.config.update('jax_platforms', 'cpu')
+
 import jax.numpy as jnp
 
 from last_torch_tpu import streaming
