@@ -60,12 +60,15 @@ def enumerate_paths(table, nxt, frames_int, num_frames, max_expansions):
                       max_expansions)
 
 
+@pytest.mark.parametrize('context_size', [1, 2])
 @pytest.mark.parametrize('max_expansions', [None, 1, 2])
 @pytest.mark.parametrize('seed', [0, 1, 2])
-def test_loss_logz_and_viterbi_match_enumeration(max_expansions, seed):
+def test_loss_logz_and_viterbi_match_enumeration(context_size,
+                                                 max_expansions, seed):
   rng = np.random.default_rng(seed)
   max_t = 3
-  context = contexts.FullNGram(vocab_size=VOCAB, context_size=1)
+  context = contexts.FullNGram(vocab_size=VOCAB,
+                               context_size=context_size)
   num_states, _ = context.shape()
   table = rng.normal(size=(1, INPUT_VOCAB, num_states, 1 + VOCAB))
   table = np.asarray(table, np.float32)
