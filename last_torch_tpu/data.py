@@ -212,6 +212,12 @@ def prefetch_to_device(batches: Iterable[dict],
         q.get_nowait()
     except queue.Empty:
       pass
-    close = getattr(batches, 'close', None)
-    if close is not None:
-      close()
+    # Only close the source generator once the producer thread has
+    # actually exited: close() from another thread while the producer is
+    # still executing it (the blocked-in-IO case above) raises
+    # ValueError('generator already executing') and would mask the
+    # consumer's original exception.
+    if not thread.is_alive():
+      close = getattr(batches, 'close', None)
+      if close is not None:
+        close()

@@ -362,7 +362,8 @@ class RecognitionLattice(Generic[T]):
         num_alignment_states * num_frames.astype(jnp.int32))
     return alignment_labels, num_alignment_labels, path_weights
 
-  def arc_marginals(self, params, frames, num_frames, cache=None):
+  def arc_marginals(self, params, frames, num_frames, cache=None,
+                    max_output_bytes: int = 4 * 1024**3):
     """Arc posterior probabilities via the backward algorithm.
 
     The marginal probability of taking each arc at each frame under the
@@ -377,6 +378,9 @@ class RecognitionLattice(Generic[T]):
       frames: [batch_dims..., max_num_frames, feature_size] padded frames.
       num_frames: [batch_dims...] number of frames.
       cache: Optional weight function cache data.
+      max_output_bytes: Guard threshold for the dense [..., T, S, V]
+        lexical-marginal output (default 4 GiB). Exceeding it raises
+        instead of attempting an allocation that would OOM opaquely.
 
     Returns:
       (blank_marginals, lexical_marginals):
@@ -397,6 +401,20 @@ class RecognitionLattice(Generic[T]):
       perturb per-frame sums at bf16 error scale. The dense output is
       O(T * S * V) — at large shapes prefer ``label_marginals``.
     """
+    num_states, vocab_size = self.context.shape()
+    batch = int(np.prod(frames.shape[:-2], dtype=np.int64))
+    out_bytes = (4 * batch * frames.shape[-2] * num_states *
+                 (vocab_size + 1))
+    if out_bytes > max_output_bytes:
+      raise ValueError(
+          'arc_marginals would materialize a dense '
+          f'[batch={batch}, T={frames.shape[-2]}, S={num_states}, '
+          f'1+V={vocab_size + 1}] output of '
+          f'~{out_bytes / 1024**3:.1f} GiB '
+          f'(> max_output_bytes={max_output_bytes / 1024**3:.1f} GiB). '
+          'Use label_marginals (O(T * (S + V)) outputs, fused-kernel '
+          'path on TPU) for per-frame posteriors at production shapes, '
+          'or raise max_output_bytes explicitly.')
     if cache is None:
       cache = self.build_cache(params)
     log_z, alpha_history = self._forward(

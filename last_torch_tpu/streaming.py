@@ -31,6 +31,7 @@ expansion — O(B * hidden) work, no O(B * S * V) tensor anywhere.
 
 from __future__ import annotations
 
+import warnings
 from typing import Any
 
 import jax
@@ -257,7 +258,20 @@ class StreamingBeamDecoder:
       if self.merge == 'none':
         return pool
       m = pool['score'].shape[1]
-      order = jnp.argsort(pool['hash'], axis=1)
+      # Sort key is (hash, num_labels, context), not hash alone: an
+      # UNEQUAL sequence with a colliding 32-bit hash could otherwise
+      # sort between two equal sequences and split their group (a missed
+      # merge; under merge='logsumexp' that splits probability mass
+      # across beam slots). Two stable argsorts compose into the
+      # lexicographic order; the secondary key packs exactly because
+      # num_labels and context are both small non-negative ints.
+      num_states, _ = lattice.context.shape()
+      secondary = (pool['num_labels'] * jnp.int32(num_states) +
+                   pool['context'])
+      order1 = jnp.argsort(secondary, axis=1)
+      hash_sorted = jnp.take_along_axis(pool['hash'], order1, axis=1)
+      order2 = jnp.argsort(hash_sorted, axis=1)
+      order = jnp.take_along_axis(order1, order2, axis=1)
       take = lambda x: jnp.take_along_axis(
           x, order.reshape(order.shape + (1,) * (x.ndim - 2)), axis=1)
       pool = {f: take(v) for f, v in pool.items()}
@@ -386,6 +400,12 @@ def nbest_offline(lattice, params, frames, num_frames, *, beam_size: int,
     per_frame = (1 if isinstance(lattice.alignment,
                                  alignments_lib.FrameDependent)
                  else lattice.alignment.max_expansions)
+    if max_t * per_frame > 512:
+      warnings.warn(
+          'nbest_offline: default max_labels capped at 512 (frames imply '
+          f'up to {max_t * per_frame}); hypotheses longer than 512 labels '
+          'will be truncated. Pass max_labels explicitly for long '
+          'transcripts.', stacklevel=2)
     max_labels = min(max_t * per_frame, 512)
   decoder = StreamingBeamDecoder(lattice, beam_size=beam_size,
                                  max_labels=max_labels)

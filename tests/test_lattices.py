@@ -614,6 +614,20 @@ class TestArcMarginalsAPI:
     npt.assert_allclose(np.asarray(total), valid.astype(np.float32),
                         rtol=1e-4, atol=1e-6)
 
+  def test_size_guard(self):
+    """Oversized dense output raises actionably instead of OOMing."""
+    lattice = build_basic_lattice()
+    params = lattice.init(jax.random.PRNGKey(5), feature_size=8)
+    frames = jax.random.uniform(jax.random.PRNGKey(6), (2, 6, 8))
+    num_frames = jnp.array([6, 2])
+    with pytest.raises(ValueError, match='label_marginals'):
+      lattice.arc_marginals(params, frames, num_frames,
+                            max_output_bytes=100)
+    # An explicit larger budget unblocks the same call.
+    blank, _ = lattice.arc_marginals(params, frames, num_frames,
+                                     max_output_bytes=10**9)
+    assert blank.shape == (2, 6, lattice.context.shape()[0])
+
 
 class TestForcedAlignment:
   """RecognitionLattice.align: per-label emission frames."""

@@ -222,6 +222,18 @@ def test_supported_gating():
   frames = jnp.zeros((2, 4, 8))
   assert trigram_scan.supported(lattice, semirings.Log, None, None, None,
                                 frames, 'interpret')
+
+
+def test_force_gate_keeps_hardware_dispatch_on_xla():
+  """CI guard for the documented kernel-fate decision (ops/README.md):
+  the trigram kernels stay gated OFF on compiled backends — measured
+  0.71x XLA on v5e — and must never silently re-enter the dispatch."""
+  assert trigram_scan.FORCE is False
+  lattice, _ = build(vocab=4)
+  frames = jnp.zeros((2, 4, 8))
+  for backend in ('tpu', 'axon', 'cpu'):
+    assert not trigram_scan.supported(
+        lattice, semirings.Log, None, None, None, frames, backend), backend
   assert not trigram_scan.supported(lattice, semirings.MaxTropical, None,
                                     None, None, frames, 'interpret')
   assert not trigram_scan.supported(lattice, semirings.Log, None, None,
