@@ -71,6 +71,13 @@ def _check_divisible(frames, num_devices, axis_name):
   return max_t // num_devices
 
 
+def _time_sharded_spec(tree, axis_name, batch_axis):
+  """Per-leaf spec: axis 0 = batch (over batch_axis), axis 1 = time
+  (sharded over ``axis_name``), remaining axes replicated."""
+  return jax.tree.map(
+      lambda x: P(batch_axis, axis_name, *([None] * (x.ndim - 2))), tree)
+
+
 def _relay(mesh: Mesh, axis_name: str, local_fn, batch_axis=None):
   """Builds a differentiable time-block relay over ``axis_name``.
 
@@ -80,13 +87,15 @@ def _relay(mesh: Mesh, axis_name: str, local_fn, batch_axis=None):
   ``diff_args``; ``aux`` is non-differentiated (e.g. integer labels).
 
   Returns ``run(carry0, frames, num_frames, diff_args, aux) -> final``
-  where ``frames`` is globally shaped [B, T, F] (sharded over
-  ``axis_name`` on axis -2), everything else replicated, and ``final`` is
-  the carry after all D blocks, replicated. ``run`` is a
-  ``jax.custom_vjp``: its backward relays the carry cotangent in reverse
-  stage order, running ``jax.vjp`` of ``local_fn`` only on the active
-  device per stage (``lax.cond``), and ``psum``-reduces the ``diff_args``
-  cotangents over the axis.
+  where ``frames`` is a pytree of [B, T, ...] leaves, each sharded over
+  ``axis_name`` on axis 1 (the frames themselves, plus any per-frame
+  riders such as the additive decode masks), everything else replicated,
+  and ``final`` is the carry after all D blocks, replicated. ``run`` is
+  a ``jax.custom_vjp``: its backward relays the carry cotangent in
+  reverse stage order, running ``jax.vjp`` of ``local_fn`` only on the
+  active device per stage (``lax.cond``), and ``psum``-reduces the
+  ``diff_args`` cotangents over the axis; ``frames`` cotangents stay
+  time-sharded.
 
   ``batch_axis`` composes data parallelism: every batch-leading operand
   (carry, frames, num_frames, aux, and the frame cotangents) additionally
@@ -128,7 +137,7 @@ def _relay(mesh: Mesh, axis_name: str, local_fn, batch_axis=None):
     my_idx = jax.lax.axis_index(axis_name)
     saved = jax.tree.map(lambda x: x[0], saved)
     d_diff0 = jax.tree.map(jnp.zeros_like, diff_args)
-    d_frames0 = jnp.zeros_like(local_frames)
+    d_frames0 = jax.tree.map(jnp.zeros_like, local_frames)
 
     def stage(c, s):
       ct, d_diff, d_frames = c
@@ -146,7 +155,7 @@ def _relay(mesh: Mesh, axis_name: str, local_fn, batch_axis=None):
 
       d_carry, d_fr, d_da = jax.lax.cond(active, run, skip, ct)
       d_diff = jax.tree.map(jnp.add, d_diff, d_da)
-      d_frames = d_frames + d_fr
+      d_frames = jax.tree.map(jnp.add, d_frames, d_fr)
       ct = jax.tree.map(
           lambda x: jax.lax.ppermute(x, axis_name, perm_bwd), d_carry)
       return (ct, d_diff, d_frames), None
@@ -166,7 +175,6 @@ def _relay(mesh: Mesh, axis_name: str, local_fn, batch_axis=None):
                          out_specs=out_specs, check_vma=False)
 
   replicated = lambda tree: jax.tree.map(lambda _: P(), tree)
-  frames_spec = P(batch_axis, axis_name, None)
   nf_spec = P(batch_axis)
   batch_spec = lambda tree: jax.tree.map(
       lambda x: P(batch_axis, *([None] * (x.ndim - 1))), tree)
@@ -178,6 +186,7 @@ def _relay(mesh: Mesh, axis_name: str, local_fn, batch_axis=None):
 
   def _fwd(carry0, frames, num_frames, diff_args, aux):
     carry_spec = batch_spec(carry0)
+    frames_spec = _time_sharded_spec(frames, axis_name, batch_axis)
     saved_spec = jax.tree.map(
         lambda x: P(axis_name, batch_axis, *([None] * (x.ndim - 1))),
         carry0)
@@ -186,7 +195,9 @@ def _relay(mesh: Mesh, axis_name: str, local_fn, batch_axis=None):
         in_specs=(carry_spec, frames_spec, nf_spec, replicated(diff_args),
                   batch_spec(aux)),
         out_specs=(carry_spec, saved_spec))
-    frames = jax.device_put(frames, NamedSharding(mesh, frames_spec))
+    frames = jax.device_put(
+        frames,
+        jax.tree.map(lambda s: NamedSharding(mesh, s), frames_spec))
     return fn(carry0, frames, num_frames, diff_args, aux)
 
   def run_fwd(carry0, frames, num_frames, diff_args, aux):
@@ -196,6 +207,7 @@ def _relay(mesh: Mesh, axis_name: str, local_fn, batch_axis=None):
   def run_bwd(residuals, ct_final):
     saved, frames, num_frames, diff_args, aux = residuals
     carry_spec = batch_spec(ct_final)
+    frames_spec = _time_sharded_spec(frames, axis_name, batch_axis)
     saved_spec = jax.tree.map(
         lambda x: P(axis_name, batch_axis, *([None] * (x.ndim - 2))),
         saved)
@@ -211,6 +223,51 @@ def _relay(mesh: Mesh, axis_name: str, local_fn, batch_axis=None):
 
   run.defvjp(run_fwd, run_bwd)
   return run
+
+
+def _forward_block(lattice, semiring, lift, alpha, local_tree, wf_params,
+                   cache, num_frames, t_offset):
+  """Advances the denominator alpha carry over one frame block.
+
+  The relay's per-device body, shared with the hardware two-block chain
+  check (``benchmarks/tpu_decode_relay_check.py``). ``local_tree`` holds
+  the block's [B, Tl, F] frames and optionally a [B, Tl, A, V] additive
+  ``lexical_mask`` (the decode differentiation hook); ``t_offset`` is the
+  block's global frame offset for the padding test.
+  """
+  num_align_states = lattice.alignment.num_states()
+  xs = {'frame': jnp.moveaxis(local_tree['frames'], 1, 0)}
+  if 'lexical_mask' in local_tree:
+    # [B, Tl, A, V] -> [Tl, A, B, V] (time-major, per-state leading).
+    xs['lexical_mask'] = jnp.moveaxis(
+        jnp.moveaxis(local_tree['lexical_mask'], 1, 0), 2, 1)
+
+  def step(carry, inputs):
+    t, alpha = carry
+    blank, lexical = lattice.weight_fn.apply(wf_params, cache,
+                                             inputs['frame'])
+    blank = [blank] * num_align_states
+    lexical = [lexical] * num_align_states
+    if 'lexical_mask' in inputs:
+      lexical = [l + inputs['lexical_mask'][i][..., None, :]
+                 for i, l in enumerate(lexical)]
+    blank = [lift(b) for b in blank]
+    lexical = [lift(l) for l in lexical]
+    next_alpha = lattice.alignment.forward(
+        alpha=alpha,
+        blank=blank,
+        lexical=lexical,
+        context=lattice.context,
+        semiring=semiring)
+    is_padding = (t >= num_frames)[..., None]
+    next_alpha = semirings.where(is_padding, alpha, next_alpha)
+    return (t + 1, next_alpha), None
+
+  (_, alpha), _ = jax.lax.scan(
+      jax.checkpoint(step,
+                     policy=jax.checkpoint_policies.nothing_saveable),
+      (jnp.asarray(t_offset, jnp.int32), alpha), xs)
+  return alpha
 
 
 def _init_alpha(lattice, batch, num_states=None, start=None,
@@ -232,7 +289,8 @@ def shortest_distance_time_sharded(lattice, params, frames, num_frames,
                                    cache=None,
                                    fused: str = 'never',
                                    weight_lift=None,
-                                   batch_axis=None) -> jnp.ndarray:
+                                   batch_axis=None,
+                                   lexical_mask=None) -> jnp.ndarray:
   """Shortest distance with frames sharded over a time (sequence) mesh axis.
 
   Differentiable: gradients flow to ``params`` (and ``frames``) through a
@@ -261,6 +319,12 @@ def shortest_distance_time_sharded(lattice, params, frames, num_frames,
     batch_axis: Optional mesh axis composing data parallelism: batch
       rows shard over it while frames also shard over ``axis_name``
       (dp x seq). Weight-fn cotangents psum over both axes.
+    lexical_mask: Optional additive [batch, max_num_frames,
+      num_alignment_states, vocab_size] arc mask, time-sharded alongside
+      the frames. Zero-valued masks are the differentiation hook the
+      decode relays use (``shortest_path_time_sharded``): the mask
+      cotangent stays time-sharded, so nothing O(T * V) is ever
+      replicated. XLA relay only.
 
   Returns:
     [batch] shortest distance, replicated over the mesh.
@@ -269,7 +333,7 @@ def shortest_distance_time_sharded(lattice, params, frames, num_frames,
     cache = lattice.build_cache(params)
   from last_torch_tpu.ops import fused_scan
   use_kernel = False
-  if fused != 'never':
+  if fused != 'never' and lexical_mask is None:
     # Mirrors the dispatch in lattices.RecognitionLattice._forward
     # (backend resolution + supported() gate); keep the two in sync.
     backend = 'interpret' if fused == 'interpret' else jax.default_backend()
@@ -291,31 +355,23 @@ def shortest_distance_time_sharded(lattice, params, frames, num_frames,
   num_align_states = lattice.alignment.num_states()
   lift = weight_lift if weight_lift is not None else (lambda w: w)
 
-  def local_fn(alpha, local_frames, num_frames, my_idx, diff_args, aux):
+  def local_fn(alpha, local_tree, num_frames, my_idx, diff_args, aux):
     del aux
     wf_params, cache = diff_args
+    return _forward_block(lattice, semiring, lift, alpha, local_tree,
+                          wf_params, cache, num_frames,
+                          my_idx.astype(jnp.int32) * local_t)
 
-    def step(carry, frame):
-      t, alpha = carry
-      blank, lexical = lattice.weight_fn.apply(wf_params, cache, frame)
-      blank = [lift(blank)] * num_align_states
-      lexical = [lift(lexical)] * num_align_states
-      next_alpha = lattice.alignment.forward(
-          alpha=alpha,
-          blank=blank,
-          lexical=lexical,
-          context=lattice.context,
-          semiring=semiring)
-      is_padding = (t >= num_frames)[..., None]
-      next_alpha = semirings.where(is_padding, alpha, next_alpha)
-      return (t + 1, next_alpha), None
-
-    t_offset = my_idx.astype(jnp.int32) * local_t
-    (_, alpha), _ = jax.lax.scan(
-        jax.checkpoint(step,
-                       policy=jax.checkpoint_policies.nothing_saveable),
-        (t_offset, alpha), jnp.moveaxis(local_frames, -2, 0))
-    return alpha
+  frames_tree = {'frames': frames}
+  if lexical_mask is not None:
+    if lexical_mask.shape[:2] != frames.shape[:2] or (
+        lexical_mask.ndim != 4 or
+        lexical_mask.shape[2] != num_align_states):
+      raise ValueError(
+          'lexical_mask must be [batch, max_num_frames, '
+          f'num_alignment_states={num_align_states}, vocab_size], got '
+          f'{lexical_mask.shape} for frames {frames.shape}')
+    frames_tree['lexical_mask'] = lexical_mask
 
   # Tuple-valued semirings: the carry's dtype structure follows the
   # lifted weights (mirrors lattices._forward's init).
@@ -323,7 +379,7 @@ def shortest_distance_time_sharded(lattice, params, frames, num_frames,
       jax.eval_shape(lift, jax.ShapeDtypeStruct((), jnp.float32)))
   carry0 = _init_alpha(lattice, batch, semiring=semiring, dtype=dtype)
   run = _relay(mesh, axis_name, local_fn, batch_axis=batch_axis)
-  final = run(carry0, frames, num_frames, (wf_params, cache), ())
+  final = run(carry0, frames_tree, num_frames, (wf_params, cache), ())
   return semiring.sum(final, axis=-1)
 
 
@@ -467,6 +523,129 @@ def _fused_relay(lattice, mesh: Mesh, axis_name: str, local_t: int,
 
   log_partition.defvjp(fn_fwd, fn_bwd)
   return log_partition
+
+
+def shortest_path_time_sharded(lattice, params, frames, num_frames,
+                               mesh: Mesh, axis_name: str, cache=None,
+                               batch_axis=None,
+                               reference_compat: bool = False):
+  """Viterbi decode with frames sharded over a time (sequence) mesh axis.
+
+  The time-sharded realization of ``RecognitionLattice.shortest_path``
+  (reference ``lattices.py:185-247``): the MaxTropical shortest distance
+  runs through the alpha relay with a zero additive lexical mask riding
+  time-sharded alongside the frames, and the one-hot tropical gradient
+  of that mask — obtained through the relay's reverse-stage cotangent
+  custom-VJP — marks exactly one best path. Long utterances that train
+  via ``loss_time_sharded`` decode with the same machinery: per-device
+  residency is O(T / D), and the [B, T, A, V] mask plus its cotangent
+  stay time-sharded end to end.
+
+  Args:
+    lattice: ``last_torch_tpu.RecognitionLattice``.
+    params: Lattice parameter pytree.
+    frames: [batch, max_num_frames, feature_size]; max_num_frames must
+      be divisible by the size of ``axis_name``.
+    num_frames: [batch] frame counts.
+    mesh: Device mesh containing ``axis_name``.
+    axis_name: The mesh axis to shard time over.
+    cache: Optional prebuilt weight-fn cache.
+    batch_axis: Optional mesh axis composing data parallelism (dp x
+      seq).
+    reference_compat: Emit the reference's raw argmax label values (see
+      ``RecognitionLattice.shortest_path``).
+
+  Returns:
+    (alignment_labels [batch, max_num_frames * num_alignment_states],
+    num_alignment_labels [batch], path_weights [batch]) — identical to
+    the single-device ``shortest_path`` (XLA route).
+  """
+  if cache is None:
+    cache = lattice.build_cache(params)
+  num_frames = jnp.asarray(num_frames, jnp.int32)
+  batch, max_t = frames.shape[0], frames.shape[-2]
+  num_align_states = lattice.alignment.num_states()
+  _, vocab_size = lattice.context.shape()
+
+  def distance(mask):
+    return shortest_distance_time_sharded(
+        lattice, params, frames, num_frames, mesh, axis_name,
+        semiring=semirings.MaxTropical, cache=cache, lexical_mask=mask,
+        batch_axis=batch_axis)
+
+  mask0 = jnp.zeros((batch, max_t, num_align_states, vocab_size))
+  path_weights, vjp_fn = jax.vjp(distance, mask0)
+  viterbi_mask = vjp_fn(jnp.ones_like(path_weights))[0]
+  is_blank = jnp.all(viterbi_mask == 0, axis=-1)
+  alignment_labels = jnp.where(
+      is_blank, 0, 1 + jnp.argmax(viterbi_mask, axis=-1))
+  alignment_labels = alignment_labels.reshape(batch, -1)
+  if reference_compat:
+    alignment_labels = jnp.where(alignment_labels == 0, 0,
+                                 alignment_labels - 1)
+  return alignment_labels, num_align_states * num_frames, path_weights
+
+
+def align_time_sharded(lattice, params, frames, num_frames, labels,
+                       num_labels, mesh: Mesh, axis_name: str,
+                       cache=None, batch_axis=None):
+  """Forced alignment with frames sharded over a time mesh axis.
+
+  The relay realization of ``RecognitionLattice.align``: the numerator
+  (string) DP runs under MaxTropical through the generic relay with a
+  zero additive [B, T, U+1] mask on the per-position lexical weights;
+  the mask's one-hot tropical gradient marks, for each label position,
+  the frame where the best constrained path emits it. The mask and its
+  cotangent are time-sharded; per-device weight computation touches
+  only the local frame block (labels are replicated — they are O(U),
+  tiny next to frames).
+
+  Returns:
+    (emit_frames [batch, max_num_labels] int32, path_weights [batch]) —
+    identical to the single-device ``align``.
+  """
+  if cache is None:
+    cache = lattice.build_cache(params)
+  num_devices = mesh.shape[axis_name]
+  local_t = _check_divisible(frames, num_devices, axis_name)
+  num_frames, num_labels, labels = lattice._check_string_args(
+      frames, num_frames, labels, num_labels)
+  wf_params = params['weight_fn']
+  batch, max_t = frames.shape[0], frames.shape[-2]
+  num_alpha_states = labels.shape[-1] + 1
+
+  def local_fn(alpha, local_tree, num_frames, my_idx, diff_args, aux):
+    wf_params, cache = diff_args
+    labels, num_labels = aux
+    blank_w, lexical_w = lattice._string_weights(
+        {'weight_fn': wf_params}, cache, local_tree['frames'], labels)
+    # [B, Tl, U+1] -> time-major [Tl, B, U+1], matching _string_weights.
+    lexical_w = lexical_w + jnp.moveaxis(local_tree['lexical_mask'], 1, 0)
+    return lattice._string_dp(
+        blank_w, lexical_w, num_frames, num_labels,
+        semirings.MaxTropical, alpha0=alpha,
+        t_offset=my_idx.astype(jnp.int32) * local_t, final_gather=False)
+
+  carry0 = _init_alpha(lattice, batch, num_states=num_alpha_states,
+                       start=0, semiring=semirings.MaxTropical)
+  run = _relay(mesh, axis_name, local_fn, batch_axis=batch_axis)
+
+  def score(mask):
+    final = run(carry0, {'frames': frames, 'lexical_mask': mask},
+                num_frames, (wf_params, cache), (labels, num_labels))
+    is_final = num_labels[..., None] == jnp.arange(num_alpha_states)
+    zero = semirings.MaxTropical.zeros(
+        [], semirings.value_dtype(final))
+    return semirings.MaxTropical.sum(
+        semirings.where(is_final, final, zero), axis=-1)
+
+  mask0 = jnp.zeros((batch, max_t, num_alpha_states))
+  scores, vjp_fn = jax.vjp(score, mask0)
+  marks = vjp_fn(jnp.ones_like(scores))[0]  # [B, T, U+1]
+  emit = jnp.argmax(marks, axis=1).astype(jnp.int32)
+  emitted = jnp.max(marks, axis=1) > 0
+  emit = jnp.where(emitted, emit, -1)[..., :labels.shape[-1]]
+  return emit, scores
 
 
 def string_forward_time_sharded(lattice, params, frames, num_frames,

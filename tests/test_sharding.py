@@ -387,6 +387,108 @@ class TestTimeShardedTraining:
     assert count['n'] == 4
 
 
+class TestTimeShardedInference:
+  """Long utterances decode and align with the same relay that trains
+  them: labels/emit-frames identical to the single-device machinery."""
+
+  def _lattice(self, alignment_factory):
+    import last_torch_tpu
+    from last_torch_tpu import contexts, weight_fns
+    context = contexts.FullNGram(vocab_size=3, context_size=1)
+    lattice = last_torch_tpu.RecognitionLattice(
+        context=context,
+        alignment=alignment_factory(),
+        weight_fn_cacher_factory=lambda ctx: weight_fns.SharedEmbCacher(
+            num_context_states=ctx.shape()[0], embedding_size=8),
+        weight_fn_factory=lambda ctx: weight_fns.JointWeightFn(
+            vocab_size=ctx.shape()[1], hidden_size=8))
+    params = lattice.init(jax.random.PRNGKey(0), feature_size=4)
+    frames = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 4))
+    num_frames = jnp.array([8, 5])
+    return lattice, params, frames, num_frames
+
+  @pytest.mark.parametrize('alignment_factory', [
+      lambda: __import__(
+          'last_torch_tpu').alignments.FrameDependent(),
+      lambda: __import__(
+          'last_torch_tpu').alignments.FrameLabelDependent(
+              max_expansions=2),
+  ])
+  def test_shortest_path_matches_single_device(self, eight_devices,
+                                               alignment_factory):
+    from last_torch_tpu.parallel import sequence
+    lattice, params, frames, num_frames = self._lattice(alignment_factory)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]),
+                             axis_names=('seq',))
+    labels_1, nal_1, w_1 = lattice.shortest_path(params, frames,
+                                                 num_frames)
+    labels_s, nal_s, w_s = sequence.shortest_path_time_sharded(
+        lattice, params, frames, num_frames, mesh, 'seq')
+    npt.assert_array_equal(np.asarray(labels_s), np.asarray(labels_1))
+    npt.assert_array_equal(np.asarray(nal_s), np.asarray(nal_1))
+    npt.assert_allclose(np.asarray(w_s), np.asarray(w_1), rtol=1e-6)
+
+  def test_shortest_path_reference_compat_and_dp(self, eight_devices):
+    import last_torch_tpu
+    from last_torch_tpu.parallel import sequence
+    lattice, params, frames, num_frames = self._lattice(
+        last_torch_tpu.alignments.FrameDependent)
+    mesh = jax.sharding.Mesh(
+        np.array(jax.devices()[:8]).reshape(2, 4),
+        axis_names=('data', 'seq'))
+    labels_1, _, w_1 = lattice.shortest_path(params, frames, num_frames,
+                                             reference_compat=True)
+    labels_s, _, w_s = sequence.shortest_path_time_sharded(
+        lattice, params, frames, num_frames, mesh, 'seq',
+        batch_axis='data', reference_compat=True)
+    npt.assert_array_equal(np.asarray(labels_s), np.asarray(labels_1))
+    npt.assert_allclose(np.asarray(w_s), np.asarray(w_1), rtol=1e-6)
+
+  @pytest.mark.parametrize('alignment_factory', [
+      lambda: __import__(
+          'last_torch_tpu').alignments.FrameDependent(),
+      lambda: __import__(
+          'last_torch_tpu').alignments.FrameLabelDependent(
+              max_expansions=2),
+  ])
+  def test_align_matches_single_device(self, eight_devices,
+                                       alignment_factory):
+    from last_torch_tpu.parallel import sequence
+    lattice, params, frames, num_frames = self._lattice(alignment_factory)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]),
+                             axis_names=('seq',))
+    labels = jnp.array([[1, 2, 1], [3, 1, 0]], jnp.int32)
+    num_labels = jnp.array([3, 2])
+    emit_1, w_1 = lattice.align(params, frames, num_frames, labels,
+                                num_labels)
+    emit_s, w_s = sequence.align_time_sharded(
+        lattice, params, frames, num_frames, labels, num_labels, mesh,
+        'seq')
+    npt.assert_array_equal(np.asarray(emit_s), np.asarray(emit_1))
+    npt.assert_allclose(np.asarray(w_s), np.asarray(w_1), rtol=1e-6)
+
+  def test_align_infeasible_transcript(self, eight_devices):
+    """Infeasible transcripts keep the -inf score contract."""
+    import last_torch_tpu
+    from last_torch_tpu.parallel import sequence
+    lattice, params, frames, _ = self._lattice(
+        last_torch_tpu.alignments.FrameDependent)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]),
+                             axis_names=('seq',))
+    labels = jnp.array([[1, 2, 1], [3, 1, 3]], jnp.int32)
+    # Row 1: 3 labels in 2 frames under FrameDependent -> infeasible.
+    num_frames = jnp.array([8, 2])
+    num_labels = jnp.array([3, 3])
+    emit_s, w_s = sequence.align_time_sharded(
+        lattice, params, frames, num_frames, labels, num_labels, mesh,
+        'seq')
+    assert np.isneginf(np.asarray(w_s)[1])
+    assert np.isfinite(np.asarray(w_s)[0])
+    emit_1, w_1 = lattice.align(params, frames, num_frames, labels,
+                                num_labels)
+    npt.assert_array_equal(np.asarray(emit_s)[0], np.asarray(emit_1)[0])
+
+
 def test_graft_entry_dryrun(eight_devices):
   """The driver-facing multichip dry run executes."""
   import __graft_entry__
