@@ -24,9 +24,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Keep compile times reasonable on repeat runs.
+# Keep compile times reasonable on repeat runs. The persistent cache keys
+# on the lowered HLO + compile options (not Python source), so it hits
+# across rounds unless the kernels themselves changed. min_compile_time
+# must be forced to 0 here the same way tests do (the env-var spellings
+# are ignored by this jax version) or small secondary-config executables
+# are silently never cached.
 jax.config.update('jax_compilation_cache_dir',
                   os.path.join(os.path.dirname(__file__), '.jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+# Surface persistent-cache misses in the stderr log: the cold
+# compile+first-step tripled across rounds 1-3 before anyone could tell
+# a cache miss from tunnel slowness (BASELINE.md "cold compile" note).
+jax.config.update('jax_explain_cache_misses', True)
 
 import last_torch_tpu  # noqa: E402
 from last_torch_tpu import (alignments, contexts, lattices, semirings,  # noqa: E402
@@ -98,12 +109,23 @@ def bench_headline():
                            batch['labels'], batch['num_labels']))
 
   grad_fn = jax.jit(jax.value_and_grad(total_loss, argnums=(0, 1)))
+  # Split the cold cost into its phases so a persistent-cache miss (the
+  # backend-compile phase explodes) is distinguishable from tunnel
+  # slowness (the first-step phase) and from tracing growth.
   t0 = time.perf_counter()
-  jax.block_until_ready(grad_fn(params, batch['frames']))
-  compile_s = time.perf_counter() - t0
-  log(f'headline compile+first-step: {compile_s:.1f}s')
+  lowered = grad_fn.lower(params, batch['frames'])
+  t1 = time.perf_counter()
+  compiled = lowered.compile()
+  t2 = time.perf_counter()
+  jax.block_until_ready(compiled(params, batch['frames']))
+  t3 = time.perf_counter()
+  compile_s = t3 - t0
+  log(f'headline compile+first-step: {compile_s:.1f}s '
+      f'(trace+lower {t1 - t0:.1f}s, backend compile {t2 - t1:.1f}s '
+      f'[persistent-cache {"hit" if t2 - t1 < 30 else "MISS"}], '
+      f'first step {t3 - t2:.1f}s)')
 
-  p50 = time_fn(grad_fn, params, batch['frames'], iters=3)
+  p50 = time_fn(compiled, params, batch['frames'], iters=3)
   frames_per_sec = 32 * 1600 / p50
   log(f'headline p50 step: {p50 * 1e3:.1f} ms; '
       f'{frames_per_sec:,.0f} frames/s/chip')

@@ -15,10 +15,14 @@ Usage: python benchmarks/tpu_decode_relay_check.py
 
 Results (v5e, recorded 2026-08-17, round 4):
   decode (V=256, T=32, B=4): chained labels / num_labels IDENTICAL to
-    the monolithic XLA route; path weights bit-identical; fused Viterbi
-    kernel labels also identical on this config.
+    the monolithic XLA route; path weights bit-identical.
   align (V=256, T=32, U=6): chained emit frames IDENTICAL; scores
     bit-identical.
+  The fused bf16 Viterbi kernel flips 8/384 near-tie argmax slots vs
+  the XLA route on this random-weights config; at matched f32/'highest'
+  precision the kernel is bit-identical to XLA (0 flips, weights rel
+  1.2e-8) — a precision effect, not a kernel defect (ops/README.md
+  decode-precision note).
 """
 
 import sys

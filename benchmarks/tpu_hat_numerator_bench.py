@@ -1,0 +1,124 @@
+"""HAT numerator-only training: roofline position and loop-order A/B.
+
+The locally-normalized (HAT) loss is numerator-only (reference
+``lattices.py:178-179``), and its cost is dominated by
+``LocallyNormalizedWeightFn.label_weights``: the full vocab head must run
+once per (label position, frame) pair for the local normalizer, fixing
+the matmul work at 2*B*T*(U+1)*h*V FLOPs forward. With the rematerialized
+backward (recompute + d(joint) + d(vocab_w) ~ 3 more such matmuls) the
+headline-shape step (B=32 T=1600 U=100 V=1024 h=512) is ~21.7 TFLOP
+=> 110 ms at the v5e's 197 TFLOP/s bf16 peak, 129 ms at the 168 TFLOP/s
+a bare chained-matmul loop measures (ops/README.md).
+
+This script times the full HAT train step (loss fwd+bwd) and the
+label_weights stage alone (fwd and fwd+bwd), printing the % of the
+matmul floor. Round-4 change measured here: scanning label_weights over
+FRAMES instead of label positions (same FLOPs, ~16x smaller per-step
+logits, 6.6 MB instead of 105 MB reverse-scan carry).
+
+Usage: python benchmarks/tpu_hat_numerator_bench.py
+
+Results (v5e, 2026-08-17, round 4):
+  position-major (round 2/3): full HAT step 420.7 ms (26% of peak floor)
+  frame-major   (round 4):    full HAT step 258.9 ms -> 197.8k frames/s
+    (43% of peak floor / 50% of measured-achievable); label_weights
+    fwd+bwd alone 257.2 ms — the step IS label_weights; the string DP
+    adds ~2 ms. (label_weights "fwd only" reads 138.7 ms, but that
+    jit keeps the non-remat layout; the training-relevant number is
+    fwd+bwd.)
+  The ~2x residual over the matmul floor is transcendental/VPU-bound,
+  not matmul-bound: per step the VPU evaluates ~5.3G exp (the local
+  normalizers) + 5.3G tanh forward and ~2x that again under the remat
+  backward, and the [*, U1, V] logsumexp keeps XLA from folding
+  everything into the matmul epilogue. Closing further needs a fused
+  Pallas numerator kernel that reuses the denominator kernels'
+  exp-space-cache trick (one exp pass per logit, matvec reductions) —
+  a documented follow-up, not attempted at 1.63x already in hand.
+"""
+
+import sys
+import time
+
+import jax
+
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, '/root/repo')
+
+import last_torch_tpu  # noqa: E402
+from last_torch_tpu import alignments, contexts, weight_fns  # noqa: E402
+
+B, T, U, V, H = 32, 1600, 100, 1024, 512
+PEAK, ACH = 197e12, 168e12
+
+
+def time_fn(fn, *args, iters=3):
+  jax.block_until_ready(fn(*args))
+  times = []
+  for _ in range(iters):
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(*args))
+    times.append(time.perf_counter() - t0)
+  return float(np.median(times))
+
+
+def main():
+  if jax.default_backend() not in ('tpu', 'axon'):
+    raise SystemExit(f'needs TPU hardware, got {jax.default_backend()}')
+  context = contexts.FullNGram(vocab_size=V, context_size=1)
+  lattice = last_torch_tpu.RecognitionLattice(
+      context=context,
+      alignment=alignments.FrameLabelDependent(max_expansions=2),
+      weight_fn_cacher_factory=lambda ctx: weight_fns.SharedEmbCacher(
+          num_context_states=ctx.shape()[0], embedding_size=H),
+      weight_fn_factory=lambda ctx: weight_fns.LocallyNormalizedWeightFn(
+          weight_fns.JointWeightFn(vocab_size=V, hidden_size=H,
+                                   compute_dtype=jnp.bfloat16)))
+  params = lattice.init(jax.random.PRNGKey(0), feature_size=H)
+  cache = lattice.build_cache(params)
+  rng = np.random.default_rng(0)
+  frames = jnp.asarray(rng.normal(size=(B, T, H)) * 0.1, jnp.float32)
+  nf = jnp.full((B,), T, jnp.int32)
+  labels = jnp.asarray(rng.integers(1, V + 1, size=(B, U)), jnp.int32)
+  nl = jnp.full((B,), U, jnp.int32)
+
+  states = context.walk_states(labels)
+  next_labels = jnp.concatenate([labels, jnp.ones_like(labels[:, :1])],
+                                axis=-1)
+
+  fwd_floor = 2 * B * T * (U + 1) * H * V / PEAK
+  step_floor = 4 * 2 * B * T * (U + 1) * H * V / PEAK
+
+  lw_fwd = jax.jit(lambda p, f: sum(
+      jnp.sum(x) for x in lattice.weight_fn.label_weights(
+          p['weight_fn'], cache, f, states, next_labels)))
+  t = time_fn(lw_fwd, params, frames)
+  print(f'label_weights fwd: {t * 1e3:.1f} ms '
+        f'({fwd_floor / t * 100:.0f}% of the {fwd_floor * 1e3:.1f} ms '
+        'peak-matmul floor)', flush=True)
+
+  lw_bwd = jax.jit(jax.value_and_grad(lambda p, f: sum(
+      jnp.sum(x) for x in lattice.weight_fn.label_weights(
+          p['weight_fn'], cache, f, states, next_labels))))
+  t = time_fn(lambda p, f: lw_bwd(p, f)[0], params, frames)
+  print(f'label_weights fwd+bwd: {t * 1e3:.1f} ms '
+        f'({step_floor / t * 100:.0f}% of the {step_floor * 1e3:.1f} ms '
+        'peak floor)', flush=True)
+
+  hat_fn = jax.jit(jax.value_and_grad(lambda p, f: jnp.sum(
+      lattice(p, f, nf, labels, nl))))
+  t = time_fn(lambda p, f: hat_fn(p, f)[0], params, frames)
+  ach_floor = step_floor * PEAK / ACH
+  print(f'HAT train step (loss fwd+bwd): {t * 1e3:.1f} ms -> '
+        f'{B * T / t / 1e3:.1f}k frames/s/chip '
+        f'({step_floor / t * 100:.0f}% of peak floor, '
+        f'{ach_floor / t * 100:.0f}% of measured-achievable floor)',
+        flush=True)
+
+
+if __name__ == '__main__':
+  main()

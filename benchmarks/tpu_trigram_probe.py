@@ -106,6 +106,40 @@ def main():
   print(f'max possible fused speedup ~{step_ms / max(floor_ms, 1e-9):.2f}x',
         flush=True)
 
+  if '--decompose' in sys.argv:
+    # Where do the 134 ms go? Time the pieces of the scan step.
+    cache = lattice.build_cache(params)
+
+    def weights_only(params, frames):
+      # Just the per-frame joint + heads, reduced to force execution.
+      def step(carry, frame):
+        blank, lexical = lattice.weight_fn.apply(params['weight_fn'],
+                                                 cache, frame)
+        return carry + jnp.sum(blank) + jnp.sum(lexical), None
+      total, _ = jax.lax.scan(step, jnp.zeros(()),
+                              jnp.moveaxis(frames, -2, 0))
+      return total
+
+    wfn = jax.jit(weights_only)
+    jax.block_until_ready(wfn(params, frames))
+    times = []
+    for _ in range(3):
+      t0 = time.monotonic()
+      jax.block_until_ready(wfn(params, frames))
+      times.append(time.monotonic() - t0)
+    print(f'  weights-only scan (joint+heads, no DP): '
+          f'{float(np.median(times)) * 1e3:.1f} ms', flush=True)
+
+    fwd_fn = jax.jit(total_loss)
+    jax.block_until_ready(fwd_fn(params, frames))
+    times = []
+    for _ in range(3):
+      t0 = time.monotonic()
+      jax.block_until_ready(fwd_fn(params, frames))
+      times.append(time.monotonic() - t0)
+    print(f'  loss forward only: {float(np.median(times)) * 1e3:.1f} ms',
+          flush=True)
+
   # The segment-major fused trigram kernel pair (ops/trigram_scan.py),
   # force-enabled: it is gated off by default on hardware (measured
   # slower than XLA; see the module note).

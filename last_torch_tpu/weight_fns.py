@@ -218,11 +218,20 @@ class LocallyNormalizedWeightFn(WeightFn[T]):
   def label_weights(self, params, cache, frames, states, next_labels):
     # Fast numerator path for the locally normalized (e.g. HAT) loss —
     # the reference's cheap training path, where the loss is numerator-only
-    # (reference ``lattices.py:178-179``). Per label position u the full
-    # vocab head runs ONCE to obtain the local normalizer, the needed
-    # label column is gathered from the same tensor (so normalizer and
-    # column are exactly consistent), and the per-position [*, T, V]
-    # logits are rematerialized rather than saved for autodiff. Covers
+    # (reference ``lattices.py:178-179``). The full vocab head must run
+    # once per (label position, frame) pair to obtain the local
+    # normalizer, so the matmul FLOPs are fixed at 2*B*T*(U+1)*h*V; what
+    # is free is the loop order. Scanning over FRAMES (not positions)
+    # keeps every per-step tensor small — the [*, U+1, V] logits are
+    # ~16x smaller than the [*, T, V] a position-major scan materializes
+    # at headline shapes, and reverse-mode's carried cotangent is the
+    # [*, U+1, h] projected-context gradient (6.6 MB) instead of the
+    # [*, T, h] projected-frames gradient (105 MB). Measured on v5e at
+    # headline shapes: the full HAT train step went 420.7 ms -> 258.9 ms
+    # (1.63x; benchmarks/tpu_hat_numerator_bench.py, BASELINE.md).
+    # The needed label column is gathered from the same logits tensor
+    # (normalizer and column exactly consistent), and each step is
+    # rematerialized rather than saved for autodiff. Covers
     # JointWeightFn inner weight functions with the two standard
     # normalizers; anything else falls back to the generic route.
     if type(self.weight_fn) is not JointWeightFn:
@@ -235,16 +244,13 @@ class LocallyNormalizedWeightFn(WeightFn[T]):
     projected_frames = wf._mm(frames, params['frame_proj'])
     projected_context = wf._mm(cache, params['context_proj'])[states]
 
-    def per_position(carry, inputs):
-      pc_u, y_u = inputs  # [batch..., h], [batch...]
-      joint = jnp.tanh(pc_u[..., None, :] + projected_frames)  # [.., T, h]
+    def per_frame(carry, pf_t):  # pf_t: [batch..., h]
+      joint = jnp.tanh(projected_context + pf_t[..., None, :])  # [.., U1, h]
       blank = wf._mm(joint, params['blank_w'][:, None])[..., 0] + params[
           'blank_b']
       lex = wf._mm(joint, params['vocab_w']) + params['vocab_b']
-      z = jax.scipy.special.logsumexp(lex, axis=-1)  # [batch..., T]
-      lex_y = jnp.take_along_axis(
-          lex, jnp.broadcast_to(y_u[..., None, None],
-                                lex.shape[:-1] + (1,)), axis=-1)[..., 0]
+      z = jax.scipy.special.logsumexp(lex, axis=-1)  # [batch..., U1]
+      lex_y = jnp.take_along_axis(lex, y[..., None], axis=-1)[..., 0]
       if hat:
         nb = jax.nn.log_sigmoid(blank)
         nl = lex_y - z + jax.nn.log_sigmoid(-blank)
@@ -254,15 +260,13 @@ class LocallyNormalizedWeightFn(WeightFn[T]):
         nl = lex_y - z_all
       return carry, (nb, nl)
 
-    to_front = lambda x: jnp.moveaxis(x, -2, 0)
-    # Rematerialize: the [*, T, V] per-position logits must not be saved.
+    # Rematerialize: the per-frame [*, U1, V] logits must not be saved.
     _, (blank, lexical) = jax.lax.scan(
-        jax.checkpoint(per_position,
+        jax.checkpoint(per_frame,
                        policy=jax.checkpoint_policies.nothing_saveable),
-        (),
-        (to_front(projected_context), jnp.moveaxis(y, -1, 0)))
-    # [U1, batch..., T] -> [batch..., U1, T]
-    from_front = lambda x: jnp.moveaxis(x, 0, -2)
+        (), jnp.moveaxis(projected_frames, -2, 0))
+    # [T, batch..., U1] -> [batch..., U1, T]
+    from_front = lambda x: jnp.moveaxis(x, 0, -1)
     return from_front(blank), from_front(lexical)
 
 

@@ -352,6 +352,29 @@ class TestBeam:
       beam.nbest(state, 5)
 
 
+def test_beam_quality_invariants():
+  """Score-regret contract vs offline Viterbi (merge='max'): a beam
+  hypothesis score is a max over a SUBSET of alignment paths, so it can
+  never exceed the shortest_path weight, and regret must shrink with
+  width (benchmarks/beam_quality.py measures the full table)."""
+  lattice = build(alignments.FrameDependent(), vocab=4)
+  params = lattice.init(jax.random.PRNGKey(0), feature_size=8)
+  frames = jax.random.normal(jax.random.PRNGKey(1), (4, 6, 8))
+  num_frames = jnp.array([6, 6, 4, 3])
+  _, _, w_v = lattice.shortest_path(params, frames, num_frames)
+
+  regrets = []
+  for beam in (1, 8):
+    dec = streaming.StreamingBeamDecoder(lattice, beam_size=beam,
+                                         max_labels=6, merge='max')
+    state = dec.step(params, dec.init_state(4), frames, num_frames)
+    _, _, score = dec.best(state)
+    excess = np.asarray(score) - np.asarray(w_v)
+    assert float(excess.max()) < 1e-4, 'beam score exceeds Viterbi'
+    regrets.append(float(np.maximum(-excess, 0).mean()))
+  assert regrets[1] <= regrets[0] + 1e-6
+
+
 @pytest.mark.parametrize('make_context', [
     lambda: contexts.FullNGram(vocab_size=3, context_size=2),
     lambda: contexts.NextStateTable(
