@@ -88,13 +88,28 @@ def _decode_checksum(decoded):
   return jnp.sum(labels) + jnp.sum(num) + jnp.sum(path_weights)
 
 
+def _force(out):
+  """Forces execution: pulls one scalar leaf to the host.
+
+  ``jax.block_until_ready`` does not reliably block over the tunneled
+  backend (measured returning in 0.1 ms while the real step was 1.76 s —
+  round-4 diagnosis). Reading back a 0-d leaf guarantees the whole
+  program ran: outputs of one executable materialize together. Every
+  benched fn therefore reduces to (or includes) a scalar.
+  """
+  scalars = [l for l in jax.tree.leaves(out)
+             if getattr(l, 'ndim', None) == 0]
+  assert scalars, 'benched fn must produce at least one scalar output'
+  scalars[0].item()
+
+
 def time_fn(fn, *args, iters=3, warmup=1):
   for _ in range(warmup):
-    jax.block_until_ready(fn(*args))
+    _force(fn(*args))
   times = []
   for _ in range(iters):
     t0 = time.perf_counter()
-    jax.block_until_ready(fn(*args))
+    _force(fn(*args))
     times.append(time.perf_counter() - t0)
   return float(np.median(times))
 
@@ -104,28 +119,47 @@ def bench_headline():
   lattice, params = build_lattice(vocab=1024)
   batch = make_batch(32, 1600, 100, 1024)
 
-  def total_loss(params, frames):
-    return jnp.sum(lattice(params, frames, batch['num_frames'],
-                           batch['labels'], batch['num_labels']))
+  # Every batch field is a jit ARGUMENT, not a closure capture. Closing
+  # over device arrays embeds them as lowering-time constants, and
+  # materializing each constant is a device->host readback over the
+  # tunnel — measured 30.7 s vs 2.3 s for the args form under identical
+  # conditions, and up to 1096 s when the tunnel was degraded. This was
+  # the entire rounds-1-3 "cold compile tripled" mystery
+  # (BASELINE.md "cold compile" note); trace+lower proper is ~2 s.
+  def total_loss(params, frames, num_frames, labels, num_labels):
+    return jnp.sum(lattice(params, frames, num_frames, labels, num_labels))
 
   grad_fn = jax.jit(jax.value_and_grad(total_loss, argnums=(0, 1)))
   # Split the cold cost into its phases so a persistent-cache miss (the
   # backend-compile phase explodes) is distinguishable from tunnel
-  # slowness (the first-step phase) and from tracing growth.
+  # slowness (the first-step phase) and from tracing growth. Log the
+  # host load too: with args-form lowering, a trace+lower blowup with
+  # loadavg > 1 on this 1-core box means another process stole the CPU.
+  log(f'loadavg at compile start: {os.getloadavg()}')
+  args = (params, batch['frames'], batch['num_frames'], batch['labels'],
+          batch['num_labels'])
+  # Drain the async host->device uploads (105 MB of frames + params)
+  # BEFORE the timed phases: the first synchronous point otherwise pays
+  # the tunnel's entire backlog — measured 458.6 s once attributed to
+  # "first step". The drain time is logged as a tunnel-health signal.
+  td0 = time.perf_counter()
+  _force(jax.jit(lambda a: sum(
+      jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(a)))(args))
+  log(f'input upload drain: {time.perf_counter() - td0:.1f}s')
   t0 = time.perf_counter()
-  lowered = grad_fn.lower(params, batch['frames'])
+  lowered = grad_fn.lower(*args)
   t1 = time.perf_counter()
   compiled = lowered.compile()
   t2 = time.perf_counter()
-  jax.block_until_ready(compiled(params, batch['frames']))
+  _force(compiled(*args))
   t3 = time.perf_counter()
   compile_s = t3 - t0
   log(f'headline compile+first-step: {compile_s:.1f}s '
       f'(trace+lower {t1 - t0:.1f}s, backend compile {t2 - t1:.1f}s '
       f'[persistent-cache {"hit" if t2 - t1 < 30 else "MISS"}], '
-      f'first step {t3 - t2:.1f}s)')
+      f'first step {t3 - t2:.1f}s); loadavg now {os.getloadavg()}')
 
-  p50 = time_fn(compiled, params, batch['frames'], iters=3)
+  p50 = time_fn(compiled, *args, iters=3)
   frames_per_sec = 32 * 1600 / p50
   log(f'headline p50 step: {p50 * 1e3:.1f} ms; '
       f'{frames_per_sec:,.0f} frames/s/chip')
@@ -133,25 +167,42 @@ def bench_headline():
 
 
 def bench_secondary():
-  """BASELINE.json configs 1-4 + decode at headline shapes (stderr only)."""
+  """BASELINE.json configs 1-4 + decode at headline shapes (stderr only).
+
+  All batch arrays are jit ARGUMENTS (see bench_headline: closure
+  captures become lowering-time constants whose device->host readback
+  over the tunnel dominated rounds 1-3 cold times).
+  """
   results = {}
+
+  def loss_args(lat):
+    return jax.jit(lambda p, f, nf, l, nl: jnp.sum(lat(p, f, nf, l, nl)))
+
+  def grad_args(lat):
+    return jax.jit(jax.value_and_grad(
+        lambda p, f, nf, l, nl: jnp.sum(lat(p, f, nf, l, nl))))
+
+  def decode_args(lat):
+    # Decode outputs reduce to a scalar inside jit: on the tunneled
+    # backend block_until_ready does not reliably block on multi-array
+    # int outputs.
+    return jax.jit(lambda p, f, nf: _decode_checksum(
+        lat.shortest_path(p, f, nf)))
+
+  def batch_args(b):
+    return (b['frames'], b['num_frames'], b['labels'], b['num_labels'])
 
   # Config 1: tiny FrameDependent + FullNGram(1) log loss, B=2 T=8 U=4 V=8.
   lattice, params = build_lattice(vocab=8, hidden=64, emb=64, feature=64,
                                   max_expansions=0)
   b = make_batch(2, 8, 4, 8, feature=64)
-  loss_fn = jax.jit(lambda p, f: jnp.sum(
-      lattice(p, f, b['num_frames'], b['labels'], b['num_labels'])))
   results['1_tiny_loss_ms'] = round(
-      time_fn(loss_fn, params, b['frames']) * 1e3, 2)
+      time_fn(loss_args(lattice), params, *batch_args(b)) * 1e3, 2)
 
   # Config 2: MaxTropical Viterbi + backtrace on the same tiny lattice.
-  # Decode outputs reduce to a scalar inside jit: on the tunneled backend
-  # block_until_ready does not reliably block on multi-array int outputs.
-  sp_fn = jax.jit(lambda p, f: _decode_checksum(
-      lattice.shortest_path(p, f, b['num_frames'])))
   results['2_tiny_viterbi_ms'] = round(
-      time_fn(sp_fn, params, b['frames']) * 1e3, 2)
+      time_fn(decode_args(lattice), params, b['frames'],
+              b['num_frames']) * 1e3, 2)
 
   # Config 3: globally-normalized loss, FullNGram(2) + TableWeightFn,
   # B=8 T=100 V=32 (exact-table lattice; 1057 context states).
@@ -169,10 +220,10 @@ def bench_secondary():
   nf3 = jnp.full((8,), 100, jnp.int32)
   labels3 = jnp.asarray(rng.integers(1, 33, size=(8, 20)), jnp.int32)
   nl3 = jnp.full((8,), 20, jnp.int32)
-  loss3 = jax.jit(
-      lambda p, f: jnp.sum(lattice3(p, f, nf3, labels3, nl3, cache=None)))
+  loss3 = jax.jit(lambda p, f, nf, l, nl: jnp.sum(
+      lattice3(p, f, nf, l, nl, cache=None)))
   results['3_trigram_table_loss_ms'] = round(
-      time_fn(loss3, params3, frames3) * 1e3, 2)
+      time_fn(loss3, params3, frames3, nf3, labels3, nl3) * 1e3, 2)
 
   # Config 4: Expectation-semiring shortest distance (path entropy),
   # B=16 T=400, locally-normalized bigram V=64.
@@ -182,26 +233,25 @@ def bench_secondary():
   b4 = make_batch(16, 400, 10, 64, feature=128)
   sr = semirings.LogLogExpectation
   lift = lambda w: sr.weighted(w, jnp.log(jnp.maximum(-w, 1e-30)))
-  ent_fn = jax.jit(lambda p, f: lattice4.shortest_distance(
-      p, f, b4['num_frames'], semiring=sr, weight_lift=lift))
+  ent_fn = jax.jit(lambda p, f, nf: sum(
+      jnp.sum(x) for x in jax.tree.leaves(lattice4.shortest_distance(
+          p, f, nf, semiring=sr, weight_lift=lift))))
   results['4_expectation_entropy_ms'] = round(
-      time_fn(ent_fn, params4, b4['frames']) * 1e3, 2)
+      time_fn(ent_fn, params4, b4['frames'], b4['num_frames']) * 1e3, 2)
 
   # Config 6: locally-normalized decode at headline shapes (the in-kernel
   # hat-normalized tropical path).
   lattice6, params6 = build_lattice(vocab=1024, locally_normalized=True)
   b6 = make_batch(32, 1600, 100, 1024)
-  sp6 = jax.jit(lambda p, f: _decode_checksum(
-      lattice6.shortest_path(p, f, b6['num_frames'])))
   results['6_local_decode_ms'] = round(
-      time_fn(sp6, params6, b6['frames']) * 1e3, 1)
+      time_fn(decode_args(lattice6), params6, b6['frames'],
+              b6['num_frames']) * 1e3, 1)
 
   # Decode throughput at headline shapes (scalar checksum, see config 2).
   lattice5, params5 = build_lattice(vocab=1024)
   b5 = make_batch(32, 1600, 100, 1024)
-  sp5 = jax.jit(lambda p, f: _decode_checksum(
-      lattice5.shortest_path(p, f, b5['num_frames'])))
-  p50 = time_fn(sp5, params5, b5['frames'])
+  p50 = time_fn(decode_args(lattice5), params5, b5['frames'],
+                b5['num_frames'])
   results['5_decode_ms'] = round(p50 * 1e3, 1)
   results['5_decode_frames_per_sec'] = round(32 * 1600 / p50)
 
@@ -209,17 +259,16 @@ def bench_secondary():
   # numerator-only loss via the LocallyNormalizedWeightFn fast path.
   lattice7, params7 = build_lattice(vocab=1024, locally_normalized=True)
   b7 = make_batch(32, 1600, 100, 1024)
-  hat_fn = jax.jit(jax.value_and_grad(lambda p, f: jnp.sum(
-      lattice7(p, f, b7['num_frames'], b7['labels'], b7['num_labels']))))
-  p50 = time_fn(lambda p, f: hat_fn(p, f)[0], params7, b7['frames'])
+  hat_fn = grad_args(lattice7)
+  p50 = time_fn(lambda *a: hat_fn(*a)[0], params7, *batch_args(b7))
   results['7_hat_train_ms'] = round(p50 * 1e3, 1)
   results['7_hat_train_frames_per_sec'] = round(32 * 1600 / p50)
 
   # Config 8: per-frame label posteriors (confidence API) at headline
   # shapes — the fused marginals kernel.
-  lm_fn = jax.jit(lambda p, f: sum(
-      jnp.sum(x) for x in lattice5.label_marginals(p, f, b5['num_frames'])))
-  p50 = time_fn(lm_fn, params5, b5['frames'])
+  lm_fn = jax.jit(lambda p, f, nf: sum(
+      jnp.sum(x) for x in lattice5.label_marginals(p, f, nf)))
+  p50 = time_fn(lm_fn, params5, b5['frames'], b5['num_frames'])
   results['8_label_marginals_ms'] = round(p50 * 1e3, 1)
 
   # Config 9: V=4096 bigram loss fwd+bwd (16x the headline lexical work)
@@ -227,28 +276,24 @@ def bench_secondary():
   # VMEM-cache ceiling; reduced batch/T keep the bench step bounded.
   lattice9, params9 = build_lattice(vocab=4096)
   b9 = make_batch(8, 200, 50, 4096)
-  loss9 = jax.jit(jax.value_and_grad(lambda p, f: jnp.sum(
-      lattice9(p, f, b9['num_frames'], b9['labels'], b9['num_labels']))))
-  p50 = time_fn(lambda p, f: loss9(p, f)[0], params9, b9['frames'],
+  loss9 = grad_args(lattice9)
+  p50 = time_fn(lambda *a: loss9(*a)[0], params9, *batch_args(b9),
                 iters=2)
   results['9_v4096_loss_ms'] = round(p50 * 1e3, 1)
   results['9_v4096_frames_per_sec'] = round(8 * 200 / p50)
 
   # Config 10: V=4096 Viterbi decode (lex-cache recompute mode).
-  sp9 = jax.jit(lambda p, f: _decode_checksum(
-      lattice9.shortest_path(p, f, b9['num_frames'])))
   results['10_v4096_decode_ms'] = round(
-      time_fn(sp9, params9, b9['frames'], iters=2) * 1e3, 1)
+      time_fn(decode_args(lattice9), params9, b9['frames'],
+              b9['num_frames'], iters=2) * 1e3, 1)
 
   # Config 11: ctc-like training (context_size=0, a single context state)
   # — structurally outside the fused kernels' bigram scope; records that
   # the XLA path is adequate there (S=1 makes the lexical work trivial).
   lattice11, params11 = build_lattice(vocab=1024, context_size=0)
   b11 = make_batch(32, 1600, 100, 1024)
-  loss11 = jax.jit(jax.value_and_grad(lambda p, f: jnp.sum(
-      lattice11(p, f, b11['num_frames'], b11['labels'],
-                b11['num_labels']))))
-  p50 = time_fn(lambda p, f: loss11(p, f)[0], params11, b11['frames'],
+  loss11 = grad_args(lattice11)
+  p50 = time_fn(lambda *a: loss11(*a)[0], params11, *batch_args(b11),
                 iters=2)
   results['11_ctc_like_train_ms'] = round(p50 * 1e3, 1)
   results['11_ctc_like_path'] = lattice11.last_path
@@ -278,9 +323,12 @@ def main():
       'value': round(frames_per_sec, 1),
       'unit': 'frames/s/chip',
       'vs_baseline': round(vs_baseline, 2) if vs_baseline else None,
-      # Compile+first-step seconds: ~100 s warm (.jax_cache hit), ~350 s
-      # after a kernel rewrite invalidates the cache. Tracked so cache
-      # invalidation one-offs are distinguishable from regressions.
+      # Compile+first-step seconds: ~10 s warm (.jax_cache hit), ~60 s
+      # after a kernel rewrite invalidates the cache, plus tunnel
+      # variance. Rounds 1-3 reported 104/356/1237 s here; that was
+      # device->host readback of closure-captured batch constants at
+      # lowering time (fixed: batches are jit arguments now), not
+      # compile growth — see BASELINE.md "cold compile" note.
       'compile_first_step_s': round(compile_s, 1),
   }))
 

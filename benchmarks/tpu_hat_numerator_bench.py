@@ -56,12 +56,19 @@ B, T, U, V, H = 32, 1600, 100, 1024, 512
 PEAK, ACH = 197e12, 168e12
 
 
+def force(out):
+  # block_until_ready is unreliable over the tunneled backend (can return
+  # in 0.1 ms while the step still runs — bench.py `_force` diagnosis);
+  # pulling one scalar output leaf guarantees the program executed.
+  next(l for l in jax.tree.leaves(out) if l.ndim == 0).item()
+
+
 def time_fn(fn, *args, iters=3):
-  jax.block_until_ready(fn(*args))
+  force(fn(*args))
   times = []
   for _ in range(iters):
     t0 = time.perf_counter()
-    jax.block_until_ready(fn(*args))
+    force(fn(*args))
     times.append(time.perf_counter() - t0)
   return float(np.median(times))
 

@@ -61,15 +61,18 @@ def step_time(model, batch, max_t, label=''):
 
   step = jax.jit(lambda s: gnat.train_step(model, optimizer, s, frames,
                                            nf, labels, nl))
+  # .item() forces execution; block_until_ready is unreliable over the
+  # tunneled backend (bench.py `_force` diagnosis).
   t0 = time.monotonic()
-  state, loss = jax.block_until_ready(step(state))
+  state, loss = step(state)
+  loss = loss.item()
   compile_s = time.monotonic() - t0
-  assert np.isfinite(float(loss)), float(loss)
+  assert np.isfinite(loss), loss
   times = []
   for _ in range(3):
     t0 = time.monotonic()
     state, loss = step(state)
-    jax.block_until_ready(loss)
+    loss = loss.item()
     times.append(time.monotonic() - t0)
   ms = float(np.median(times)) * 1e3
   fps = batch * max_t / (ms / 1e3)

@@ -62,11 +62,13 @@ def main():
       return jnp.sum(c[0])
 
     fn = jax.jit(f)
-    jax.block_until_ready(fn(weights))
+    # .item() forces execution; block_until_ready is unreliable over the
+    # tunneled backend (bench.py `_force` diagnosis).
+    fn(weights).item()
     times = []
     for _ in range(3):
       t0 = time.monotonic()
-      jax.block_until_ready(fn(weights))
+      fn(weights).item()
       times.append(time.monotonic() - t0)
     return float(np.median(times)) * 1e3 / iters
 

@@ -72,13 +72,15 @@ def main():
     return jnp.sum(lattice(params, frames, num_frames, labels, num_labels))
 
   grad_fn = jax.jit(jax.value_and_grad(total_loss, argnums=(0, 1)))
+  # .item() forces execution; block_until_ready is unreliable over the
+  # tunneled backend (bench.py `_force` diagnosis).
   t0 = time.monotonic()
-  jax.block_until_ready(grad_fn(params, frames))
+  grad_fn(params, frames)[0].item()
   compile_s = time.monotonic() - t0
   times = []
   for _ in range(3):
     t0 = time.monotonic()
-    jax.block_until_ready(grad_fn(params, frames))
+    grad_fn(params, frames)[0].item()
     times.append(time.monotonic() - t0)
   step_ms = float(np.median(times)) * 1e3
 
@@ -121,21 +123,21 @@ def main():
       return total
 
     wfn = jax.jit(weights_only)
-    jax.block_until_ready(wfn(params, frames))
+    wfn(params, frames).item()
     times = []
     for _ in range(3):
       t0 = time.monotonic()
-      jax.block_until_ready(wfn(params, frames))
+      wfn(params, frames).item()
       times.append(time.monotonic() - t0)
     print(f'  weights-only scan (joint+heads, no DP): '
           f'{float(np.median(times)) * 1e3:.1f} ms', flush=True)
 
     fwd_fn = jax.jit(total_loss)
-    jax.block_until_ready(fwd_fn(params, frames))
+    fwd_fn(params, frames).item()
     times = []
     for _ in range(3):
       t0 = time.monotonic()
-      jax.block_until_ready(fwd_fn(params, frames))
+      fwd_fn(params, frames).item()
       times.append(time.monotonic() - t0)
     print(f'  loss forward only: {float(np.median(times)) * 1e3:.1f} ms',
           flush=True)
@@ -154,12 +156,13 @@ def main():
 
   fgrad = jax.jit(jax.value_and_grad(fused_loss, argnums=(0, 1)))
   t0 = time.monotonic()
-  (fval, fg) = jax.block_until_ready(fgrad(params, frames))
+  (fval, fg) = fgrad(params, frames)
+  fval.item()
   fcompile = time.monotonic() - t0
   times = []
   for _ in range(3):
     t0 = time.monotonic()
-    jax.block_until_ready(fgrad(params, frames))
+    fgrad(params, frames)[0].item()
     times.append(time.monotonic() - t0)
   fused_ms = float(np.median(times)) * 1e3
   print(f'FUSED kernel fwd+bwd step: {fused_ms:.1f} ms '
