@@ -102,6 +102,31 @@ def main():
         f'hidden={hidden} k={k}', flush=True)
   print(f'XLA fwd+bwd step: {step_ms:.1f} ms (compile {compile_s:.1f}s)',
         flush=True)
+  # In-process A/B vs the fused joint+head kernel (ops/joint_head.py;
+  # gated off by default after this probe measured it at 0.66x XLA —
+  # the module note records the numbers). Same process, so tunnel
+  # variance between runs cannot masquerade as a kernel win/loss.
+  from last_torch_tpu.ops import joint_head
+  joint_head.FORCE = True
+  try:
+    assert joint_head.supported(
+        lattice.weight_fn, jnp.zeros((num_states, emb)),
+        jnp.zeros((batch, hidden)), None), 'joint_head did not gate in'
+    jh_fn = jax.jit(jax.value_and_grad(total_loss, argnums=(0, 1)))
+    t0 = time.monotonic()
+    jh_fn(params, frames)[0].item()
+    jh_compile_s = time.monotonic() - t0
+    times = []
+    for _ in range(3):
+      t0 = time.monotonic()
+      jh_fn(params, frames)[0].item()
+      times.append(time.monotonic() - t0)
+    jh_ms = float(np.median(times)) * 1e3
+    print(f'XLA+joint_head (FORCE) fwd+bwd step: {jh_ms:.1f} ms '
+          f'(compile {jh_compile_s:.1f}s) -> joint_head is '
+          f'{step_ms / jh_ms:.2f}x over plain XLA', flush=True)
+  finally:
+    joint_head.FORCE = False
   print(f'fused matmul floor (optimistic): {floor_ms:.1f} ms; '
         f'XLA HBM estimate for lexical traffic: {hbm_ms:.1f} ms',
         flush=True)

@@ -15,4 +15,5 @@
 """Pallas (Mosaic) TPU kernels for the recognition-lattice hot loops."""
 
 from last_torch_tpu.ops import fused_scan
+from last_torch_tpu.ops import joint_head
 from last_torch_tpu.ops import viterbi

@@ -41,6 +41,7 @@ from typing import Any, Callable, Generic, Optional, TypeVar
 import jax
 import jax.numpy as jnp
 
+from last_torch_tpu.ops import joint_head
 from last_torch_tpu.utils import rnn
 
 T = TypeVar('T')
@@ -325,6 +326,13 @@ class JointWeightFn(WeightFn[jnp.ndarray]):
 
   def apply(self, params, cache, frame, state=None):
     context_embeddings = cache
+    if joint_head.supported(self, cache, frame, state):
+      # Fused joint+head Pallas kernel: on TPU the [batch, states, hidden]
+      # joint tensor of the einsum route below is HBM traffic that
+      # dominates large-S XLA lattice paths (trigram+, NextStateTable
+      # DFAs); the kernel keeps it in VMEM. Same values up to MXU
+      # contraction order.
+      return joint_head.blank_lexical(self, params, cache, frame)
     if state is None:
       # [batch..., 1, hidden] + [num_states, hidden] broadcast.
       projected_frame = self._mm(frame, params['frame_proj'])[..., None, :]
