@@ -20,20 +20,22 @@ Usage: python benchmarks/tpu_hat_numerator_bench.py
 
 Results (v5e, 2026-08-17, round 4):
   position-major (round 2/3): full HAT step 420.7 ms (26% of peak floor)
-  frame-major   (round 4):    full HAT step 258.9 ms -> 197.8k frames/s
-    (43% of peak floor / 50% of measured-achievable); label_weights
-    fwd+bwd alone 257.2 ms — the step IS label_weights; the string DP
-    adds ~2 ms. (label_weights "fwd only" reads 138.7 ms, but that
-    jit keeps the non-remat layout; the training-relevant number is
-    fwd+bwd.)
-  The ~2x residual over the matmul floor is transcendental/VPU-bound,
-  not matmul-bound: per step the VPU evaluates ~5.3G exp (the local
-  normalizers) + 5.3G tanh forward and ~2x that again under the remat
-  backward, and the [*, U1, V] logsumexp keeps XLA from folding
-  everything into the matmul epilogue. Closing further needs a fused
-  Pallas numerator kernel that reuses the denominator kernels'
-  exp-space-cache trick (one exp pass per logit, matvec reductions) —
-  a documented follow-up, not attempted at 1.63x already in hand.
+  frame-major XLA scan:       full HAT step 258.9-264.7 ms -> 197.8k
+    frames/s (43% of peak floor / 50% of measured-achievable)
+  fused numerator kernel (ops/numerator_scan.py, whole-sequence
+  pallas_call, T in the grid): full HAT step 216.2-218.1 ms ->
+    ~236k frames/s (51% of peak floor / 60% of measured-achievable),
+    1.22x the XLA scan in a same-process A/B (--ab flag); grads within
+    1.1e-3 of global scale at the shared bf16 contract. Forward alone
+    82.9 ms. Variants measured and rejected on hardware: B-step fori
+    joint build (226.8 ms step), exact 0/1 selector matmuls at
+    precision=highest (296.6 ms), FRAMES_PER_CELL=2 unroll (216.2 ms —
+    a wash; Mosaic does not software-pipeline across the unrolled
+    frames). Position: the kernel sits at ~92% of its SERIAL
+    MXU+VPU floor (matmul ~21 us/frame + irreducible exp/tanh/reduce
+    VPU work ~25-30 us/frame that cannot overlap within a frame); the
+    remaining documented lever is cross-frame MXU/VPU software
+    pipelining, which this Mosaic does not do automatically.
 """
 
 import sys
@@ -120,11 +122,49 @@ def main():
       lattice(p, f, nf, labels, nl))))
   t = time_fn(lambda p, f: hat_fn(p, f)[0], params, frames)
   ach_floor = step_floor * PEAK / ACH
-  print(f'HAT train step (loss fwd+bwd): {t * 1e3:.1f} ms -> '
+  from last_torch_tpu.ops import numerator_scan
+  label = ('fused numerator kernel'
+           if numerator_scan.supported(
+               lattice.weight_fn.weight_fn, cache, frames,
+               jnp.zeros((B, U + 1), jnp.int32),
+               jnp.zeros((B, U + 1), jnp.int32)) else 'XLA scan')
+  print(f'HAT train step ({label}, loss fwd+bwd): {t * 1e3:.1f} ms -> '
         f'{B * T / t / 1e3:.1f}k frames/s/chip '
         f'({step_floor / t * 100:.0f}% of peak floor, '
         f'{ach_floor / t * 100:.0f}% of measured-achievable floor)',
         flush=True)
+
+  if '--ab' in sys.argv and label == 'fused numerator kernel':
+    # Same-process A/B: the XLA frame-major scan route, so tunnel
+    # variance between runs cannot masquerade as a kernel win/loss.
+    numerator_scan.DISABLE = True
+    try:
+      plain_fn = jax.jit(jax.value_and_grad(lambda p, f: jnp.sum(
+          lattice(p, f, nf, labels, nl))))
+      tp = time_fn(lambda p, f: plain_fn(p, f)[0], params, frames)
+      print(f'HAT train step (XLA scan route): {tp * 1e3:.1f} ms -> '
+            f'kernel is {tp / t:.2f}x', flush=True)
+      # Numerics: kernel-vs-XLA at the shared bf16 contract. Compared
+      # ON DEVICE (device_get of large grads over the tunnel is ~25KB/s).
+      # hat_fn's executable was compiled while the kernel was enabled, so
+      # calling it here still runs the kernel route.
+      vk, gk = hat_fn(params, frames)
+      vx, gx = plain_fn(params, frames)
+
+      @jax.jit
+      def gstats(gk, gx):
+        gscale = jnp.max(jnp.asarray(
+            [jnp.max(jnp.abs(x)) for x in jax.tree.leaves(gx)]))
+        gerr = jnp.max(jnp.asarray(
+            [jnp.max(jnp.abs(a - b))
+             for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gx))]))
+        return gerr / gscale
+
+      rel = abs(vk.item() - vx.item()) / max(abs(vx.item()), 1e-9)
+      print(f'kernel-vs-XLA: loss rel {rel:.1e}, grads within '
+            f'{gstats(gk, gx).item():.1e} of global scale', flush=True)
+    finally:
+      numerator_scan.DISABLE = False
 
 
 if __name__ == '__main__':

@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from last_torch_tpu.ops import joint_head
+from last_torch_tpu.ops import numerator_scan
 from last_torch_tpu.utils import rnn
 
 T = TypeVar('T')
@@ -241,6 +242,12 @@ class LocallyNormalizedWeightFn(WeightFn[T]):
       return None
     wf = self.weight_fn
     hat = self.normalize is hat_normalize
+    if numerator_scan.supported(wf, cache, frames, states, next_labels):
+      # Whole-sequence fused numerator kernel (T in the Pallas grid):
+      # same values/contract, keeps the per-frame [B, U+1, V] logits and
+      # joint in VMEM instead of HBM. See ops/numerator_scan.py.
+      return numerator_scan.label_weights(wf, params, cache, frames,
+                                          states, next_labels, hat)
     y = jnp.maximum(next_labels, 1) - 1  # [batch..., U1]
     projected_frames = wf._mm(frames, params['frame_proj'])
     projected_context = wf._mm(cache, params['context_proj'])[states]
