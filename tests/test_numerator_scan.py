@@ -178,6 +178,50 @@ def test_bf16_compute_dtype_close(interpret_kernel):
     assert float(jnp.abs(a - b).max()) <= 2e-2 * scale
 
 
+def test_time_sharded_loss_composition(interpret_kernel):
+  """The kernel engages inside the time-sharded relay's per-block
+  _string_weights (shard_map) and still equals the single-device loss."""
+  import numpy as onp
+  from last_torch_tpu.parallel import sequence
+  if len(jax.devices()) < 4:
+    pytest.skip('needs 4 (virtual) devices')
+  vocab, hidden, emb = 4, 128, 8
+  batch, max_t, max_u = 2, 8, 3
+  context = contexts.FullNGram(vocab_size=vocab, context_size=1)
+  lattice = last_torch_tpu.RecognitionLattice(
+      context=context,
+      alignment=alignments.FrameLabelDependent(max_expansions=1),
+      weight_fn_cacher_factory=lambda ctx: weight_fns.SharedEmbCacher(
+          num_context_states=ctx.shape()[0], embedding_size=emb),
+      weight_fn_factory=lambda ctx: weight_fns.LocallyNormalizedWeightFn(
+          weight_fns.JointWeightFn(vocab_size=vocab, hidden_size=hidden)),
+      fused='never')
+  params = lattice.init(jax.random.PRNGKey(0), feature_size=hidden)
+  rng = np.random.default_rng(7)
+  frames = jnp.asarray(rng.normal(size=(batch, max_t, hidden)), jnp.float32)
+  num_frames = jnp.asarray([max_t, max_t - 3], jnp.int32)
+  labels = jnp.asarray(rng.integers(1, vocab + 1, size=(batch, max_u)),
+                       jnp.int32)
+  num_labels = jnp.asarray([max_u, max_u - 1], jnp.int32)
+  mesh = jax.sharding.Mesh(onp.array(jax.devices()[:4]),
+                           axis_names=('seq',))
+
+  def single(params):
+    return jnp.sum(lattice(params, frames=frames, num_frames=num_frames,
+                           labels=labels, num_labels=num_labels))
+
+  def sharded(params):
+    return jnp.sum(sequence.loss_time_sharded(
+        lattice, params, frames, num_frames, labels, num_labels, mesh,
+        'seq'))
+
+  np.testing.assert_allclose(sharded(params), single(params), rtol=1e-5)
+  gs = jax.grad(single)(params)
+  gk = jax.grad(sharded)(params)
+  for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gs)):
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
 def test_supported_gate():
   wfn = weight_fns.JointWeightFn(vocab_size=8, hidden_size=128)
   cache = jnp.zeros((4, 8))
