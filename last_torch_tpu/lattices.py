@@ -121,16 +121,22 @@ class RecognitionLattice(Generic[T]):
     # XLA path; 'interpret': fused kernel in interpreter mode (testing).
     self.fused = fused
     # Which path the most recent dispatch took: None until the first call,
-    # then 'fused' or 'xla'. Dispatch happens at trace time, so this is
-    # accurate per traced call (see ``last_path``).
+    # then 'fused', 'xla' or 'xla-s1'. Dispatch happens at trace time, so
+    # this is accurate per traced call (see ``last_path``).
     self._last_path = None
+    # Single-context-state (S == 1, e.g. CTC-topology context_size=0)
+    # lattices take a scan-free factorized shortest-distance route (see
+    # ``_forward_s1``). Tests flip this off to A/B against the generic
+    # scan.
+    self._factorize_s1 = True
 
   @property
   def last_path(self) -> Optional[str]:
     """Which compute path the last lattice operation dispatched to.
 
     'fused' when the Pallas kernels were engaged, 'xla' for the generic
-    ``lax.scan`` path, None before any call. The decision is structural
+    ``lax.scan`` path, 'xla-s1' for the scan-free single-context-state
+    route (``_forward_s1``), None before any call. The decision is structural
     (made at trace time from the configuration), so with ``fused='auto'``
     this is the way to learn which path a given configuration takes —
     subclassed weight functions, unsupported semirings, masks, or
@@ -680,6 +686,29 @@ class RecognitionLattice(Generic[T]):
     context_next_labels = jnp.concatenate(
         [labels, jnp.ones_like(labels[..., :1])], axis=-1)
 
+    if self._factorize_s1 and self.context.shape()[0] == 1:
+      # S == 1: every label position shares the single context state, so
+      # ONE batched weight-fn application over all frames produces every
+      # weight the string DP needs; the per-position lexical weights are
+      # column gathers of the shared [T, vocab] head output. The generic
+      # routes below pay a full per-position weight computation (U+1
+      # applications) because context states differ position to position.
+      # ``state=0`` keeps outputs squeezed — no size-1 state axis for
+      # XLA's TPU layout padding to inflate 8x (see ``_forward_s1``).
+      state0 = jnp.zeros(labels.shape[:-1], jnp.int32)
+      blank, lexical = jax.vmap(
+          lambda f: self.weight_fn.apply(wf_params, cache, f, state0),
+          in_axes=-2, out_axes=(-1, -2))(frames)
+      # blank: [batch_dims..., T]; lexical: [batch_dims..., T, vocab].
+      # Position u needs the weight of its next label; label 0 (padding)
+      # is clamped to 1, those positions are never selected as final.
+      y = jnp.maximum(context_next_labels, 1)  # [batch_dims..., U+1]
+      lexical_y = jnp.take_along_axis(
+          lexical, (y - 1)[..., None, :], axis=-1)  # [batch..., T, U+1]
+      blank_w = jnp.broadcast_to(blank[..., None], lexical_y.shape)
+      # -> time-major [T, batch_dims..., U+1].
+      return jnp.moveaxis(blank_w, -2, 0), jnp.moveaxis(lexical_y, -2, 0)
+
     fast = self.weight_fn.label_weights(wf_params, cache, frames,
                                         context_states, context_next_labels)
     if fast is not None:
@@ -859,6 +888,13 @@ class RecognitionLattice(Generic[T]):
                            jnp.bfloat16),
             interpret=self.fused == 'interpret')
 
+    if self._s1_route(frames):
+      self._last_path = 'xla-s1'
+      return self._forward_s1(
+          wf_params=wf_params, cache=cache, frames=frames,
+          num_frames=num_frames, semiring=semiring,
+          blank_mask=blank_mask, lexical_mask=lexical_mask, lift=lift)
+
     self._last_path = 'xla'
     xs = {'frame': jnp.moveaxis(frames, -2, 0)}
     if blank_mask is not None:
@@ -913,6 +949,117 @@ class RecognitionLattice(Generic[T]):
     alpha_history = jax.tree.map(
         lambda x: jnp.moveaxis(x, 0, -2), alpha_0_to_T_minus_1)
     return semiring.sum(alpha_T, axis=-1), alpha_history
+
+  def _s1_route(self, frames) -> bool:
+    """Whether the scan-free S == 1 factorized forward applies — a
+    trace-time structural check (see ``_forward_s1``). The alignment
+    restriction mirrors the fused kernels': ``_forward_s1`` spells out
+    the per-frame factor algebra for the two alignment families."""
+    return (self._factorize_s1 and self.context.shape()[0] == 1
+            and frames.shape[-2] > 0
+            and isinstance(self.alignment,
+                           (alignments.FrameDependent,
+                            alignments.FrameLabelDependent)))
+
+  def _forward_s1(self, wf_params, cache, frames, num_frames, semiring,
+                  blank_mask, lexical_mask, lift):
+    """Scan-free shortest distance for single-context-state lattices.
+
+    With ``num_context_states == 1`` the alpha carry is one semiring
+    scalar per batch element, and the alignment forward step is linear
+    in alpha (lattice DPs are sums of products each containing alpha
+    exactly once), so the recursion factorizes by distributivity::
+
+      alpha_{t+1} = alpha_t (x) f_t,   f_t = forward(one, blank_t, lex_t)
+
+    The whole denominator then collapses to ONE batched weight-function
+    application over all frames (a single large MXU matmul instead of T
+    small ones inside a sequential scan), elementwise semiring algebra
+    for the per-frame factors ``f_t``, and a parallel cumulative
+    (x)-product (``lax.associative_scan``) for the alpha history —
+    nothing for XLA to serialize. This is the natural TPU shape of
+    CTC-topology models (``FullNGram(context_size=0)``); the reference
+    runs them through the same per-frame Python loop as every other
+    topology (reference ``lattices.py:560-580``).
+
+    Per-frame tie-breaking under ``MaxTropical`` is unchanged: within a
+    frame alpha is a common (x)-factor of every term ``plus`` compares,
+    so the argmax structure is identical to the scan route's; results
+    match the scan route up to float reassociation across time.
+
+    TPU layout note: every tensor here is kept at [batch..., T] /
+    [batch..., T, vocab] — the weight fn is applied with an explicit
+    ``state=0`` so no [..., 1, vocab] state axis is ever materialized
+    (XLA pads a size-1 second-minor axis to 8, an 8x HBM bloat on every
+    materialization — measured 33 ms vs 6 ms for this denominator).
+
+    Args and returns: as ``_forward`` (this is its S == 1
+    specialization; masks and ``weight_lift`` are fully supported).
+    """
+    num_align_states = self.alignment.num_states()
+    num_frames = jnp.asarray(num_frames)
+    batch_dims = num_frames.shape
+    max_num_frames = frames.shape[-2]
+
+    # One weight-fn application batched over all frames, pinned to the
+    # single context state so outputs come back squeezed. vmap over the
+    # time axis keeps weight functions whose ``apply`` pins the batch
+    # shape (e.g. TableWeightFn) working; for matmul-based weight
+    # functions it lowers to the same single large contraction as a
+    # directly batched apply.
+    state0 = jnp.zeros(batch_dims, jnp.int32)
+    blank, lexical = jax.vmap(
+        lambda f: self.weight_fn.apply(wf_params, cache, f, state0),
+        in_axes=-2, out_axes=(-1, -2))(frames)
+    # blank: [batch..., T]; lexical: [batch..., T, vocab].
+
+    blanks, lexical_sums = [], []
+    for i in range(num_align_states):
+      b, l = blank, lexical
+      if blank_mask is not None:
+        # [batch..., T, 1-or-S] with S == 1: drop the state axis.
+        b = b + blank_mask[i][..., 0]
+      if lexical_mask is not None:
+        # [batch..., T, 1-or-S, 1-or-V]: drop the state axis, keep V.
+        l = l + lexical_mask[i][..., 0, :]
+      blanks.append(lift(b))
+      # Total lexical weight out of the single state: (+)-reduce over
+      # the vocab (exactly FullNGram.forward_reduce at S == 1).
+      lexical_sums.append(semiring.sum(lift(l), axis=-1))
+
+    # Per-frame total arc weight from a unit alpha — the S == 1 algebra
+    # of alignment.forward on squeezed [batch..., T] values.
+    if isinstance(self.alignment, alignments.FrameDependent):
+      factor = semiring.plus(blanks[0], lexical_sums[0])
+    else:  # FrameLabelDependent (gate checks the alignment type).
+      terminated = [blanks[0]]
+      last = None
+      for i in range(self.alignment.max_expansions):
+        last = (lexical_sums[i] if last is None
+                else semiring.times(last, lexical_sums[i]))
+        terminated.append(semiring.times(last, blanks[i + 1]))
+      factor = semiring.sum(semirings.stack(terminated), axis=0)
+
+    # Padded frames multiply by the identity (the scan route carries
+    # alpha through them unchanged).
+    dtypes = semirings.value_dtype(factor)
+    one = semiring.ones(batch_dims + (max_num_frames,), dtypes)
+    is_padding = jnp.arange(max_num_frames) >= num_frames[..., None]
+    factor = semirings.where(is_padding, one, factor)
+
+    # Inclusive cumulative (x)-product along time, computed in parallel;
+    # its last element is alpha_T and a right-shift by one frame gives
+    # the alpha_{0..T-1} history ``_forward`` contracts to return
+    # ([batch..., T, 1] — the state axis reappears only here, on the
+    # history output).
+    time_axis = len(batch_dims)
+    cum = jax.lax.associative_scan(semiring.times, factor, axis=time_axis)
+    distance = jax.tree.map(lambda x: x[..., -1], cum)
+    init = semiring.ones(batch_dims + (1,), dtypes)
+    alpha_history = jax.tree.map(
+        lambda o, c: jnp.concatenate([o, c[..., :-1]], axis=-1)[..., None],
+        init, cum)
+    return distance, alpha_history
 
   def _forward_backward(self, params, cache, frames, num_frames):
     """Log-semiring shortest distance with backward-algorithm gradients.
@@ -972,6 +1119,16 @@ class RecognitionLattice(Generic[T]):
             vocab=self.context.vocab_size,
             compute_dtype=dtype,
             interpret=self.fused == 'interpret')
+
+    if self._s1_route(frames):
+      # S == 1 routes to the scan-free factorized forward, where plain
+      # autodiff through the elementwise semiring algebra is already
+      # optimal — the backward-algorithm custom VJP below only pays off
+      # against a sequential alpha scan.
+      log_z, _ = self._forward(
+          params=params, cache=cache, frames=frames,
+          num_frames=num_frames, semiring=semirings.Log)
+      return log_z
 
     @jax.custom_vjp
     def forward_backward(wf_params, cache, frames, num_frames):
