@@ -288,8 +288,9 @@ def bench_secondary():
               b9['num_frames'], iters=2) * 1e3, 1)
 
   # Config 11: ctc-like training (context_size=0, a single context state)
-  # — structurally outside the fused kernels' bigram scope; records that
-  # the XLA path is adequate there (S=1 makes the lexical work trivial).
+  # — structurally outside the fused kernels' bigram scope; takes the
+  # scan-free factorized S=1 route (lattices._forward_s1 + the one-apply
+  # string-weights fast path), reported by last_path as 'xla-s1'.
   lattice11, params11 = build_lattice(vocab=1024, context_size=0)
   b11 = make_batch(32, 1600, 100, 1024)
   loss11 = grad_args(lattice11)

@@ -1,0 +1,99 @@
+"""Unroll sweep for the numerator string-DP time scan (same-process A/B).
+
+The `_string_dp` scan body is ~10 elementwise [B, U+1] semiring ops per
+frame — far too little work to cover per-iteration while-loop overhead at
+T=1600 — so `lattices.STRING_DP_UNROLL` lets XLA fuse many frames per
+loop trip. This probe measures, on the real TPU chip at headline ctc-like
+shapes (B=32 T=1600 U=100), for unroll in {1, 4, 16, 64}:
+
+  - string DP forward only (precomputed [T, B, U+1] weights as jit args)
+  - string DP value+grad wrt the weights (the training cost)
+
+and, for context, the full numerator `_string_forward` fwd+bwd split
+(weights computation + DP) at S=1.
+
+Timing forces execution by pulling one scalar output leaf
+(`jax.block_until_ready` is unreliable over the axon tunnel).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/tpu_stringdp_probe.py
+"""
+
+import time
+
+import jax
+jax.config.update('jax_compilation_cache_dir', '.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+import jax.numpy as jnp
+import numpy as np
+
+import last_torch_tpu
+from last_torch_tpu import alignments, contexts, lattices, semirings
+from last_torch_tpu import weight_fns
+
+B, T, U, V, H = 32, 1600, 100, 1024, 512
+
+
+def build():
+  context = contexts.FullNGram(vocab_size=V, context_size=0)
+  return last_torch_tpu.RecognitionLattice(
+      context=context,
+      alignment=alignments.FrameLabelDependent(max_expansions=2),
+      weight_fn_cacher_factory=lambda ctx: weight_fns.SharedEmbCacher(
+          num_context_states=ctx.shape()[0], embedding_size=H),
+      weight_fn_factory=lambda ctx: weight_fns.JointWeightFn(
+          vocab_size=V, hidden_size=H))
+
+
+def force(tree):
+  return float(jnp.asarray(jax.tree.leaves(tree)[0]).reshape(-1)[0])
+
+
+def timeit(tag, fn, *args, iters=5):
+  force(fn(*args))  # compile + first step
+  times = []
+  for _ in range(iters):
+    t0 = time.perf_counter()
+    force(fn(*args))
+    times.append(time.perf_counter() - t0)
+  p50 = sorted(times)[len(times) // 2]
+  print(f'{tag}: p50 {p50 * 1e3:.2f} ms '
+        f'({[round(t * 1e3, 1) for t in times]})', flush=True)
+  return p50
+
+
+def main():
+  rng = np.random.default_rng(0)
+  lattice = build()
+
+  blank_w = jnp.asarray(rng.normal(size=(T, B, U + 1)), jnp.float32)
+  lex_w = jnp.asarray(rng.normal(size=(T, B, U + 1)), jnp.float32)
+  nf = jnp.full([B], T, jnp.int32)
+  nl = jnp.full([B], U, jnp.int32)
+
+  def dp(bw, lw):
+    return jnp.sum(lattice._string_dp(bw, lw, nf, nl, semirings.Log))
+
+  for unroll in (1, 4, 16, 64):
+    lattices.STRING_DP_UNROLL = unroll
+    fwd = jax.jit(dp)
+    bwd = jax.jit(jax.value_and_grad(dp, argnums=(0, 1)))
+    timeit(f'string DP fwd      [unroll={unroll:2d}]', fwd, blank_w, lex_w)
+    timeit(f'string DP fwd+bwd  [unroll={unroll:2d}]',
+           lambda bw, lw: bwd(bw, lw)[0], blank_w, lex_w)
+
+  # Full numerator at S=1 for the weights-vs-DP split.
+  params = lattice.init(jax.random.PRNGKey(0), feature_size=H)
+  frames = jnp.asarray(rng.normal(size=(B, T, H)), jnp.float32)
+  labels = jnp.asarray(rng.integers(1, V + 1, size=(B, U)), jnp.int32)
+  for unroll in (1, 64):
+    lattices.STRING_DP_UNROLL = unroll
+    numer = jax.jit(jax.value_and_grad(lambda p, f: jnp.sum(
+        lattice._string_forward(p, lattice.build_cache(p), f, nf, labels,
+                                nl, semirings.Log))))
+    timeit(f'numerator fwd+bwd  [unroll={unroll:2d}]',
+           lambda p, f: numer(p, f)[0], params, frames)
+  lattices.STRING_DP_UNROLL = 1
+
+
+if __name__ == '__main__':
+  main()

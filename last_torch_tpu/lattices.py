@@ -52,6 +52,14 @@ from last_torch_tpu import weight_fns
 DType = Any
 T = TypeVar('T')
 
+# Unroll factor for the numerator string-DP time scan (``_string_dp``).
+# The scan body is a handful of [batch, U+1] elementwise semiring ops —
+# far too little work to cover the TPU's per-iteration while-loop
+# overhead at production T, so unrolling lets XLA fuse many frames into
+# each loop trip. Overridable for A/B probes
+# (``benchmarks/tpu_stringdp_probe.py`` measures the sweep).
+STRING_DP_UNROLL = 1
+
 # A callable lifting plain arc weight arrays into semiring values, enabling
 # tuple-valued semirings (e.g. Expectation for entropy computation) to run
 # through the shortest-distance machinery. None means identity.
@@ -785,7 +793,8 @@ class RecognitionLattice(Generic[T]):
             shortest_distance_step,
             policy=jax.checkpoint_policies.nothing_saveable),
         (jnp.asarray(t_offset, jnp.int32), init_alpha),
-        (blank_weight, lexical_weight))
+        (blank_weight, lexical_weight),
+        unroll=min(STRING_DP_UNROLL, blank_weight.shape[0]))
     if not final_gather:
       return alpha
     is_final = num_labels[..., None] == jnp.arange(num_alpha_states)
