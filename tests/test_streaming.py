@@ -376,12 +376,18 @@ def test_beam_quality_invariants():
 
 
 @pytest.mark.parametrize('make_context', [
+    lambda: contexts.FullNGram(vocab_size=3, context_size=0),
     lambda: contexts.FullNGram(vocab_size=3, context_size=2),
     lambda: contexts.NextStateTable(
         contexts.FullNGram(vocab_size=3, context_size=1).next_state_table()),
 ])
 def test_streaming_decoders_generic_contexts(make_context):
-  """Greedy and beam work over any ContextDependency (not bigram-gated)."""
+  """Greedy and beam work over any ContextDependency (not bigram-gated).
+
+  Includes the single-state CTC topology (context_size=0), whose offline
+  Viterbi bound exercises the scan-free factorized route end to end
+  against the streaming decoders.
+  """
   context = make_context()
   lattice = last_torch_tpu.RecognitionLattice(
       context=context,
