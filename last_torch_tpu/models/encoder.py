@@ -198,24 +198,23 @@ class TransformerEncoder:
     new_history = ext[:, ext.shape[1] - (self.conv_kernel - 1):, :]
     return out, new_history
 
-  def apply(self, params: Params, frames: jnp.ndarray,
-            num_frames: jnp.ndarray) -> jnp.ndarray:
-    """Encodes frames.
-
-    Args:
-      params: Parameter pytree from ``init``.
-      frames: [batch, max_num_frames, feature_size] padded frames.
-      num_frames: [batch] number of valid frames.
-
-    Returns:
-      [batch, max_num_frames, model_size] encoded frames.
-    """
+  def embed(self, input_proj: jnp.ndarray,
+            frames: jnp.ndarray) -> jnp.ndarray:
+    """Input projection + fixed sinusoidal positions (block 0's input)."""
     max_t = frames.shape[-2]
-    mask = jnp.arange(max_t) < num_frames[..., None]  # [batch, T]
-    x = frames.astype(self.dtype) @ params['input_proj'].astype(self.dtype)
+    x = frames.astype(self.dtype) @ input_proj.astype(self.dtype)
     # Fixed sinusoidal positions; cheap, no parameters.
     pos = _sinusoidal_positions(max_t, self.model_size).astype(self.dtype)
-    x = x + pos
+    return x + pos
+
+  def attention_inputs(self, mask: jnp.ndarray):
+    """Per-sequence attention routing: (use_banded, attn_bias).
+
+    ``use_banded`` is a trace-time bool; ``attn_bias`` is the dense
+    [batch, 1, T, T] additive mask (None on the banded route, which
+    masks inside its blocks).
+    """
+    max_t = mask.shape[-1]
     use_banded = (self.causal and self.window and
                   (self.banded_attention if self.banded_attention
                    is not None else max_t > 2 * self.window))
@@ -233,48 +232,81 @@ class TransformerEncoder:
           visible &= q_pos[:, None] - q_pos[None, :] < self.window
         attn_bias = attn_bias + jnp.where(visible, 0.0,
                                           neg_inf)[None, None]
+    return use_banded, attn_bias
 
+  def block(self, layer: Params, x: jnp.ndarray, mask: jnp.ndarray,
+            attn_bias, use_banded: bool) -> jnp.ndarray:
+    """One encoder block (Transformer, or Conformer when conv_kernel > 0).
+
+    Factored out of ``apply`` so pipeline-parallel execution
+    (``parallel.pipeline``) can run a contiguous stage of blocks per
+    device with identical semantics.
+    """
     head_dim = self.model_size // self.num_heads
     ffn_scale = 0.5 if self.conv_kernel else 1.0
-    for layer in params['layers']:
-      if self.conv_kernel:
-        # Conformer macaron: first half-FFN.
-        y = _layer_norm(x, layer['ln_ffn1_scale'].astype(self.dtype),
-                        layer['ln_ffn1_bias'].astype(self.dtype))
-        y = jax.nn.gelu(y @ layer['ffn1_in'].astype(self.dtype))
-        x = x + 0.5 * (y @ layer['ffn1_out'].astype(self.dtype))
+    if self.conv_kernel:
+      # Conformer macaron: first half-FFN.
+      y = _layer_norm(x, layer['ln_ffn1_scale'].astype(self.dtype),
+                      layer['ln_ffn1_bias'].astype(self.dtype))
+      y = jax.nn.gelu(y @ layer['ffn1_in'].astype(self.dtype))
+      x = x + 0.5 * (y @ layer['ffn1_out'].astype(self.dtype))
 
-      y = _layer_norm(x, layer['ln1_scale'].astype(self.dtype),
-                      layer['ln1_bias'].astype(self.dtype))
-      qkv = y @ layer['qkv'].astype(self.dtype)
-      q, k, v = jnp.split(qkv, 3, axis=-1)
-      split_heads = lambda t: t.reshape(*t.shape[:-1], self.num_heads,
-                                        head_dim)
-      q, k, v = split_heads(q), split_heads(k), split_heads(v)
-      if use_banded:
-        context = self._banded_attention(q, k, v, mask)
-      else:
-        logits = jnp.einsum('bqhd,bkhd->bhqk', q, k,
-                            preferred_element_type=jnp.float32)
-        logits = logits / math.sqrt(head_dim) + attn_bias
-        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        context = jnp.einsum('bhqk,bkhd->bqhd', weights, v)
-      context = context.reshape(*context.shape[:-2], self.model_size)
-      x = x + context @ layer['attn_out'].astype(self.dtype)
+    y = _layer_norm(x, layer['ln1_scale'].astype(self.dtype),
+                    layer['ln1_bias'].astype(self.dtype))
+    qkv = y @ layer['qkv'].astype(self.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    split_heads = lambda t: t.reshape(*t.shape[:-1], self.num_heads,
+                                      head_dim)
+    q, k, v = split_heads(q), split_heads(k), split_heads(v)
+    if use_banded:
+      context = self._banded_attention(q, k, v, mask)
+    else:
+      logits = jnp.einsum('bqhd,bkhd->bhqk', q, k,
+                          preferred_element_type=jnp.float32)
+      logits = logits / math.sqrt(head_dim) + attn_bias
+      weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+      context = jnp.einsum('bhqk,bkhd->bqhd', weights, v)
+    context = context.reshape(*context.shape[:-2], self.model_size)
+    x = x + context @ layer['attn_out'].astype(self.dtype)
 
-      if self.conv_kernel:
-        conv_out, _ = self._conv_module(layer, x)
-        x = x + conv_out
+    if self.conv_kernel:
+      conv_out, _ = self._conv_module(layer, x)
+      x = x + conv_out
 
-      y = _layer_norm(x, layer['ln2_scale'].astype(self.dtype),
-                      layer['ln2_bias'].astype(self.dtype))
-      y = jax.nn.gelu(y @ layer['ffn_in'].astype(self.dtype))
-      x = x + ffn_scale * (y @ layer['ffn_out'].astype(self.dtype))
+    y = _layer_norm(x, layer['ln2_scale'].astype(self.dtype),
+                    layer['ln2_bias'].astype(self.dtype))
+    y = jax.nn.gelu(y @ layer['ffn_in'].astype(self.dtype))
+    return x + ffn_scale * (y @ layer['ffn_out'].astype(self.dtype))
 
-    x = _layer_norm(x, params['final_ln_scale'].astype(self.dtype),
-                    params['final_ln_bias'].astype(self.dtype))
+  def finalize(self, final_ln_scale: jnp.ndarray,
+               final_ln_bias: jnp.ndarray, x: jnp.ndarray,
+               mask: jnp.ndarray) -> jnp.ndarray:
+    """Final layer norm + padding zero-out (the last block's epilogue)."""
+    x = _layer_norm(x, final_ln_scale.astype(self.dtype),
+                    final_ln_bias.astype(self.dtype))
     # Zero out padding frames so downstream consumers see clean data.
     return jnp.where(mask[..., None], x, 0.0).astype(jnp.float32)
+
+  def apply(self, params: Params, frames: jnp.ndarray,
+            num_frames: jnp.ndarray) -> jnp.ndarray:
+    """Encodes frames.
+
+    Args:
+      params: Parameter pytree from ``init``.
+      frames: [batch, max_num_frames, feature_size] padded frames.
+      num_frames: [batch] number of valid frames.
+
+    Returns:
+      [batch, max_num_frames, model_size] encoded frames.
+    """
+    max_t = frames.shape[-2]
+    mask = jnp.arange(max_t) < num_frames[..., None]  # [batch, T]
+    x = self.embed(params['input_proj'], frames)
+    use_banded, attn_bias = self.attention_inputs(mask)
+    for layer in params['layers']:
+      x = self.block(layer, x, mask, attn_bias, use_banded)
+    return self.finalize(params['final_ln_scale'], params['final_ln_bias'],
+                         x, mask)
 
 
 def _sinusoidal_positions_at(position: jnp.ndarray, dim: int) -> jnp.ndarray:

@@ -12,7 +12,8 @@
 # See the License for the specific language governing permissions and
 # limitations under the License.
 
-"""SPMD parallelism over jax.sharding meshes (data/model/sequence axes)."""
+"""SPMD parallelism over jax.sharding meshes (data/model/sequence/pipe)."""
 
+from last_torch_tpu.parallel import pipeline
 from last_torch_tpu.parallel import sequence
 from last_torch_tpu.parallel import sharding

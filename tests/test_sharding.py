@@ -667,3 +667,123 @@ class TestTensorParallelLattice:
     # Locally normalized: numerator-only, always coverable.
     local = lambda ctx: weight_fns.LocallyNormalizedWeightFn(joint(ctx))
     assert sharded_scan.tp_supported(make(bigram, local))
+
+
+class TestPipelineParallel:
+  """GPipe pipeline over encoder blocks (parallel/pipeline.py)."""
+
+  def _model(self, layers=4, **overrides):
+    return gnat.GNATModel(tiny_config(encoder_layers=layers, **overrides))
+
+  def _batch(self, batch=4, max_t=6, max_u=3, vocab=4):
+    frames, _, labels, _ = tiny_batch(batch=batch, max_t=max_t,
+                                      max_u=max_u, vocab=vocab)
+    rng = np.random.default_rng(7)
+    labels = jnp.asarray(
+        rng.integers(1, vocab + 1, size=(batch, max_u)), jnp.int32)
+    num_frames = jnp.asarray(
+        rng.integers(max_u + 1, max_t + 1, size=(batch,)), jnp.int32)
+    num_labels = jnp.asarray(
+        rng.integers(1, max_u + 1, size=(batch,)), jnp.int32)
+    return frames, num_frames, labels, num_labels
+
+  def test_stack_unstack_roundtrip(self):
+    from last_torch_tpu.parallel import pipeline
+    model = self._model(layers=4)
+    params = model.init(jax.random.PRNGKey(0))
+    stacked = pipeline.stack_layers(params['encoder']['layers'])
+    assert stacked['qkv'].shape[0] == 4
+    back = pipeline.unstack_layers(stacked, 4)
+    for orig, got in zip(params['encoder']['layers'], back):
+      jax.tree.map(npt.assert_array_equal, orig, got)
+
+  @pytest.mark.parametrize('num_microbatches', [1, 2])
+  @pytest.mark.parametrize('locally_normalized', [True, False])
+  def test_pp_loss_matches_single_device(self, eight_devices,
+                                         num_microbatches,
+                                         locally_normalized):
+    from last_torch_tpu.parallel import pipeline
+    model = self._model(layers=4, locally_normalized=locally_normalized)
+    params = model.init(jax.random.PRNGKey(0))
+    batch = self._batch(batch=4)
+    mesh = pipeline.make_pp_mesh(num_devices=8, pipeline_parallel=4)
+    loss_fn = pipeline.make_pp_loss_fn(
+        model, mesh, num_microbatches, data_axis='data')
+    ref = model.mean_loss(params, *batch)
+    got = loss_fn(params, *batch)
+    npt.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+  def test_pp_pipe_only_mesh(self, eight_devices):
+    from last_torch_tpu.parallel import pipeline
+    model = self._model(layers=2)
+    params = model.init(jax.random.PRNGKey(0))
+    batch = self._batch(batch=4)
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:2]), ('pipe',))
+    loss_fn = pipeline.make_pp_loss_fn(model, mesh, 2)
+    npt.assert_allclose(float(loss_fn(params, *batch)),
+                        float(model.mean_loss(params, *batch)), rtol=1e-5)
+
+  def test_pp_conformer_blocks(self, eight_devices):
+    from last_torch_tpu.parallel import pipeline
+    model = self._model(layers=4, encoder_causal=True, encoder_window=3,
+                        encoder_conv_kernel=2)
+    params = model.init(jax.random.PRNGKey(0))
+    batch = self._batch(batch=2)
+    mesh = pipeline.make_pp_mesh(num_devices=4, pipeline_parallel=2)
+    loss_fn = pipeline.make_pp_loss_fn(model, mesh, 1, data_axis='data')
+    npt.assert_allclose(float(loss_fn(params, *batch)),
+                        float(model.mean_loss(params, *batch)), rtol=1e-5)
+
+  def test_pp_grads_match_single_device(self, eight_devices):
+    """Autodiff through the pipeline == plain autodiff of mean_loss."""
+    from last_torch_tpu.parallel import pipeline
+    model = self._model(layers=4)
+    params = model.init(jax.random.PRNGKey(0))
+    batch = self._batch(batch=4)
+    mesh = pipeline.make_pp_mesh(num_devices=8, pipeline_parallel=4)
+    loss_fn = pipeline.make_pp_loss_fn(model, mesh, 2, data_axis='data')
+    ref_grads = jax.grad(model.mean_loss)(params, *batch)
+    got_grads = jax.grad(loss_fn)(params, *batch)
+    scale = max(float(jnp.max(jnp.abs(leaf)))
+                for leaf in jax.tree.leaves(ref_grads))
+
+    def check(a, b):
+      npt.assert_allclose(np.asarray(a), np.asarray(b),
+                          atol=1e-6 * max(scale, 1.0), rtol=1e-4)
+
+    jax.tree.map(check, got_grads, ref_grads)
+
+  def test_pp_train_step_matches_single_device(self, eight_devices):
+    from last_torch_tpu.parallel import pipeline
+    model = self._model(layers=4)
+    optimizer = gnat.make_optimizer(learning_rate=1e-2)
+    batch = self._batch(batch=4)
+    state0 = gnat.init_train_state(model, jax.random.PRNGKey(0), optimizer)
+    ref_state, ref_loss = gnat.train_step(model, optimizer, state0, *batch)
+
+    mesh = pipeline.make_pp_mesh(num_devices=8, pipeline_parallel=4)
+    step = pipeline.make_pp_train_step(model, optimizer, mesh, 2,
+                                       data_axis='data')
+    state = gnat.init_train_state(model, jax.random.PRNGKey(0), optimizer)
+    new_state, loss = step(state, *batch)
+    assert int(new_state.step) == 1
+    npt.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: npt.assert_allclose(np.asarray(a), np.asarray(b),
+                                         atol=1e-5, rtol=1e-4),
+        new_state.params, ref_state.params)
+
+  def test_pp_error_paths(self, eight_devices):
+    from last_torch_tpu.parallel import pipeline
+    mesh = pipeline.make_pp_mesh(num_devices=8, pipeline_parallel=4)
+    model = self._model(layers=3)  # 3 layers over 4 stages
+    with pytest.raises(ValueError, match='divide across'):
+      pipeline.make_pp_loss_fn(model, mesh, 2, data_axis='data')
+    model = self._model(layers=4)
+    loss_fn = pipeline.make_pp_loss_fn(model, mesh, 2, data_axis='data')
+    params = model.init(jax.random.PRNGKey(0))
+    batch = self._batch(batch=2)  # not divisible by data(2) x M(2)
+    with pytest.raises(ValueError, match='must divide'):
+      loss_fn(params, *batch)
+    with pytest.raises(ValueError, match='must divide'):
+      pipeline.make_pp_mesh(num_devices=8, pipeline_parallel=3)
