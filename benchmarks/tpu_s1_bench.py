@@ -35,7 +35,11 @@ B, T, U, V, H = 32, 1600, 100, 1024, 512
 
 def build(locally_normalized=False):
   context = contexts.FullNGram(vocab_size=V, context_size=0)
-  wf = lambda ctx: weight_fns.JointWeightFn(vocab_size=V, hidden_size=H)
+  # Production contract: bfloat16 compute (matches bench.py and the
+  # fused numerator kernel's hardware coverage — its float32 backward
+  # variant register-spills past VMEM at these shapes and is gated off).
+  wf = lambda ctx: weight_fns.JointWeightFn(
+      vocab_size=V, hidden_size=H, compute_dtype=jnp.bfloat16)
   if locally_normalized:
     inner = wf
     wf = lambda ctx: weight_fns.LocallyNormalizedWeightFn(inner(ctx))

@@ -246,6 +246,21 @@ def test_supported_gate():
     wf_big = weight_fns.JointWeightFn(vocab_size=8192, hidden_size=1024)
     assert not numerator_scan.supported(
         wf_big, cache, jnp.zeros((64, 3, 1024)), big, big)
+    # float32-compute at production scale spills on Mosaic (measured:
+    # the backward kernel needs 131.4 MB of scoped VMEM — 91 MB of
+    # register-allocator spill slots — against the chip's 128 MB at
+    # B=32, U+1=101, h=512, V=1024, where the bf16 variant fits and
+    # runs). The gate must reject the f32 variant there and keep the
+    # bf16 production contract covered.
+    states_big = jnp.zeros((32, 101), jnp.int32)
+    frames_big = jnp.zeros((32, 3, 512))
+    wf_f32 = weight_fns.JointWeightFn(vocab_size=1024, hidden_size=512)
+    assert not numerator_scan.supported(wf_f32, cache, frames_big,
+                                        states_big, states_big)
+    wf_bf16 = weight_fns.JointWeightFn(
+        vocab_size=1024, hidden_size=512, compute_dtype=jnp.bfloat16)
+    assert numerator_scan.supported(wf_bf16, cache, frames_big,
+                                    states_big, states_big)
     numerator_scan.DISABLE = True
     assert not numerator_scan.supported(wfn, cache, frames, states, nl)
   finally:
