@@ -114,6 +114,48 @@ def time_fn(fn, *args, iters=3, warmup=1):
   return float(np.median(times))
 
 
+def time_chained(step, *args, n=8, iters=3):
+  """Per-iteration seconds of ``step(eps, *args) -> scalar``.
+
+  Every dispatch + scalar readback over the tunneled backend costs a
+  ~30 ms round trip, which dominates (and silently inflates) any
+  sub-100 ms configuration timed call-by-call (round-4 discovery:
+  a bare 1.3 ms matmul grad "measured" 30.5 ms). This timer runs the
+  step once and ``n`` times inside single jits — iterations serialized
+  through a scalar carry so XLA can neither CSE nor overlap them — and
+  reports (t_n - t_1) / (n - 1), cancelling the round trip and any
+  other per-dispatch constant. ``step`` must fold EVERY computed output
+  into its returned scalar (an unused gradient leaf is dead code XLA
+  will eliminate).
+  """
+
+  def run_k(k):
+    @jax.jit
+    def run(*a):
+      def body(_, acc):
+        return acc + 1e-30 * step(1e-12 * acc, *a)
+      return jax.lax.fori_loop(0, k, body, 0.0)
+
+    return run
+
+  one, many = run_k(1), run_k(n)
+  _force(one(*args))
+  _force(many(*args))
+  t1s, tns = [], []
+  for _ in range(iters):
+    t0 = time.perf_counter()
+    _force(one(*args))
+    t1s.append(time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    _force(many(*args))
+    tns.append(time.perf_counter() - t0)
+  return max(float(np.median(tns)) - float(np.median(t1s)), 0.0) / (n - 1)
+
+
+def _gsum(tree):
+  return sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(tree))
+
+
 def bench_headline():
   """Config 5: globally-normalized GNAT loss fwd+bwd, headline config."""
   lattice, params = build_lattice(vocab=1024)
@@ -171,23 +213,32 @@ def bench_secondary():
 
   All batch arrays are jit ARGUMENTS (see bench_headline: closure
   captures become lowering-time constants whose device->host readback
-  over the tunnel dominated rounds 1-3 cold times).
+  over the tunnel dominated rounds 1-3 cold times). Every config is
+  timed with ``time_chained``: the per-dispatch tunnel round trip
+  (~30 ms) otherwise dominates the sub-100 ms rows — numbers recorded
+  before round 4's discovery carry that constant.
   """
   results = {}
 
-  def loss_args(lat):
-    return jax.jit(lambda p, f, nf, l, nl: jnp.sum(lat(p, f, nf, l, nl)))
+  def loss_step(lat):
+    return lambda eps, p, f, nf, l, nl: jnp.sum(
+        lat(p, f + eps, nf, l, nl))
 
-  def grad_args(lat):
-    return jax.jit(jax.value_and_grad(
-        lambda p, f, nf, l, nl: jnp.sum(lat(p, f, nf, l, nl))))
+  def grad_step(lat):
+    def step(eps, p, f, nf, l, nl):
+      v, g = jax.value_and_grad(
+          lambda p_, f_: jnp.sum(lat(p_, f_, nf, l, nl)),
+          argnums=(0, 1))(p, f + eps)
+      return v + _gsum(g)
 
-  def decode_args(lat):
+    return step
+
+  def decode_step(lat):
     # Decode outputs reduce to a scalar inside jit: on the tunneled
     # backend block_until_ready does not reliably block on multi-array
     # int outputs.
-    return jax.jit(lambda p, f, nf: _decode_checksum(
-        lat.shortest_path(p, f, nf)))
+    return lambda eps, p, f, nf: _decode_checksum(
+        lat.shortest_path(p, f + eps, nf))
 
   def batch_args(b):
     return (b['frames'], b['num_frames'], b['labels'], b['num_labels'])
@@ -197,12 +248,12 @@ def bench_secondary():
                                   max_expansions=0)
   b = make_batch(2, 8, 4, 8, feature=64)
   results['1_tiny_loss_ms'] = round(
-      time_fn(loss_args(lattice), params, *batch_args(b)) * 1e3, 2)
+      time_chained(loss_step(lattice), params, *batch_args(b)) * 1e3, 3)
 
   # Config 2: MaxTropical Viterbi + backtrace on the same tiny lattice.
   results['2_tiny_viterbi_ms'] = round(
-      time_fn(decode_args(lattice), params, b['frames'],
-              b['num_frames']) * 1e3, 2)
+      time_chained(decode_step(lattice), params, b['frames'],
+                   b['num_frames']) * 1e3, 3)
 
   # Config 3: globally-normalized loss, FullNGram(2) + TableWeightFn,
   # B=8 T=100 V=32 (exact-table lattice; 1057 context states).
@@ -220,10 +271,13 @@ def bench_secondary():
   nf3 = jnp.full((8,), 100, jnp.int32)
   labels3 = jnp.asarray(rng.integers(1, 33, size=(8, 20)), jnp.int32)
   nl3 = jnp.full((8,), 20, jnp.int32)
-  loss3 = jax.jit(lambda p, f, nf, l, nl: jnp.sum(
-      lattice3(p, f, nf, l, nl, cache=None)))
+  # frames3 hold small-integer table indices: adding the structurally
+  # chained eps (1e-12 * a near-zero carry) is numerically a no-op on
+  # them while still serializing iterations.
+  loss3 = lambda eps, p, f, nf, l, nl: jnp.sum(
+      lattice3(p, f + eps, nf, l, nl, cache=None))
   results['3_trigram_table_loss_ms'] = round(
-      time_fn(loss3, params3, frames3, nf3, labels3, nl3) * 1e3, 2)
+      time_chained(loss3, params3, frames3, nf3, labels3, nl3) * 1e3, 2)
 
   # Config 4: Expectation-semiring shortest distance (path entropy),
   # B=16 T=400, locally-normalized bigram V=64.
@@ -233,25 +287,25 @@ def bench_secondary():
   b4 = make_batch(16, 400, 10, 64, feature=128)
   sr = semirings.LogLogExpectation
   lift = lambda w: sr.weighted(w, jnp.log(jnp.maximum(-w, 1e-30)))
-  ent_fn = jax.jit(lambda p, f, nf: sum(
-      jnp.sum(x) for x in jax.tree.leaves(lattice4.shortest_distance(
-          p, f, nf, semiring=sr, weight_lift=lift))))
+  ent_step = lambda eps, p, f, nf: _gsum(lattice4.shortest_distance(
+      p, f + eps, nf, semiring=sr, weight_lift=lift))
   results['4_expectation_entropy_ms'] = round(
-      time_fn(ent_fn, params4, b4['frames'], b4['num_frames']) * 1e3, 2)
+      time_chained(ent_step, params4, b4['frames'],
+                   b4['num_frames']) * 1e3, 2)
 
   # Config 6: locally-normalized decode at headline shapes (the in-kernel
   # hat-normalized tropical path).
   lattice6, params6 = build_lattice(vocab=1024, locally_normalized=True)
   b6 = make_batch(32, 1600, 100, 1024)
   results['6_local_decode_ms'] = round(
-      time_fn(decode_args(lattice6), params6, b6['frames'],
-              b6['num_frames']) * 1e3, 1)
+      time_chained(decode_step(lattice6), params6, b6['frames'],
+                   b6['num_frames'], n=4) * 1e3, 1)
 
   # Decode throughput at headline shapes (scalar checksum, see config 2).
   lattice5, params5 = build_lattice(vocab=1024)
   b5 = make_batch(32, 1600, 100, 1024)
-  p50 = time_fn(decode_args(lattice5), params5, b5['frames'],
-                b5['num_frames'])
+  p50 = time_chained(decode_step(lattice5), params5, b5['frames'],
+                     b5['num_frames'], n=4)
   results['5_decode_ms'] = round(p50 * 1e3, 1)
   results['5_decode_frames_per_sec'] = round(32 * 1600 / p50)
 
@@ -259,16 +313,16 @@ def bench_secondary():
   # numerator-only loss via the LocallyNormalizedWeightFn fast path.
   lattice7, params7 = build_lattice(vocab=1024, locally_normalized=True)
   b7 = make_batch(32, 1600, 100, 1024)
-  hat_fn = grad_args(lattice7)
-  p50 = time_fn(lambda *a: hat_fn(*a)[0], params7, *batch_args(b7))
+  p50 = time_chained(grad_step(lattice7), params7, *batch_args(b7), n=6)
   results['7_hat_train_ms'] = round(p50 * 1e3, 1)
   results['7_hat_train_frames_per_sec'] = round(32 * 1600 / p50)
 
   # Config 8: per-frame label posteriors (confidence API) at headline
   # shapes — the fused marginals kernel.
-  lm_fn = jax.jit(lambda p, f, nf: sum(
-      jnp.sum(x) for x in lattice5.label_marginals(p, f, nf)))
-  p50 = time_fn(lm_fn, params5, b5['frames'], b5['num_frames'])
+  lm_step = lambda eps, p, f, nf: _gsum(
+      lattice5.label_marginals(p, f + eps, nf))
+  p50 = time_chained(lm_step, params5, b5['frames'], b5['num_frames'], n=3,
+                     iters=2)
   results['8_label_marginals_ms'] = round(p50 * 1e3, 1)
 
   # Config 9: V=4096 bigram loss fwd+bwd (16x the headline lexical work)
@@ -276,16 +330,15 @@ def bench_secondary():
   # VMEM-cache ceiling; reduced batch/T keep the bench step bounded.
   lattice9, params9 = build_lattice(vocab=4096)
   b9 = make_batch(8, 200, 50, 4096)
-  loss9 = grad_args(lattice9)
-  p50 = time_fn(lambda *a: loss9(*a)[0], params9, *batch_args(b9),
-                iters=2)
+  p50 = time_chained(grad_step(lattice9), params9, *batch_args(b9), n=3,
+                     iters=2)
   results['9_v4096_loss_ms'] = round(p50 * 1e3, 1)
   results['9_v4096_frames_per_sec'] = round(8 * 200 / p50)
 
   # Config 10: V=4096 Viterbi decode (lex-cache recompute mode).
   results['10_v4096_decode_ms'] = round(
-      time_fn(decode_args(lattice9), params9, b9['frames'],
-              b9['num_frames'], iters=2) * 1e3, 1)
+      time_chained(decode_step(lattice9), params9, b9['frames'],
+                   b9['num_frames'], n=3, iters=2) * 1e3, 1)
 
   # Config 11: ctc-like training (context_size=0, a single context state)
   # — structurally outside the fused kernels' bigram scope; takes the
@@ -293,9 +346,7 @@ def bench_secondary():
   # string-weights fast path), reported by last_path as 'xla-s1'.
   lattice11, params11 = build_lattice(vocab=1024, context_size=0)
   b11 = make_batch(32, 1600, 100, 1024)
-  loss11 = grad_args(lattice11)
-  p50 = time_fn(lambda *a: loss11(*a)[0], params11, *batch_args(b11),
-                iters=2)
+  p50 = time_chained(grad_step(lattice11), params11, *batch_args(b11))
   results['11_ctc_like_train_ms'] = round(p50 * 1e3, 1)
   results['11_ctc_like_path'] = lattice11.last_path
   return results

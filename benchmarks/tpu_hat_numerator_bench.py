@@ -39,7 +39,6 @@ Results (v5e, 2026-08-17, round 4):
 """
 
 import sys
-import time
 
 import jax
 
@@ -53,6 +52,7 @@ sys.path.insert(0, '/root/repo')
 
 import last_torch_tpu  # noqa: E402
 from last_torch_tpu import alignments, contexts, weight_fns  # noqa: E402
+from benchmarks import chained_timer  # noqa: E402
 
 B, T, U, V, H = 32, 1600, 100, 1024, 512
 PEAK, ACH = 197e12, 168e12
@@ -65,14 +65,6 @@ def force(out):
   next(l for l in jax.tree.leaves(out) if l.ndim == 0).item()
 
 
-def time_fn(fn, *args, iters=3):
-  force(fn(*args))
-  times = []
-  for _ in range(iters):
-    t0 = time.perf_counter()
-    force(fn(*args))
-    times.append(time.perf_counter() - t0)
-  return float(np.median(times))
 
 
 def main():
@@ -102,25 +94,43 @@ def main():
   fwd_floor = 2 * B * T * (U + 1) * H * V / PEAK
   step_floor = 4 * 2 * B * T * (U + 1) * H * V / PEAK
 
-  lw_fwd = jax.jit(lambda p, f: sum(
-      jnp.sum(x) for x in lattice.weight_fn.label_weights(
-          p['weight_fn'], cache, f, states, next_labels)))
-  t = time_fn(lw_fwd, params, frames)
+  # All timings use the chained in-jit pattern: the per-call pattern
+  # carries a ~30 ms per-dispatch tunnel round trip (round-4 discovery),
+  # which inflated every number in this file's original results block.
+  def lw_fwd_step(eps, p, f):
+    return sum(jnp.sum(x.astype(jnp.float32))
+               for x in lattice.weight_fn.label_weights(
+                   p['weight_fn'], cache, f + eps, states, next_labels))
+
+  t = chained_timer.measure('label_weights fwd', lw_fwd_step, params,
+                            frames, n=5, quiet=True)
   print(f'label_weights fwd: {t * 1e3:.1f} ms '
         f'({fwd_floor / t * 100:.0f}% of the {fwd_floor * 1e3:.1f} ms '
         'peak-matmul floor)', flush=True)
 
-  lw_bwd = jax.jit(jax.value_and_grad(lambda p, f: sum(
-      jnp.sum(x) for x in lattice.weight_fn.label_weights(
-          p['weight_fn'], cache, f, states, next_labels))))
-  t = time_fn(lambda p, f: lw_bwd(p, f)[0], params, frames)
+  def lw_bwd_step(eps, p, f):
+    v, g = jax.value_and_grad(lambda p_, f_: sum(
+        jnp.sum(x.astype(jnp.float32))
+        for x in lattice.weight_fn.label_weights(
+            p_['weight_fn'], cache, f_, states, next_labels)),
+        argnums=(0, 1))(p, f + eps)
+    return v + chained_timer.gsum(g)
+
+  t = chained_timer.measure('label_weights fwd+bwd', lw_bwd_step, params,
+                            frames, n=5, quiet=True)
   print(f'label_weights fwd+bwd: {t * 1e3:.1f} ms '
         f'({step_floor / t * 100:.0f}% of the {step_floor * 1e3:.1f} ms '
         'peak floor)', flush=True)
 
+  def hat_step(eps, p, f):
+    v, g = jax.value_and_grad(lambda p_, f_: jnp.sum(
+        lattice(p_, f_, nf, labels, nl)), argnums=(0, 1))(p, f + eps)
+    return v + chained_timer.gsum(g)
+
   hat_fn = jax.jit(jax.value_and_grad(lambda p, f: jnp.sum(
       lattice(p, f, nf, labels, nl))))
-  t = time_fn(lambda p, f: hat_fn(p, f)[0], params, frames)
+  t = chained_timer.measure('HAT train step', hat_step, params, frames,
+                            n=5, quiet=True)
   ach_floor = step_floor * PEAK / ACH
   from last_torch_tpu.ops import numerator_scan
   label = ('fused numerator kernel'
@@ -141,7 +151,14 @@ def main():
     try:
       plain_fn = jax.jit(jax.value_and_grad(lambda p, f: jnp.sum(
           lattice(p, f, nf, labels, nl))))
-      tp = time_fn(lambda p, f: plain_fn(p, f)[0], params, frames)
+
+      def plain_step(eps, p, f):
+        v, g = jax.value_and_grad(lambda p_, f_: jnp.sum(
+            lattice(p_, f_, nf, labels, nl)), argnums=(0, 1))(p, f + eps)
+        return v + chained_timer.gsum(g)
+
+      tp = chained_timer.measure('HAT train step (XLA scan)', plain_step,
+                                 params, frames, n=5, quiet=True)
       print(f'HAT train step (XLA scan route): {tp * 1e3:.1f} ms -> '
             f'kernel is {tp / t:.2f}x', flush=True)
       # Numerics: kernel-vs-XLA at the shared bf16 contract. Compared

@@ -9,16 +9,15 @@ shapes (B=32 T=1600 U=100), for unroll in {1, 4, 16, 64}:
   - string DP forward only (precomputed [T, B, U+1] weights as jit args)
   - string DP value+grad wrt the weights (the training cost)
 
-and, for context, the full numerator `_string_forward` fwd+bwd split
-(weights computation + DP) at S=1.
+and, for context, the full numerator `_string_forward` fwd+bwd at S=1.
 
-Timing forces execution by pulling one scalar output leaf
-(`jax.block_until_ready` is unreliable over the axon tunnel).
+Timing uses the chained in-jit pattern (`benchmarks/chained_timer.py`):
+the original per-call sweep was blind — every point sat on the ~30 ms
+per-dispatch tunnel round trip, so a 4 ms vs 1 ms DP difference was
+invisible.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/tpu_stringdp_probe.py
 """
-
-import time
 
 import jax
 jax.config.update('jax_compilation_cache_dir', '.jax_cache')
@@ -29,6 +28,7 @@ import numpy as np
 import last_torch_tpu
 from last_torch_tpu import alignments, contexts, lattices, semirings
 from last_torch_tpu import weight_fns
+from benchmarks import chained_timer
 
 B, T, U, V, H = 32, 1600, 100, 1024, 512
 
@@ -41,24 +41,7 @@ def build():
       weight_fn_cacher_factory=lambda ctx: weight_fns.SharedEmbCacher(
           num_context_states=ctx.shape()[0], embedding_size=H),
       weight_fn_factory=lambda ctx: weight_fns.JointWeightFn(
-          vocab_size=V, hidden_size=H))
-
-
-def force(tree):
-  return float(jnp.asarray(jax.tree.leaves(tree)[0]).reshape(-1)[0])
-
-
-def timeit(tag, fn, *args, iters=5):
-  force(fn(*args))  # compile + first step
-  times = []
-  for _ in range(iters):
-    t0 = time.perf_counter()
-    force(fn(*args))
-    times.append(time.perf_counter() - t0)
-  p50 = sorted(times)[len(times) // 2]
-  print(f'{tag}: p50 {p50 * 1e3:.2f} ms '
-        f'({[round(t * 1e3, 1) for t in times]})', flush=True)
-  return p50
+          vocab_size=V, hidden_size=H, compute_dtype=jnp.bfloat16))
 
 
 def main():
@@ -75,23 +58,34 @@ def main():
 
   for unroll in (1, 4, 16, 64):
     lattices.STRING_DP_UNROLL = unroll
-    fwd = jax.jit(dp)
-    bwd = jax.jit(jax.value_and_grad(dp, argnums=(0, 1)))
-    timeit(f'string DP fwd      [unroll={unroll:2d}]', fwd, blank_w, lex_w)
-    timeit(f'string DP fwd+bwd  [unroll={unroll:2d}]',
-           lambda bw, lw: bwd(bw, lw)[0], blank_w, lex_w)
+    fwd_step = lambda eps, bw, lw: dp(bw + eps, lw)
+
+    def bwd_step(eps, bw, lw):
+      v, g = jax.value_and_grad(dp, argnums=(0, 1))(bw + eps, lw)
+      return v + chained_timer.gsum(g)
+
+    chained_timer.measure(f'string DP fwd      [unroll={unroll:2d}]',
+                          fwd_step, blank_w, lex_w)
+    chained_timer.measure(f'string DP fwd+bwd  [unroll={unroll:2d}]',
+                          bwd_step, blank_w, lex_w)
 
   # Full numerator at S=1 for the weights-vs-DP split.
   params = lattice.init(jax.random.PRNGKey(0), feature_size=H)
   frames = jnp.asarray(rng.normal(size=(B, T, H)), jnp.float32)
   labels = jnp.asarray(rng.integers(1, V + 1, size=(B, U)), jnp.int32)
-  for unroll in (1, 64):
+  cache = lattice.build_cache(params)
+
+  def numer_step(eps, p, f):
+    def loss(p_, f_):
+      return jnp.sum(lattice._string_forward(p_, cache, f_, nf, labels,
+                                             nl, semirings.Log))
+    v, g = jax.value_and_grad(loss, argnums=(0, 1))(p, f + eps)
+    return v + chained_timer.gsum(g)
+
+  for unroll in (1, 16, 64):
     lattices.STRING_DP_UNROLL = unroll
-    numer = jax.jit(jax.value_and_grad(lambda p, f: jnp.sum(
-        lattice._string_forward(p, lattice.build_cache(p), f, nf, labels,
-                                nl, semirings.Log))))
-    timeit(f'numerator fwd+bwd  [unroll={unroll:2d}]',
-           lambda p, f: numer(p, f)[0], params, frames)
+    chained_timer.measure(f'numerator fwd+bwd  [unroll={unroll:2d}]',
+                          numer_step, params, frames)
   lattices.STRING_DP_UNROLL = 1
 
 
