@@ -254,6 +254,15 @@ class RecognitionLattice(Generic[T]):
     if cache is None:
       with jax.named_scope('lattice_cache'):
         cache = self.build_cache(params)
+    if (not isinstance(self.weight_fn, weight_fns.LocallyNormalizedWeightFn)
+        and self._s1_route(frames)):
+      # Globally-normalized S == 1: numerator and denominator share one
+      # weight-fn application (see _loss_s1; the fused-kernel routes
+      # never claim S == 1 — they require context_size >= 1).
+      labels = jnp.asarray(labels, jnp.int32)
+      with jax.named_scope('lattice_loss_s1'):
+        return self._loss_s1(params, cache, frames, num_frames, labels,
+                             num_labels)
     with jax.named_scope('lattice_numerator'):
       numerator = self._string_forward(
         params=params,
@@ -701,21 +710,10 @@ class RecognitionLattice(Generic[T]):
       # column gathers of the shared [T, vocab] head output. The generic
       # routes below pay a full per-position weight computation (U+1
       # applications) because context states differ position to position.
-      # ``state=0`` keeps outputs squeezed — no size-1 state axis for
-      # XLA's TPU layout padding to inflate 8x (see ``_forward_s1``).
-      state0 = jnp.zeros(labels.shape[:-1], jnp.int32)
-      blank, lexical = jax.vmap(
-          lambda f: self.weight_fn.apply(wf_params, cache, f, state0),
-          in_axes=-2, out_axes=(-1, -2))(frames)
-      # blank: [batch_dims..., T]; lexical: [batch_dims..., T, vocab].
-      # Position u needs the weight of its next label; label 0 (padding)
-      # is clamped to 1, those positions are never selected as final.
-      y = jnp.maximum(context_next_labels, 1)  # [batch_dims..., U+1]
-      lexical_y = jnp.take_along_axis(
-          lexical, (y - 1)[..., None, :], axis=-1)  # [batch..., T, U+1]
-      blank_w = jnp.broadcast_to(blank[..., None], lexical_y.shape)
-      # -> time-major [T, batch_dims..., U+1].
-      return jnp.moveaxis(blank_w, -2, 0), jnp.moveaxis(lexical_y, -2, 0)
+      blank, lexical = self._s1_weights(wf_params, cache, frames,
+                                        labels.shape[:-1])
+      return self._s1_string_weights_from(blank, lexical,
+                                          context_next_labels)
 
     fast = self.weight_fn.label_weights(wf_params, cache, frames,
                                         context_states, context_next_labels)
@@ -1005,22 +1003,56 @@ class RecognitionLattice(Generic[T]):
     Args and returns: as ``_forward`` (this is its S == 1
     specialization; masks and ``weight_lift`` are fully supported).
     """
+    blank, lexical = self._s1_weights(wf_params, cache, frames,
+                                      jnp.asarray(num_frames).shape)
+    return self._forward_s1_from_weights(blank, lexical, num_frames,
+                                         semiring, blank_mask,
+                                         lexical_mask, lift)
+
+  def _s1_weights(self, wf_params, cache, frames, batch_dims):
+    """One weight-fn application batched over all frames at S == 1.
+
+    Pinned to the single context state so outputs come back squeezed
+    ([batch..., T] / [batch..., T, vocab] — no size-1 state axis for
+    XLA's TPU layout padding to inflate 8x). vmap over the time axis
+    keeps weight functions whose ``apply`` pins the batch shape (e.g.
+    TableWeightFn) working; for matmul-based weight functions it lowers
+    to the same single large contraction as a directly batched apply.
+    """
+    state0 = jnp.zeros(batch_dims, jnp.int32)
+    return jax.vmap(
+        lambda f: self.weight_fn.apply(wf_params, cache, f, state0),
+        in_axes=-2, out_axes=(-1, -2))(frames)
+
+  def _s1_string_weights_from(self, blank, lexical, context_next_labels):
+    """String-DP weights as column gathers of the shared S == 1 head.
+
+    Args:
+      blank: [batch_dims..., T] blank weights from ``_s1_weights``.
+      lexical: [batch_dims..., T, vocab] lexical weights.
+      context_next_labels: [batch_dims..., U+1] next-label ids.
+
+    Returns:
+      (blank_weight, lexical_weight), both time-major
+      [T, batch_dims..., U+1] (the ``_string_dp`` contract).
+    """
+    # Position u needs the weight of its next label; label 0 (padding)
+    # is clamped to 1, those positions are never selected as final.
+    y = jnp.maximum(context_next_labels, 1)  # [batch_dims..., U+1]
+    lexical_y = jnp.take_along_axis(
+        lexical, (y - 1)[..., None, :], axis=-1)  # [batch..., T, U+1]
+    blank_w = jnp.broadcast_to(blank[..., None], lexical_y.shape)
+    # -> time-major [T, batch_dims..., U+1].
+    return jnp.moveaxis(blank_w, -2, 0), jnp.moveaxis(lexical_y, -2, 0)
+
+  def _forward_s1_from_weights(self, blank, lexical, num_frames, semiring,
+                               blank_mask, lexical_mask, lift):
+    """The factor algebra + parallel cumulative product of ``_forward_s1``
+    on precomputed per-frame weights (shared with ``_loss_s1``)."""
     num_align_states = self.alignment.num_states()
     num_frames = jnp.asarray(num_frames)
     batch_dims = num_frames.shape
-    max_num_frames = frames.shape[-2]
-
-    # One weight-fn application batched over all frames, pinned to the
-    # single context state so outputs come back squeezed. vmap over the
-    # time axis keeps weight functions whose ``apply`` pins the batch
-    # shape (e.g. TableWeightFn) working; for matmul-based weight
-    # functions it lowers to the same single large contraction as a
-    # directly batched apply.
-    state0 = jnp.zeros(batch_dims, jnp.int32)
-    blank, lexical = jax.vmap(
-        lambda f: self.weight_fn.apply(wf_params, cache, f, state0),
-        in_axes=-2, out_axes=(-1, -2))(frames)
-    # blank: [batch..., T]; lexical: [batch..., T, vocab].
+    max_num_frames = blank.shape[-1]
 
     blanks, lexical_sums = [], []
     for i in range(num_align_states):
@@ -1069,6 +1101,35 @@ class RecognitionLattice(Generic[T]):
         lambda o, c: jnp.concatenate([o, c[..., :-1]], axis=-1)[..., None],
         init, cum)
     return distance, alpha_history
+
+  def _loss_s1(self, params, cache, frames, num_frames, labels,
+               num_labels):
+    """Globally-normalized S == 1 loss sharing ONE weight application.
+
+    The numerator's string-DP weights and the denominator's per-frame
+    factors are both functions of the same [batch..., T] blank and
+    [batch..., T, vocab] lexical head outputs, but the generic ``loss``
+    route computes that application twice (once per distance) and XLA
+    does not CSE the duplicated matmul pair across the two subgraphs
+    (verified on compiled HLO). Here the head runs once: the
+    denominator applies the ``_forward_s1`` factor algebra and the
+    numerator gathers its label columns from the same tensors, saving a
+    full head fwd+bwd (~20% of the ctc-like training step at headline
+    shapes) and the duplicated [batch..., T, vocab] HBM materialization.
+    """
+    self._last_path = 'xla-s1'
+    context_next_labels = jnp.concatenate(
+        [labels, jnp.ones_like(labels[..., :1])], axis=-1)
+    blank, lexical = self._s1_weights(params['weight_fn'], cache, frames,
+                                      jnp.asarray(num_frames).shape)
+    denominator, _ = self._forward_s1_from_weights(
+        blank, lexical, num_frames, semirings.Log, None, None,
+        lambda w: w)
+    blank_w, lexical_w = self._s1_string_weights_from(
+        blank, lexical, context_next_labels)
+    numerator = self._string_dp(blank_w, lexical_w, num_frames,
+                                num_labels, semirings.Log)
+    return denominator - numerator
 
   def _forward_backward(self, params, cache, frames, num_frames):
     """Log-semiring shortest distance with backward-algorithm gradients.

@@ -248,6 +248,33 @@ def test_locally_normalized_matches_scan(batch, normalize):
     assert float(jnp.abs(a - b).max()) <= 1e-4 * scale
 
 
+def test_global_loss_shares_one_weight_application(batch):
+  """The globally-normalized S=1 loss applies the weight fn ONCE.
+
+  Numerator and denominator both derive from the same [B, T] blank /
+  [B, T, V] lexical head outputs; ``_loss_s1`` computes them a single
+  time (the piecewise route paid two applications, and XLA does not CSE
+  the duplicated matmul pair across the two subgraphs)."""
+  frames, num_frames, labels, num_labels = batch
+  lattice = make_lattice()
+  params = lattice.init(jax.random.PRNGKey(0), feature_size=HIDDEN)
+
+  calls = []
+  orig_apply = weight_fns.JointWeightFn.apply
+  weight_fns.JointWeightFn.apply = (
+      lambda *a, **k: (calls.append(1), orig_apply(*a, **k))[1])
+  try:
+    jax.eval_shape(
+        lambda p, f: lattice(p, f, num_frames, labels, num_labels),
+        params, frames)
+  finally:
+    weight_fns.JointWeightFn.apply = orig_apply
+  # The vmap over time traces the wrapped fn once per trace; one shared
+  # application means exactly one call.
+  assert len(calls) == 1, f'weight_fn.apply traced {len(calls)} times'
+  assert lattice.last_path == 'xla-s1'
+
+
 def test_zero_and_full_lengths(batch):
   """num_frames of 0 and T both reduce exactly as the scan does."""
   frames, _, _, _ = batch
