@@ -5,8 +5,10 @@ the beam widens (the old all-pairs merge was O(M^2 * U) per frame and
 would blow up by beam 16-32). B=8 streams, V=1024 bigram, 40-frame
 chunks, greedy(=reference point) and beams 4 / 16 / 32.
 
-Four chunks run inside one jit (lax.scan) to amortize the ~30 ms tunnel
-RTT; the reported number is per chunk.
+Chunks chain naturally through the decoder state, so the per-chunk cost
+is measured RTT-free as (t_16chunks - t_1chunk) / 15 inside single jits
+(the round-3 numbers amortized only 4 chunks per call, leaving ~30/4 =
+7.5 ms of tunnel round trip inside every per-chunk figure).
 
 Usage: python benchmarks/tpu_beam_latency.py
 
@@ -54,28 +56,34 @@ def main():
   frames = jnp.asarray(rng.normal(size=(batch, chunk, hidden)) * 0.5,
                        jnp.float32)
   nf = jnp.full((batch,), chunk, jnp.int32)
-  chunks_per_call = 4
+  many_chunks = 16
 
   def measure(label, step_fn, state0):
-    def f(state, frames):
-      def body(state, _):
-        state = step_fn(state, frames)
-        return state, None
-      state, _ = jax.lax.scan(body, state, None, length=chunks_per_call)
-      return jax.tree.map(
-          lambda x: jnp.sum(x.astype(jnp.float32)),
-          jax.tree.leaves(state)[0])
+    def run(k):
+      def f(state, frames):
+        def body(state, _):
+          return step_fn(state, frames), None
+        state, _ = jax.lax.scan(body, state, None, length=k)
+        return jax.tree.map(
+            lambda x: jnp.sum(x.astype(jnp.float32)),
+            jax.tree.leaves(state)[0])
+      return jax.jit(f)
 
-    fn = jax.jit(f)
+    one, many = run(1), run(many_chunks)
     t0 = time.monotonic()
-    float(jax.device_get(fn(state0, frames)))
+    float(jax.device_get(one(state0, frames)))
+    float(jax.device_get(many(state0, frames)))
     compile_s = time.monotonic() - t0
-    times = []
+    t1s, tns = [], []
     for _ in range(3):
       t0 = time.monotonic()
-      float(jax.device_get(fn(state0, frames)))
-      times.append(time.monotonic() - t0)
-    ms = float(np.median(times)) * 1e3 / chunks_per_call
+      float(jax.device_get(one(state0, frames)))
+      t1s.append(time.monotonic() - t0)
+      t0 = time.monotonic()
+      float(jax.device_get(many(state0, frames)))
+      tns.append(time.monotonic() - t0)
+    ms = max(float(np.median(tns)) - float(np.median(t1s)), 0.0) * 1e3 / (
+        many_chunks - 1)
     print(f'{label}: {ms:.1f} ms/chunk (compile {compile_s:.1f}s)',
           flush=True)
     return ms

@@ -12,14 +12,13 @@ identical code, so cross-run comparisons are meaningless):
   - Viterbi decode:      `shortest_path` (tropical vjp through the route)
   - HAT (locally normalized) numerator-only training at S=1
 
-Timing forces execution by pulling one scalar gradient leaf
-(`jax.block_until_ready` is unreliable over the axon tunnel; see
-CLAUDE.md round-4 discoveries).
+Timing uses the chained in-jit pattern (`benchmarks/chained_timer.py`):
+the per-call pattern carries a ~30 ms per-dispatch tunnel round trip,
+which dominated the originally recorded numbers on both sides of each
+ratio (CLAUDE.md round-4 discoveries).
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/tpu_s1_bench.py
 """
-
-import time
 
 import jax
 jax.config.update('jax_compilation_cache_dir', '.jax_cache')
@@ -29,6 +28,7 @@ import numpy as np
 
 import last_torch_tpu
 from last_torch_tpu import alignments, contexts, semirings, weight_fns
+from benchmarks import chained_timer
 
 B, T, U, V, H = 32, 1600, 100, 1024, 512
 
@@ -51,21 +51,8 @@ def build(locally_normalized=False):
       weight_fn_factory=wf)
 
 
-def force(tree):
-  return float(jnp.asarray(jax.tree.leaves(tree)[0]).reshape(-1)[0])
-
-
-def timeit(tag, fn, *args, iters=5):
-  force(fn(*args))  # compile + first step
-  times = []
-  for _ in range(iters):
-    t0 = time.perf_counter()
-    force(fn(*args))
-    times.append(time.perf_counter() - t0)
-  p50 = sorted(times)[len(times) // 2]
-  print(f'{tag}: p50 {p50 * 1e3:.1f} ms '
-        f'({[round(t * 1e3, 1) for t in times]})', flush=True)
-  return p50
+def timeit(tag, step, *args, n=10):
+  return chained_timer.measure(tag, step, *args, n=n)
 
 
 def main():
@@ -84,31 +71,49 @@ def main():
     # be constructed after setting it (a shared jit would hit its cache
     # and silently re-run the first route).
     lattice._factorize_s1 = flag
-    loss_grad = jax.jit(jax.grad(lambda p, f, nf, y, ny: jnp.sum(
-        lattice(p, frames=f, num_frames=nf, labels=y, num_labels=ny))))
-    denom_grad = jax.jit(jax.grad(lambda p, f, nf: jnp.sum(
-        lattice._forward_backward(p, lattice.build_cache(p), f, nf))))
-    numer_grad = jax.jit(jax.grad(lambda p, f, nf, y, ny: jnp.sum(
-        lattice._string_forward(p, lattice.build_cache(p), f, nf, y, ny,
-                                semirings.Log))))
-    decode = jax.jit(lambda p, f, nf: lattice.shortest_path(p, f, nf))
+    gsum = chained_timer.gsum
+
+    def loss_step(eps, p, f, nf, y, ny):
+      return gsum(jax.grad(lambda p_, f_: jnp.sum(
+          lattice(p_, frames=f_, num_frames=nf, labels=y, num_labels=ny)),
+          argnums=(0, 1))(p, f + eps))
+
+    def denom_step(eps, p, f, nf):
+      return gsum(jax.grad(lambda p_, f_: jnp.sum(
+          lattice._forward_backward(p_, lattice.build_cache(p_), f_, nf)),
+          argnums=(0, 1))(p, f + eps))
+
+    def numer_step(eps, p, f, nf, y, ny):
+      return gsum(jax.grad(lambda p_, f_: jnp.sum(
+          lattice._string_forward(p_, lattice.build_cache(p_), f_, nf, y,
+                                  ny, semirings.Log)),
+          argnums=(0, 1))(p, f + eps))
+
+    def decode_step(eps, p, f, nf):
+      return gsum(lattice.shortest_path(p, f + eps, nf))
+
     results[f'loss_{route}'] = timeit(
-        f'loss fwd+bwd [{route}]', loss_grad, params, frames, nf, labels, nl)
+        f'loss fwd+bwd [{route}]', loss_step, params, frames, nf, labels,
+        nl)
     results[f'denom_{route}'] = timeit(
-        f'denominator [{route}]', denom_grad, params, frames, nf)
+        f'denominator [{route}]', denom_step, params, frames, nf)
     results[f'numer_{route}'] = timeit(
-        f'numerator [{route}]', numer_grad, params, frames, nf, labels, nl)
+        f'numerator [{route}]', numer_step, params, frames, nf, labels, nl)
     results[f'decode_{route}'] = timeit(
-        f'decode [{route}]', decode, params, frames, nf)
+        f'decode [{route}]', decode_step, params, frames, nf)
 
   hat = build(locally_normalized=True)
   hat_params = hat.init(jax.random.PRNGKey(1), feature_size=H)
   for route, flag in (('scan', False), ('factored', True)):
     hat._factorize_s1 = flag
-    hat_grad = jax.jit(jax.grad(lambda p, f, nf, y, ny: jnp.sum(
-        hat(p, frames=f, num_frames=nf, labels=y, num_labels=ny))))
+
+    def hat_step(eps, p, f, nf, y, ny):
+      return chained_timer.gsum(jax.grad(lambda p_, f_: jnp.sum(
+          hat(p_, frames=f_, num_frames=nf, labels=y, num_labels=ny)),
+          argnums=(0, 1))(p, f + eps))
+
     results[f'hat_{route}'] = timeit(
-        f'HAT numerator-only train [{route}]', hat_grad, hat_params,
+        f'HAT numerator-only train [{route}]', hat_step, hat_params,
         frames, nf, labels, nl)
 
   sp = results['loss_scan'] / results['loss_factored']

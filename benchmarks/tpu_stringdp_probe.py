@@ -69,6 +69,25 @@ def main():
     chained_timer.measure(f'string DP fwd+bwd  [unroll={unroll:2d}]',
                           bwd_step, blank_w, lex_w)
 
+  # Scan-free cumulative closed form (lattices.STRING_DP_CUMULATIVE):
+  # a U-position scan of cumsum+cumlogsumexp closed forms instead of a
+  # T-step sequential scan.
+  lattices.STRING_DP_UNROLL = 1
+  lattices.STRING_DP_CUMULATIVE = True
+  try:
+    fwd_step = lambda eps, bw, lw: dp(bw + eps, lw)
+
+    def bwd_step(eps, bw, lw):
+      v, g = jax.value_and_grad(dp, argnums=(0, 1))(bw + eps, lw)
+      return v + chained_timer.gsum(g)
+
+    chained_timer.measure('string DP fwd      [cumulative]', fwd_step,
+                          blank_w, lex_w)
+    chained_timer.measure('string DP fwd+bwd  [cumulative]', bwd_step,
+                          blank_w, lex_w)
+  finally:
+    lattices.STRING_DP_CUMULATIVE = False
+
   # Full numerator at S=1 for the weights-vs-DP split.
   params = lattice.init(jax.random.PRNGKey(0), feature_size=H)
   frames = jnp.asarray(rng.normal(size=(B, T, H)), jnp.float32)
@@ -87,6 +106,12 @@ def main():
     chained_timer.measure(f'numerator fwd+bwd  [unroll={unroll:2d}]',
                           numer_step, params, frames)
   lattices.STRING_DP_UNROLL = 1
+  lattices.STRING_DP_CUMULATIVE = True
+  try:
+    chained_timer.measure('numerator fwd+bwd  [cumulative]', numer_step,
+                          params, frames)
+  finally:
+    lattices.STRING_DP_CUMULATIVE = False
 
 
 if __name__ == '__main__':

@@ -60,6 +60,15 @@ T = TypeVar('T')
 # (``benchmarks/tpu_stringdp_probe.py`` measures the sweep).
 STRING_DP_UNROLL = 1
 
+# Route the Log-semiring string DP through the scan-free closed form
+# (``_string_dp_alpha_cumulative``): one affine time recurrence per label
+# position, solved with cumsum + cumlogsumexp instead of a T-step
+# sequential scan. Off by default pending the hardware A/B
+# (``benchmarks/tpu_stringdp_probe.py``); numerically it matches the scan
+# up to float reassociation and requires FINITE blank weights (the
+# closed form divides by the cumulative blank product).
+STRING_DP_CUMULATIVE = False
+
 # A callable lifting plain arc weight arrays into semiring values, enabling
 # tuple-valued semirings (e.g. Expectation for entropy computation) to run
 # through the shortest-distance machinery. None means identity.
@@ -786,18 +795,122 @@ class RecognitionLattice(Generic[T]):
           num_states=num_alpha_states,
           start=0,
           semiring=semiring)
-    (_, alpha), _ = jax.lax.scan(
-        jax.checkpoint(
-            shortest_distance_step,
-            policy=jax.checkpoint_policies.nothing_saveable),
-        (jnp.asarray(t_offset, jnp.int32), init_alpha),
-        (blank_weight, lexical_weight),
-        unroll=min(STRING_DP_UNROLL, blank_weight.shape[0]))
+    if (STRING_DP_CUMULATIVE and weight_lift is None
+        and semiring is semirings.Log
+        and blank_weight.shape[0] > 0
+        and blank_weight.dtype == jnp.float32
+        and isinstance(self.alignment, (alignments.FrameDependent,
+                                        alignments.FrameLabelDependent))):
+      alpha = self._string_dp_alpha_cumulative(
+          blank_weight, lexical_weight, num_frames, init_alpha, t_offset)
+    else:
+      (_, alpha), _ = jax.lax.scan(
+          jax.checkpoint(
+              shortest_distance_step,
+              policy=jax.checkpoint_policies.nothing_saveable),
+          (jnp.asarray(t_offset, jnp.int32), init_alpha),
+          (blank_weight, lexical_weight),
+          unroll=min(STRING_DP_UNROLL, blank_weight.shape[0]))
     if not final_gather:
       return alpha
     is_final = num_labels[..., None] == jnp.arange(num_alpha_states)
     zero = semiring.zeros([], semirings.value_dtype(alpha))
     return semiring.sum(semirings.where(is_final, alpha, zero), axis=-1)
+
+  # Structural-zero sentinel for the cumulative string DP: far below any
+  # reachable path weight (|log w| * T <= ~1e7 at production shapes) but
+  # finite, so cumulative sums and logaddexp gradients stay NaN-free.
+  _DP_NEG = -1e30
+  _DP_CUTOFF = -1e20
+
+  def _string_dp_alpha_cumulative(self, blank_weight, lexical_weight,
+                                  num_frames, init_alpha, t_offset):
+    """Scan-free Log-semiring string DP via per-position closed forms.
+
+    For a fixed label position u the time recursion of the string DP is
+    a first-order affine Log-semiring recurrence::
+
+      x_u[t] = A[t] (x) x_u[t-1]  (+)  C[t,u]
+
+    with ``A[t] = blank[t, u]`` and ``C`` collecting the label arcs out
+    of positions u-1..u-k at t-1 (FrameDependent: k=1 and no trailing
+    blank factor; FrameLabelDependent(k): per-expansion chains of
+    lexical weights times the terminating blank — exactly
+    ``alignments.string_forward`` unrolled per position). Its closed
+    form in log space is::
+
+      x_u = cumA + logaddexp(alpha0_u, cumlogsumexp(C - cumA))
+
+    so the whole DP runs as a scan over the U+1 label positions (each
+    step a handful of [T, batch] cumulative ops XLA parallelizes in
+    log depth) instead of a T-step sequential scan — U+1 is ~16x
+    smaller than T at production shapes. Structural zeros ride a
+    finite ``_DP_NEG`` sentinel (the closed form subtracts cumA, so
+    -inf blanks are unsupported — the dispatch gate requires the
+    standard finite-weight contract) and are restored to -inf past
+    ``_DP_CUTOFF`` on output, keeping the infeasible-loss == +inf
+    contract exact.
+
+    Args: as ``_string_dp`` (weights time-major [T, batch..., U+1]);
+    ``init_alpha`` is the [batch..., U+1] starting carry.
+
+    Returns: [batch..., U+1] final alpha, bit-compatible with the scan
+    route's contract up to float reassociation.
+    """
+    neg, cutoff = self._DP_NEG, self._DP_CUTOFF
+    num_frames = jnp.asarray(num_frames)
+    batch_dims = num_frames.shape
+    nb = len(batch_dims)
+    max_t, u1 = blank_weight.shape[0], blank_weight.shape[-1]
+    fld = isinstance(self.alignment, alignments.FrameLabelDependent)
+    k = self.alignment.max_expansions if fld else 1
+
+    # Padded frames multiply alpha by the identity: blank one, lexical
+    # zero (matching the scan route's where(is_padding, alpha, ...)).
+    t_ix = (t_offset + jnp.arange(max_t)).reshape((max_t,) + (1,) * nb)
+    pad = t_ix >= num_frames[None]  # [T, batch...]
+    b = jnp.where(pad[..., None], 0.0, blank_weight)
+    l = jnp.maximum(jnp.where(pad[..., None], neg, lexical_weight), neg)
+    a0 = jnp.maximum(init_alpha, neg)
+
+    # Per-position columns, label-position-major for the u scan.
+    bT = jnp.moveaxis(b, -1, 0)    # [U+1, T, batch...]
+    lT = jnp.moveaxis(l, -1, 0)
+    a0T = jnp.moveaxis(a0, -1, 0)  # [U+1, batch...]
+
+    def shift_u(x, e):
+      if e >= u1:
+        return jnp.full_like(x, neg)
+      fill = jnp.full((e,) + x.shape[1:], neg, x.dtype)
+      return jnp.concatenate([fill, x[:-e]], axis=0)
+
+    l_prevs = tuple(shift_u(lT, e) for e in range(1, k + 1))
+    a0_prevs = tuple(shift_u(a0T, e) for e in range(1, k + 1))
+
+    carry0 = tuple(
+        jnp.full((max_t,) + batch_dims, neg, blank_weight.dtype)
+        for _ in range(k))
+
+    def body(carry, xs):
+      b_u, a0_u, l_prev, a0_prev = xs
+      cum_a = jnp.cumsum(b_u, axis=0)
+      chain = jnp.zeros_like(b_u)
+      red = None
+      for e in range(1, k + 1):
+        chain = chain + l_prev[e - 1]
+        shifted = jnp.concatenate(
+            [a0_prev[e - 1][None], carry[e - 1][:-1]], axis=0)
+        term = shifted + chain
+        red = term if red is None else jnp.logaddexp(red, term)
+      c = jnp.maximum(b_u + red if fld else red, neg)
+      m = jax.lax.cumlogsumexp(c - cum_a, axis=0)
+      x_u = jnp.maximum(cum_a + jnp.logaddexp(a0_u[None], m), neg)
+      return (x_u,) + carry[:-1], x_u[-1]
+
+    _, finals = jax.lax.scan(body, carry0,
+                             (bT, a0T, l_prevs, a0_prevs))
+    alpha = jnp.moveaxis(finals, 0, -1)  # [batch..., U+1]
+    return jnp.where(alpha <= cutoff, -jnp.inf, alpha)
 
   def _forward(self,
                params,
