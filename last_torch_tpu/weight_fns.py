@@ -196,6 +196,17 @@ class LocallyNormalizedWeightFn(WeightFn[T]):
   lexical) the produced weights, ``exp(blank) + sum(exp(lexical), -1)``
   should be approximately 1 (reference contract ``weight_fns.py:146-151``).
 
+  Modeling caveat: local normalization is per ARC set, so with
+  ``FrameLabelDependent`` alignments (where an emission multiplies both
+  a lexical and the frame's blank weight) the per-frame path mass sums
+  to less than 1, and at ``context_size=0`` — where the blank
+  probability cannot condition on "already emitted this frame" — the
+  achievable sequence NLL is bounded away from 0 (an emitting frame
+  contributes at most ``max_b (1-b)·p_y·b = 1/4``). For textbook CTC
+  use ``FrameDependent``; see ``examples/train_ctc.py`` and the pinned
+  oracle test ``tests/test_models.py::
+  test_ctc_model_loss_matches_numpy_oracle``.
+
   Attributes:
     weight_fn: Underlying weight function.
     normalize: Callable producing normalized log-probabilities from (blank,

@@ -446,3 +446,75 @@ def test_warmup_schedule_scales_first_updates():
   assert deltas[0] < deltas[2]
   assert deltas[0] < 1e-4
   del p0
+
+
+def test_ctc_model_loss_matches_numpy_oracle():
+  """End-to-end model loss == a hand-rolled numpy lattice DP at S == 1.
+
+  Covers the full wiring — encoder, SharedEmbCacher, JointWeightFn's
+  one-apply ``label_weights`` fast path, local normalization, and the
+  numerator string DP — against an independent reference:
+
+  - FrameDependent (textbook CTC): each frame one arc, blank or label.
+  - FrameLabelDependent(1): up to one (label, then blank) per frame, so
+    an emission multiplies lexical AND blank weights. This topology is
+    probability-deficient under local normalization at context_size=0
+    (an emitting frame contributes at most (1-b)*p_y*b <= 1/4) — see
+    examples/train_ctc.py; the loss values here pin that semantics.
+  """
+  rng = np.random.default_rng(0)
+  B, T, U = 4, 10, 4
+  frames = jnp.asarray(rng.normal(size=(B, T, 8)), jnp.float32)
+  num_frames = jnp.asarray([10, 8, 9, 10], jnp.int32)
+  labels = jnp.asarray(
+      [[1, 4, 2, 3], [2, 2, 3, 0], [4, 1, 0, 0], [3, 1, 1, 4]], jnp.int32)
+  num_labels = jnp.asarray([4, 3, 2, 4], jnp.int32)
+
+  def np_lse(a, b):
+    m = np.maximum(a, b)
+    if np.isneginf(m):
+      return m
+    return m + np.log(np.exp(a - m) + np.exp(b - m))
+
+  for max_expansions in (0, 1):
+    model = gnat.GNATModel(tiny_config(
+        context_size=0, max_expansions=max_expansions))
+    params = model.init(jax.random.PRNGKey(2))
+    got = np.asarray(
+        model.loss(params, frames, num_frames, labels, num_labels))
+
+    encoded = model.encoder.apply(params['encoder'], frames, num_frames)
+    cache = model.lattice.build_cache(params['lattice'])
+    blank, lexical = model.lattice.weight_fn.apply(
+        params['lattice']['weight_fn'], cache, encoded)
+    blank = np.asarray(blank, np.float64)[..., 0]          # [B, T]
+    lexical = np.asarray(lexical, np.float64)[:, :, 0, :]  # [B, T, V]
+
+    want = []
+    for b in range(B):
+      tn, un = int(num_frames[b]), int(num_labels[b])
+      ys = [int(y) for y in np.asarray(labels[b])[:un]]
+      alpha = np.full(un + 1, -np.inf)
+      alpha[0] = 0.0
+      for t in range(tn):
+        new = np.full(un + 1, -np.inf)
+        for u in range(un + 1):
+          if np.isneginf(alpha[u]):
+            continue
+          if max_expansions == 0:
+            # FrameDependent: the frame is EITHER blank OR one label.
+            new[u] = np_lse(new[u], alpha[u] + blank[b, t])
+            if u < un:
+              new[u + 1] = np_lse(new[u + 1],
+                                  alpha[u] + lexical[b, t, ys[u] - 1])
+          else:
+            # FrameLabelDependent(1): blank always ends the frame; an
+            # emission multiplies its lexical weight in before it.
+            new[u] = np_lse(new[u], alpha[u] + blank[b, t])
+            if u < un:
+              new[u + 1] = np_lse(
+                  new[u + 1],
+                  alpha[u] + lexical[b, t, ys[u] - 1] + blank[b, t])
+        alpha = new
+      want.append(-alpha[un])
+    npt.assert_allclose(got, np.array(want), rtol=0, atol=1e-4)
