@@ -358,6 +358,52 @@ class TestTimeShardedTraining:
         lambda a, b: npt.assert_allclose(a, b, rtol=1e-4, atol=1e-5),
         jax.grad(sharded)(params), jax.grad(single)(params))
 
+  def test_s1_lattice_relay_matches_scan_free_route(self, eight_devices):
+    """context_size=0 (S == 1, CTC topology): the time-sharded relay
+    equals the single-device path, whose dispatch is the scan-free
+    factorized route (``_forward_s1``) — proving the two beyond-reference
+    features compose (values, gradients, and decoded labels)."""
+    import last_torch_tpu
+    from last_torch_tpu import alignments, contexts, weight_fns
+    from last_torch_tpu.parallel import sequence
+    lattice = last_torch_tpu.RecognitionLattice(
+        context=contexts.FullNGram(vocab_size=3, context_size=0),
+        alignment=alignments.FrameDependent(),
+        weight_fn_cacher_factory=lambda ctx: weight_fns.SharedEmbCacher(
+            num_context_states=ctx.shape()[0], embedding_size=8),
+        weight_fn_factory=lambda ctx: weight_fns.JointWeightFn(
+            vocab_size=ctx.shape()[1], hidden_size=8))
+    params = lattice.init(jax.random.PRNGKey(0), feature_size=4)
+    frames = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 4))
+    num_frames = jnp.array([8, 5])
+    labels = jnp.array([[1, 2, 1], [3, 1, 0]], jnp.int32)
+    num_labels = jnp.array([3, 2])
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]),
+                             axis_names=('seq',))
+
+    def single(params):
+      return jnp.sum(lattice(params, frames=frames, num_frames=num_frames,
+                             labels=labels, num_labels=num_labels))
+
+    def sharded(params):
+      return jnp.sum(sequence.loss_time_sharded(
+          lattice, params, frames, num_frames, labels, num_labels, mesh,
+          'seq'))
+
+    single_val = single(params)
+    assert lattice.last_path == 'xla-s1'  # the scan-free route was the ref
+    npt.assert_allclose(sharded(params), single_val, rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: npt.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
+        jax.grad(single)(params), jax.grad(sharded)(params))
+
+    want = lattice.shortest_path(params, frames, num_frames)
+    got = sequence.shortest_path_time_sharded(
+        lattice, params, frames, num_frames, mesh, 'seq')
+    npt.assert_array_equal(got[0], want[0])
+    npt.assert_array_equal(got[1], want[1])
+    npt.assert_allclose(got[2], want[2], rtol=1e-5)
+
   def test_relay_runs_each_block_once(self, eight_devices):
     """Inactive relay stages are lax.cond-skipped: D local scans total,
     not D^2 (the D x redundant-compute fix)."""
