@@ -39,9 +39,12 @@ jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
 # a cache miss from tunnel slowness (BASELINE.md "cold compile" note).
 jax.config.update('jax_explain_cache_misses', True)
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 import last_torch_tpu  # noqa: E402
 from last_torch_tpu import (alignments, contexts, lattices, semirings,  # noqa: E402
                             weight_fns)
+from benchmarks import chained_timer  # noqa: E402
 
 
 def log(msg):
@@ -117,43 +120,16 @@ def time_fn(fn, *args, iters=3, warmup=1):
 def time_chained(step, *args, n=8, iters=3):
   """Per-iteration seconds of ``step(eps, *args) -> scalar``.
 
-  Every dispatch + scalar readback over the tunneled backend costs a
-  ~30 ms round trip, which dominates (and silently inflates) any
-  sub-100 ms configuration timed call-by-call (round-4 discovery:
-  a bare 1.3 ms matmul grad "measured" 30.5 ms). This timer runs the
-  step once and ``n`` times inside single jits — iterations serialized
-  through a scalar carry so XLA can neither CSE nor overlap them — and
-  reports (t_n - t_1) / (n - 1), cancelling the round trip and any
-  other per-dispatch constant. ``step`` must fold EVERY computed output
-  into its returned scalar (an unused gradient leaf is dead code XLA
-  will eliminate).
+  The RTT-cancelling chained in-jit timer; the implementation (and the
+  rationale: the ~30 ms per-dispatch tunnel round trip that silently
+  inflates every sub-100 ms call-by-call measurement) lives in
+  ``benchmarks/chained_timer.py``.
   """
-
-  def run_k(k):
-    @jax.jit
-    def run(*a):
-      def body(_, acc):
-        return acc + 1e-30 * step(1e-12 * acc, *a)
-      return jax.lax.fori_loop(0, k, body, 0.0)
-
-    return run
-
-  one, many = run_k(1), run_k(n)
-  _force(one(*args))
-  _force(many(*args))
-  t1s, tns = [], []
-  for _ in range(iters):
-    t0 = time.perf_counter()
-    _force(one(*args))
-    t1s.append(time.perf_counter() - t0)
-    t0 = time.perf_counter()
-    _force(many(*args))
-    tns.append(time.perf_counter() - t0)
-  return max(float(np.median(tns)) - float(np.median(t1s)), 0.0) / (n - 1)
+  return chained_timer.measure('', step, *args, n=n, iters=iters,
+                               quiet=True)
 
 
-def _gsum(tree):
-  return sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(tree))
+_gsum = chained_timer.gsum
 
 
 def bench_headline():

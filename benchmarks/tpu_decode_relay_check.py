@@ -71,8 +71,11 @@ def check_decode(vocab=256, hidden=256, batch=4, max_t=32):
   lift = lambda w: w
   sr = semirings.MaxTropical
 
+  # Device arrays are jit ARGUMENTS throughout: closure captures become
+  # lowering-time HLO constants, each a device->host readback over the
+  # tunnel (the rounds-1-3 cold-time bug; bench.py diagnosis).
   @jax.jit
-  def chained():
+  def chained(wf, cache, frames, nf):
     alpha0 = sequence._init_alpha(lattice, batch, semiring=sr)
 
     def distance(mask):
@@ -94,10 +97,10 @@ def check_decode(vocab=256, hidden=256, batch=4, max_t=32):
     return labels.reshape(batch, -1), weights
 
   t0 = time.monotonic()
-  labels_c, w_c = jax.block_until_ready(chained())
+  labels_c, w_c = jax.block_until_ready(chained(wf, cache, frames, nf))
   t1 = time.monotonic()
   labels_m, nal_m, w_m = jax.block_until_ready(
-      jax.jit(lambda: lattice.shortest_path(params, frames, nf))())
+      jax.jit(lattice.shortest_path)(params, frames, nf))
   t2 = time.monotonic()
   assert lattice.last_path == 'xla'
 
@@ -115,7 +118,7 @@ def check_decode(vocab=256, hidden=256, batch=4, max_t=32):
   # principle flip borderline argmaxes; report, do not hard-assert).
   klattice, _ = build(vocab, hidden, hidden, fused='auto')
   labels_k, _, _ = jax.block_until_ready(
-      jax.jit(lambda: klattice.shortest_path(params, frames, nf))())
+      jax.jit(klattice.shortest_path)(params, frames, nf))
   kern_same = np.array_equal(np.asarray(labels_k), np.asarray(labels_m))
   print(f'decode: fused Viterbi kernel labels identical to XLA: '
         f'{kern_same} ({klattice.last_path})', flush=True)
@@ -137,7 +140,7 @@ def check_align(vocab=256, hidden=256, batch=4, max_t=32, max_u=6):
   sr = semirings.MaxTropical
 
   @jax.jit
-  def chained():
+  def chained(params, cache, frames, labels, nf, nl):
     alpha0 = sequence._init_alpha(lattice, batch, num_states=u1, start=0,
                                   semiring=sr)
 
@@ -164,10 +167,11 @@ def check_align(vocab=256, hidden=256, batch=4, max_t=32, max_u=6):
     return jnp.where(emitted, emit, -1)[..., :max_u], scores
 
   t0 = time.monotonic()
-  emit_c, w_c = jax.block_until_ready(chained())
+  emit_c, w_c = jax.block_until_ready(
+      chained(params, cache, frames, labels, nf, nl))
   t1 = time.monotonic()
   emit_m, w_m = jax.block_until_ready(
-      jax.jit(lambda: lattice.align(params, frames, nf, labels, nl))())
+      jax.jit(lattice.align)(params, frames, nf, labels, nl))
   t2 = time.monotonic()
 
   same = np.array_equal(np.asarray(emit_c), np.asarray(emit_m))

@@ -59,19 +59,22 @@ def step_time(model, batch, max_t, label=''):
   labels = jnp.asarray(rng.integers(1, 1025, size=(batch, 100)), jnp.int32)
   nl = jnp.full((batch,), 100, jnp.int32)
 
-  step = jax.jit(lambda s: gnat.train_step(model, optimizer, s, frames,
-                                           nf, labels, nl))
+  # Batch arrays are jit ARGUMENTS: closure-captured device arrays become
+  # lowering-time HLO constants whose device->host readback over the
+  # tunnel dominated rounds 1-3 cold times (bench.py diagnosis).
+  step = jax.jit(lambda s, f, n, l, m: gnat.train_step(
+      model, optimizer, s, f, n, l, m))
   # .item() forces execution; block_until_ready is unreliable over the
   # tunneled backend (bench.py `_force` diagnosis).
   t0 = time.monotonic()
-  state, loss = step(state)
+  state, loss = step(state, frames, nf, labels, nl)
   loss = loss.item()
   compile_s = time.monotonic() - t0
   assert np.isfinite(loss), loss
   times = []
   for _ in range(3):
     t0 = time.monotonic()
-    state, loss = step(state)
+    state, loss = step(state, frames, nf, labels, nl)
     loss = loss.item()
     times.append(time.monotonic() - t0)
   ms = float(np.median(times)) * 1e3
