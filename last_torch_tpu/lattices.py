@@ -56,17 +56,28 @@ T = TypeVar('T')
 # The scan body is a handful of [batch, U+1] elementwise semiring ops —
 # far too little work to cover the TPU's per-iteration while-loop
 # overhead at production T, so unrolling lets XLA fuse many frames into
-# each loop trip. Overridable for A/B probes
-# (``benchmarks/tpu_stringdp_probe.py`` measures the sweep).
-STRING_DP_UNROLL = 1
+# each loop trip. Hardware sweep (``benchmarks/tpu_stringdp_probe.py``,
+# B=32 T=1600 U=100, chained in-jit timer, 2026-08-18): fwd+bwd of the
+# DP alone 4.83 / 3.31 / 2.41 / 2.44 ms at unroll 1/4/16/64, and the
+# full S=1 numerator train cost 11.57 / 7.40 / 6.88 ms at 1/16/64; the
+# forward-only DP mildly prefers unroll=1 (0.24 vs 1.58 ms) but
+# training dominates production, so 16 is the balanced default.
+STRING_DP_UNROLL = 16
 
 # Route the Log-semiring string DP through the scan-free closed form
 # (``_string_dp_alpha_cumulative``): one affine time recurrence per label
 # position, solved with cumsum + cumlogsumexp instead of a T-step
-# sequential scan. Off by default pending the hardware A/B
-# (``benchmarks/tpu_stringdp_probe.py``); numerically it matches the scan
-# up to float reassociation and requires FINITE blank weights (the
-# closed form divides by the cumulative blank product).
+# sequential scan. MEASURED NEGATIVE — stays off: on hardware
+# (``benchmarks/tpu_stringdp_probe.py``, same shapes/timer as above) the
+# closed form runs 183.99 ms fwd / 19.43 ms fwd+bwd vs the unrolled
+# scan's 1.58 / 2.41 ms, and the full S=1 numerator 24.26 vs 7.40 ms:
+# the [T, batch] cumulative logsumexp chains XLA emits are log-depth in
+# theory but memory-bound over U+1 full-T temporaries in practice,
+# while the unrolled scan keeps one [batch, U+1] carry in registers.
+# Kept (tested, ``tests/test_string_dp_cumulative.py``) as the basis
+# for a future associative-scan Mosaic kernel; numerically it matches
+# the scan up to float reassociation and requires FINITE blank weights
+# (the closed form divides by the cumulative blank product).
 STRING_DP_CUMULATIVE = False
 
 # A callable lifting plain arc weight arrays into semiring values, enabling
@@ -595,6 +606,172 @@ class RecognitionLattice(Generic[T]):
     emitted = jnp.max(marks, axis=-1) > 0
     emit = jnp.where(emitted, emit, -1)[..., :labels.shape[-1]]
     return emit, scores
+
+  def sample_paths(self, params, frames, num_frames, key, num_samples=1,
+                   cache=None):
+    """Exact posterior samples of alignment paths (FFBS).
+
+    Draws i.i.d. alignment paths from the lattice's posterior path
+    distribution ``p(path) = exp(w(path)) / Z`` by backward filtering /
+    forward sampling: one reverse scan computes the backward (suffix)
+    weights ``beta_t[c]`` for every frame, then a forward scan samples
+    each frame's arcs from their exact conditionals
+    ``p(arc | prefix) = exp(w(arc) + beta[dst]) / exp(beta[src])``.
+    Useful for MBR/MWER-style expected-risk training and posterior-aware
+    data augmentation. The reference library exposes no sampler; this is
+    the exact counterpart of ``shortest_path`` (mode) and
+    ``arc_marginals`` (expectations) for the same distribution.
+
+    Like ``arc_marginals``, both passes run the float32 XLA path (never
+    the fused bfloat16 kernels) so the conditionals normalize exactly.
+    All per-sample work is gathers over the ``[..., S]`` /``[..., S, V]``
+    weight tensors, so extra samples are nearly free relative to the two
+    weight-function applications per frame.
+
+    Args:
+      params: Parameter pytree from ``init``.
+      frames: [batch_dims..., max_num_frames, feature_size] padded frames.
+      num_frames: [batch_dims...] number of frames.
+      key: ``jax.random`` PRNG key.
+      num_samples: Number of independent path samples per utterance.
+      cache: Optional weight function cache data.
+
+    Returns:
+      (alignment_labels, num_alignment_labels, log_prob):
+      - alignment_labels: [batch_dims..., num_samples,
+        max_num_frames * num_alignment_states] in the exact packed format
+        of ``shortest_path``: each frame contributes
+        ``num_alignment_states`` slots, blank/unused 0, lexical 1..V.
+      - num_alignment_labels: [batch_dims..., num_samples] =
+        ``num_alignment_states * num_frames``.
+      - log_prob: [batch_dims..., num_samples] exact posterior
+        log-probability ``w(path) - log Z`` of each sampled path.
+    """
+    if not isinstance(self.alignment, (alignments.FrameDependent,
+                                       alignments.FrameLabelDependent)):
+      raise NotImplementedError(
+          'sample_paths supports FrameDependent and FrameLabelDependent '
+          f'alignment lattices, got {type(self.alignment).__name__}')
+    num_frames = jnp.asarray(num_frames)
+    batch_dims = num_frames.shape
+    if frames.shape[:-2] != batch_dims:
+      raise ValueError('frames and num_frames have different batch_dims: '
+                       f'{frames.shape[:-2]} vs {batch_dims}')
+    if cache is None:
+      cache = self.build_cache(params)
+    wf_params = params['weight_fn']
+    max_num_frames = frames.shape[-2]
+    num_states, vocab_size = self.context.shape()
+    fld = isinstance(self.alignment, alignments.FrameLabelDependent)
+    k = self.alignment.max_expansions if fld else 0
+    num_align_states = self.alignment.num_states()
+    m = num_samples
+
+    frames_tm = jnp.moveaxis(frames, -2, 0)
+    t_ix = jnp.arange(max_num_frames)
+
+    def continuations(blank, lexical, beta_next):
+      """Per-expansion continuation values and lexical option scores.
+
+      Returns (v, q): ``v[e]`` is [batch..., S] — the total weight of
+      completing the utterance from context state c having already taken
+      e lexical expansions in this frame; ``q[e]`` is [batch..., S, V] —
+      the score of taking label y from expansion e (arc weight plus the
+      continuation from the successor). ``v[0]`` is beta for this frame.
+      FrameDependent is the one-expansion case whose lexical arc itself
+      advances the frame (``q[0]`` continues into ``beta_next``).
+      """
+      blank_term = blank + beta_next
+      if not fld:
+        q0 = lexical + self.context.backward_broadcast(beta_next)
+        v0 = jnp.logaddexp(blank_term, semirings.Log.sum(q0, axis=-1))
+        return [v0], [q0]
+      v = [None] * (k + 1)
+      q = [None] * k
+      v[k] = blank_term
+      for e in range(k - 1, -1, -1):
+        q[e] = lexical + self.context.backward_broadcast(v[e + 1])
+        v[e] = jnp.logaddexp(blank_term,
+                             semirings.Log.sum(q[e], axis=-1))
+      return v, q
+
+    # Phase 1: reverse scan for the backward weights; the stacked output
+    # at frame t is beta_{t+1} (the incoming carry), the final carry is
+    # beta_0 whose start-state entry is log Z.
+    def beta_step(beta, inputs):
+      t, frame = inputs
+      blank, lexical = self.weight_fn.apply(wf_params, cache, frame)
+      v, _ = continuations(blank, lexical, beta)
+      is_padding = (t >= num_frames)[..., None]
+      return jnp.where(is_padding, beta, v[0]), beta
+
+    init_beta = semirings.Log.ones((*batch_dims, num_states), jnp.float32)
+    beta_0, beta_next_hist = jax.lax.scan(
+        beta_step, init_beta, (t_ix, frames_tm), reverse=True)
+    log_z = beta_0[..., self.context.start()]
+
+    def gather_rows(x, c):
+      """x: [batch..., S(, V)]; c: [batch..., M] -> [batch..., M(, V)]."""
+      if x.ndim == c.ndim:
+        return jnp.take_along_axis(x, c, axis=-1)
+      idx = jnp.broadcast_to(c[..., None], c.shape + (x.shape[-1],))
+      return jnp.take_along_axis(x, idx, axis=-2)
+
+    # Phase 2: forward sampling. Per frame: recompute the arc weights,
+    # rebuild the continuation scores, and draw each expansion's arc from
+    # its exact conditional via Gumbel-max (jax.random.categorical).
+    def sample_step(carry, inputs):
+      c, logw = carry  # [batch..., M] state ids / accumulated arc weight
+      t, frame, beta_next = inputs
+      blank, lexical = self.weight_fn.apply(wf_params, cache, frame)
+      _, q = continuations(blank, lexical, beta_next)
+      blank_term = blank + beta_next
+      key_t = jax.random.fold_in(key, t)
+      is_padding = (t >= num_frames)[..., None]
+
+      done = jnp.zeros(c.shape, bool)
+      slots = []
+      for e in range(num_align_states):
+        blank_w = gather_rows(blank, c)
+        if e < len(q):
+          logits = jnp.concatenate(
+              [gather_rows(blank_term, c)[..., None],
+               gather_rows(q[e], c)], axis=-1)
+          choice = jax.random.categorical(
+              jax.random.fold_in(key_t, e), logits)
+        else:
+          # The last FLD expansion state has no lexical arc.
+          choice = jnp.zeros(c.shape, jnp.int32)
+        choice = jnp.where(done | is_padding, 0, choice.astype(jnp.int32))
+        take_label = choice > 0
+        take_blank = ~done & ~take_label & ~is_padding
+        if e < len(q):
+          label_w = jnp.take_along_axis(
+              gather_rows(lexical, c),
+              jnp.maximum(choice - 1, 0)[..., None], axis=-1)[..., 0]
+        else:
+          label_w = jnp.zeros_like(blank_w)
+        logw = logw + jnp.where(take_label, label_w,
+                                jnp.where(take_blank, blank_w, 0.0))
+        c = self.context.next_state(c, choice)
+        done = done | take_blank
+        slots.append(choice)
+        if not fld:
+          break
+      return (c, logw), jnp.stack(slots, axis=-1)
+
+    start = jnp.full((*batch_dims, m), self.context.start(), jnp.int32)
+    logw0 = jnp.zeros((*batch_dims, m), jnp.float32)
+    (_, logw), slot_hist = jax.lax.scan(
+        sample_step, (start, logw0), (t_ix, frames_tm, beta_next_hist))
+    # slot_hist: [T, batch..., M, A] -> [batch..., M, T * A].
+    nb = len(batch_dims)
+    labels = jnp.moveaxis(slot_hist, 0, nb + 1)
+    labels = labels.reshape(*batch_dims, m, -1).astype(jnp.int32)
+    num_labels = jnp.broadcast_to(
+        (num_align_states * num_frames.astype(jnp.int32))[..., None],
+        (*batch_dims, m))
+    return labels, num_labels, logw - log_z[..., None]
 
   def shortest_distance(self, params, frames, num_frames, semiring=None,
                         cache=None, weight_lift: WeightLift = None):
