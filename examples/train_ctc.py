@@ -37,7 +37,7 @@ S=1 machinery (``lattices._forward_s1`` + the one-apply string-weights
 fast path): one batched weight-fn application instead of T small ones
 inside a sequential scan. The globally-normalized variant of this
 config (``bench.py --full`` config 11, B=32 T=1600 V=1024) runs the
-full loss fwd+bwd in ~12.5 ms (~4.1M frames/s/chip) on one v5e chip.
+full loss fwd+bwd in ~8.8 ms (~5.8M frames/s/chip) on one v5e chip.
 
 This demo trains a small Transformer-encoder CTC model on synthetic
 data, checks the loss drops, and decodes with offline Viterbi. Runs in
