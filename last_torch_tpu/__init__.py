@@ -24,6 +24,7 @@ context-dependency DFA, and neural arc weights.
 
 from last_torch_tpu import alignments
 from last_torch_tpu import contexts
+from last_torch_tpu import risk
 from last_torch_tpu import semirings
 from last_torch_tpu import streaming
 from last_torch_tpu import weight_fns
