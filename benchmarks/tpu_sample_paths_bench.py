@@ -1,0 +1,73 @@
+"""Times exact posterior path sampling (FFBS) at headline shapes.
+
+``RecognitionLattice.sample_paths`` runs two float32 XLA weight-fn
+applications per frame (one in the reverse beta scan, one in the forward
+sampling scan) plus O(num_samples) gathers, so the expected cost is
+~2x the XLA forward scan and nearly flat in num_samples. This bench pins
+that down on the real chip at the headline configuration (B=32 T=1600
+V=1024 h=512, bigram FLD k=2) across num_samples, and times the
+composed expected-risk loss (``risk.sampled_risk_loss``, sampling + label
+extraction + batched edit distance) for the MWER fine-tuning story.
+
+Timing is per-call with a single f32 scalar pulled via ``.item()``
+(seconds-scale programs; the ~30 ms tunnel RTT is noise here).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python \
+    benchmarks/tpu_sample_paths_bench.py
+"""
+
+import time
+
+import jax
+jax.config.update('jax_compilation_cache_dir', '.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+import jax.numpy as jnp
+import numpy as np
+
+import last_torch_tpu
+from last_torch_tpu import alignments, contexts, risk, weight_fns
+
+B, T, U, V, H = 32, 1600, 100, 1024, 512
+
+
+def main():
+  lattice = last_torch_tpu.RecognitionLattice(
+      context=contexts.FullNGram(vocab_size=V, context_size=1),
+      alignment=alignments.FrameLabelDependent(max_expansions=2),
+      weight_fn_cacher_factory=lambda ctx: weight_fns.SharedEmbCacher(
+          num_context_states=ctx.shape()[0], embedding_size=H),
+      weight_fn_factory=lambda ctx: weight_fns.JointWeightFn(
+          vocab_size=V, hidden_size=H))
+  params = lattice.init(jax.random.PRNGKey(0), feature_size=H)
+
+  rng = np.random.default_rng(0)
+  frames = jnp.asarray(rng.normal(size=(B, T, H)), jnp.float32)
+  nf = jnp.full((B,), T, jnp.int32)
+  labels = jnp.asarray(rng.integers(1, V + 1, size=(B, U)), jnp.int32)
+  nl = jnp.full((B,), U, jnp.int32)
+  key = jax.random.PRNGKey(7)
+
+  def timeit(tag, fn, *args, n=5):
+    fn(*args)  # compile + first run
+    t0 = time.perf_counter()
+    for _ in range(n):
+      out = fn(*args)
+    dt = (time.perf_counter() - t0) / n * 1e3
+    print(f'{tag}: {dt:.1f} ms/iter (scalar {out:.3f})', flush=True)
+    return dt
+
+  for m in (1, 4, 16):
+    sample = jax.jit(lambda p, f, k, _m=m: lattice.sample_paths(
+        p, f, nf, k, num_samples=_m)[2].sum())
+    timeit(f'sample_paths m={m}', lambda p, f, k: sample(p, f, k).item(),
+           params, frames, key)
+
+  er = jax.jit(lambda p, f, k: risk.sampled_risk_loss(
+      lattice, p, f, nf, labels, nl, k, num_samples=4,
+      estimator='reinforce')[0].mean())
+  timeit('sampled_risk_loss m=4 (sampling + edit distance)',
+         lambda p, f, k: er(p, f, k).item(), params, frames, key)
+
+
+if __name__ == '__main__':
+  main()

@@ -270,6 +270,69 @@ def train_step(model: GNATModel, optimizer: optax.GradientTransformation,
   return new_state, loss
 
 
+def risk_train_step(model: GNATModel,
+                    optimizer: optax.GradientTransformation,
+                    state: GNATTrainState, frames, num_frames, labels,
+                    num_labels, key: jax.Array,
+                    num_samples: int = 4,
+                    estimator: str = 'mwer',
+                    nll_weight: float = 0.0
+                    ) -> tuple[GNATTrainState, dict]:
+  """One jittable expected-risk (MWER) fine-tuning step.
+
+  Minimizes the expected edit distance over exact posterior path samples
+  (``risk.sampled_risk_loss``), optionally interpolated with the
+  likelihood loss (``nll_weight > 0`` — the standard MWER recipe
+  regularizes with a small NLL term to keep the posterior calibrated).
+  The encoder runs ONCE; both objectives share the encoded frames.
+
+  Args:
+    model: The GNAT model.
+    optimizer: An optax transformation (see ``make_optimizer``).
+    state: Current train state.
+    frames, num_frames, labels, num_labels: The batch.
+    key: PRNG key for path sampling (fold in the step index per call).
+    num_samples: Posterior samples per utterance.
+    estimator: ``'mwer'`` or ``'reinforce'`` (see ``risk`` module docs).
+    nll_weight: Weight of the added mean likelihood loss (0 disables).
+
+  Returns:
+    (new_state, metrics) where metrics has ``loss`` (the optimized
+    scalar), ``mean_risk`` (Monte Carlo expected edit distance — the
+    quantity MWER training should drive down), and ``nll`` when enabled.
+  """
+  # Function-level import: ``risk`` imports ``models.metrics``, so a
+  # top-level import here would be circular during package init.
+  from last_torch_tpu import risk as risk_lib
+
+  def loss_fn(params):
+    encoded = model.encoder.apply(params['encoder'], frames, num_frames)
+    er, aux = risk_lib.sampled_risk_loss(
+        model.lattice, params['lattice'], encoded, num_frames, labels,
+        num_labels, key, num_samples=num_samples, estimator=estimator)
+    metrics = {'mean_risk': jnp.mean(aux['mean_risk'])}
+    total = jnp.mean(er)
+    if nll_weight:
+      per_seq = model.lattice(
+          params['lattice'], frames=encoded, num_frames=num_frames,
+          labels=labels, num_labels=num_labels)
+      finite = jnp.isfinite(per_seq)
+      nll = (jnp.sum(jnp.where(finite, per_seq, 0.0)) /
+             jnp.maximum(jnp.sum(finite), 1))
+      metrics['nll'] = nll
+      total = total + nll_weight * nll
+    return total, metrics
+
+  (loss, metrics), grads = jax.value_and_grad(
+      loss_fn, has_aux=True)(state.params)
+  updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                            state.params)
+  new_params = optax.apply_updates(state.params, updates)
+  new_state = GNATTrainState(
+      params=new_params, opt_state=new_opt_state, step=state.step + 1)
+  return new_state, dict(metrics, loss=loss)
+
+
 jax.tree_util.register_dataclass(
     GNATTrainState, data_fields=['params', 'opt_state', 'step'],
     meta_fields=[])

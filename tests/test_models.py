@@ -518,3 +518,43 @@ def test_ctc_model_loss_matches_numpy_oracle():
         alpha = new
       want.append(-alpha[un])
     npt.assert_allclose(got, np.array(want), rtol=0, atol=1e-4)
+
+
+def test_risk_train_step_reduces_expected_edit_distance():
+  model = gnat.GNATModel(tiny_config())
+  optimizer = gnat.make_optimizer(learning_rate=3e-2)
+  state = gnat.init_train_state(model, jax.random.PRNGKey(0), optimizer)
+  frames, num_frames, labels, num_labels = tiny_batch()
+
+  # Warm start with a few likelihood steps (the standard MWER recipe
+  # fine-tunes a trained model; a random posterior is too flat to rank).
+  nll_step = jax.jit(lambda s, *b: gnat.train_step(model, optimizer, s, *b))
+  for _ in range(10):
+    state, _ = nll_step(state, frames, num_frames, labels, num_labels)
+
+  risk_step = jax.jit(lambda s, k, *b: gnat.risk_train_step(
+      model, optimizer, s, *b, key=k, num_samples=8,
+      estimator='reinforce', nll_weight=0.1))
+  risks = []
+  for i in range(30):
+    state, metrics = risk_step(state, jax.random.fold_in(
+        jax.random.PRNGKey(7), i), frames, num_frames, labels, num_labels)
+    assert set(metrics) == {'loss', 'mean_risk', 'nll'}
+    risks.append(float(metrics['mean_risk']))
+  assert all(np.isfinite(risks))
+  # Overfitting a fixed batch must drive the expected edit distance down.
+  assert np.mean(risks[-5:]) < np.mean(risks[:5]), risks
+
+
+def test_risk_train_step_mwer_estimator_runs():
+  model = gnat.GNATModel(tiny_config())
+  optimizer = gnat.make_optimizer(learning_rate=1e-2)
+  state = gnat.init_train_state(model, jax.random.PRNGKey(0), optimizer)
+  frames, num_frames, labels, num_labels = tiny_batch(seed=2)
+  step = jax.jit(lambda s, k, *b: gnat.risk_train_step(
+      model, optimizer, s, *b, key=k, num_samples=4, estimator='mwer'))
+  state, metrics = step(state, jax.random.PRNGKey(1), frames, num_frames,
+                        labels, num_labels)
+  assert set(metrics) == {'loss', 'mean_risk'}
+  assert np.isfinite(float(metrics['loss']))
+  assert int(state.step) == 1
