@@ -2,12 +2,37 @@
 
 ``RecognitionLattice.sample_paths`` runs two float32 XLA weight-fn
 applications per frame (one in the reverse beta scan, one in the forward
-sampling scan) plus O(num_samples) gathers, so the expected cost is
-~2x the XLA forward scan and nearly flat in num_samples. This bench pins
-that down on the real chip at the headline configuration (B=32 T=1600
-V=1024 h=512, bigram FLD k=2) across num_samples, and times the
-composed expected-risk loss (``risk.sampled_risk_loss``, sampling + label
+sampling scan) plus O(num_samples) per-sample work. This bench pins that
+down on the real chip at the headline configuration (B=32 T=1600 V=1024
+h=512, bigram FLD k=2) across num_samples, and times the composed
+expected-risk loss (``risk.sampled_risk_loss``, sampling + label
 extraction + batched edit distance) for the MWER fine-tuning story.
+
+Measured 2026-08-18 (v5e, after the optimization pass below):
+
+  sample_paths m=1 / 4 / 16:   2290 / 2629 / 2703 ms  (16 samples cost
+                               +18% over 1 — extra samples near-free)
+  sampled_risk_loss m=4:       2620 ms (the edit distance is free)
+  => an MWER step's sampling+risk side costs ~1.5x the headline
+     likelihood loss fwd+bwd (1752 ms); m=4 is 19.5k frames/s.
+
+Optimization history (same shapes, measured at T=400 then confirmed at
+T=1600) — three TPU-specific rewrites, 8.5x in total, each preserving
+bit-identical output scalars:
+
+  1. Never materialize the per-expansion [B, S, V] arc-score tensors in
+     the sampling pass — compute continuation VALUES with fused
+     logsumexps and assemble scores only at the M sampled rows
+     (5307 -> 3890 ms at T=400 m=4; also fixed the headline dispatch,
+     whose ~21 s single call crashed the remote worker).
+  2. Row-gathering [B, S, V] weights with take_along_axis is ~48x
+     slower than a one-hot MXU contraction at HIGHEST precision
+     (in-scan A/B: 14.5 -> 0.3 ms/frame at M=16) — the 0/1 matmul is
+     f32-exact, keeping the sampler's float32 contract.
+  3. For FullNGram(context_size<=1) the next-state row is
+     sample-independent (label y always leads to state y), so the
+     per-sample continuation gather is a broadcast (m=16: 5004 -> 703
+     ms; samples became genuinely near-free).
 
 Timing is per-call with a single f32 scalar pulled via ``.item()``
 (seconds-scale programs; the ~30 ms tunnel RTT is noise here).

@@ -670,30 +670,26 @@ class RecognitionLattice(Generic[T]):
     frames_tm = jnp.moveaxis(frames, -2, 0)
     t_ix = jnp.arange(max_num_frames)
 
-    def continuations(blank, lexical, beta_next):
-      """Per-expansion continuation values and lexical option scores.
+    def cont_values(blank, lexical, beta_next):
+      """Per-expansion continuation VALUES, [batch..., S] each.
 
-      Returns (v, q): ``v[e]`` is [batch..., S] — the total weight of
-      completing the utterance from context state c having already taken
-      e lexical expansions in this frame; ``q[e]`` is [batch..., S, V] —
-      the score of taking label y from expansion e (arc weight plus the
-      continuation from the successor). ``v[0]`` is beta for this frame.
-      FrameDependent is the one-expansion case whose lexical arc itself
-      advances the frame (``q[0]`` continues into ``beta_next``).
+      ``v[e]`` is the total weight of completing the utterance from
+      context state c having already taken e lexical expansions in this
+      frame; ``v[0]`` is beta for this frame. The [batch..., S, V]
+      per-arc score tensors are deliberately never materialized: the
+      label logsumexp fuses with the broadcast here, and the sampling
+      pass gathers only its M visited rows (materializing k full
+      [B, S, V] tensors per frame measured ~6x slower at production
+      shapes and crashed the remote worker on a ~21 s single dispatch).
       """
       blank_term = blank + beta_next
-      if not fld:
-        q0 = lexical + self.context.backward_broadcast(beta_next)
-        v0 = jnp.logaddexp(blank_term, semirings.Log.sum(q0, axis=-1))
-        return [v0], [q0]
-      v = [None] * (k + 1)
-      q = [None] * k
-      v[k] = blank_term
-      for e in range(k - 1, -1, -1):
-        q[e] = lexical + self.context.backward_broadcast(v[e + 1])
-        v[e] = jnp.logaddexp(blank_term,
-                             semirings.Log.sum(q[e], axis=-1))
-      return v, q
+      v = [None] * (k + 1) if fld else [None, beta_next]
+      v[-1] = blank_term if fld else beta_next
+      for e in range(len(v) - 2, -1, -1):
+        s_e = semirings.Log.sum(
+            lexical + self.context.backward_broadcast(v[e + 1]), axis=-1)
+        v[e] = jnp.logaddexp(blank_term, s_e)
+      return v
 
     # Phase 1: reverse scan for the backward weights; the stacked output
     # at frame t is beta_{t+1} (the incoming carry), the final carry is
@@ -701,7 +697,7 @@ class RecognitionLattice(Generic[T]):
     def beta_step(beta, inputs):
       t, frame = inputs
       blank, lexical = self.weight_fn.apply(wf_params, cache, frame)
-      v, _ = continuations(blank, lexical, beta)
+      v = cont_values(blank, lexical, beta)
       is_padding = (t >= num_frames)[..., None]
       return jnp.where(is_padding, beta, v[0]), beta
 
@@ -711,21 +707,55 @@ class RecognitionLattice(Generic[T]):
     log_z = beta_0[..., self.context.start()]
 
     def gather_rows(x, c):
-      """x: [batch..., S(, V)]; c: [batch..., M] -> [batch..., M(, V)]."""
+      """x: [batch..., S(, V)]; c: [batch..., M] -> [batch..., M(, V)].
+
+      Minor-axis gathers (the [batch..., S] case) are cheap on TPU; a
+      row gather from [batch..., S, V] is NOT — XLA lowers it ~48x
+      slower than the equivalent one-hot MXU contraction (measured
+      in-scan at B=32 S=1025 V=1024 M=16: 14.5 ms/frame vs 0.3 ms).
+      HIGHEST precision keeps the 0/1 contraction f32-exact (each row is
+      one exact product plus exact zeros), preserving this method's
+      float32 conditional-probability contract.
+      """
       if x.ndim == c.ndim:
         return jnp.take_along_axis(x, c, axis=-1)
-      idx = jnp.broadcast_to(c[..., None], c.shape + (x.shape[-1],))
-      return jnp.take_along_axis(x, idx, axis=-2)
+      onehot = jax.nn.one_hot(c, x.shape[-2], dtype=x.dtype)
+      return jnp.einsum('...ms,...sv->...mv', onehot, x,
+                        precision=jax.lax.Precision.HIGHEST)
+
+    y_all = jnp.arange(1, vocab_size + 1, dtype=jnp.int32)
+
+    def conts_at_next_states(cont, c):
+      """cont: [batch..., S]; c: [batch..., M] ->
+      ``cont[next_state(c_m, y)]`` for every lexical y, [batch..., M, V]
+      — the per-sample row of ``backward_broadcast(cont)`` without ever
+      materializing the [batch..., S, V] broadcast."""
+      shape = (*c.shape, vocab_size)
+      if (isinstance(self.context, contexts.FullNGram) and
+          self.context.context_size <= 1):
+        # next_state is sample-independent here: label y always leads to
+        # state y (bigram) or state 0 (context-free) — a broadcast, not a
+        # gather (the [batch..., M*V] gather is a per-sample cost on TPU).
+        row = cont[..., 1:] if self.context.context_size else cont
+        return jnp.broadcast_to(row[..., None, :], shape)
+      ns = self.context.next_state(c[..., None], y_all).astype(jnp.int32)
+      flat = ns.reshape(*ns.shape[:-2], -1)
+      out = jnp.take_along_axis(cont, flat, axis=-1)
+      return out.reshape(ns.shape)
 
     # Phase 2: forward sampling. Per frame: recompute the arc weights,
-    # rebuild the continuation scores, and draw each expansion's arc from
-    # its exact conditional via Gumbel-max (jax.random.categorical).
+    # rebuild the continuation VALUES, and draw each expansion's arc from
+    # its exact conditional via Gumbel-max (jax.random.categorical); the
+    # per-arc scores are assembled only at the M sampled rows.
     def sample_step(carry, inputs):
       c, logw = carry  # [batch..., M] state ids / accumulated arc weight
       t, frame, beta_next = inputs
       blank, lexical = self.weight_fn.apply(wf_params, cache, frame)
-      _, q = continuations(blank, lexical, beta_next)
       blank_term = blank + beta_next
+      # Successor continuation of expansion e: v[e+1] (the next expansion
+      # state) for FLD; beta_next for FrameDependent, whose lexical arc
+      # itself advances the frame.
+      conts = cont_values(blank, lexical, beta_next)[1:]
       key_t = jax.random.fold_in(key, t)
       is_padding = (t >= num_frames)[..., None]
 
@@ -733,10 +763,11 @@ class RecognitionLattice(Generic[T]):
       slots = []
       for e in range(num_align_states):
         blank_w = gather_rows(blank, c)
-        if e < len(q):
+        if e < len(conts):
+          lex_rows = gather_rows(lexical, c)  # [batch..., M, V]
+          q_rows = lex_rows + conts_at_next_states(conts[e], c)
           logits = jnp.concatenate(
-              [gather_rows(blank_term, c)[..., None],
-               gather_rows(q[e], c)], axis=-1)
+              [gather_rows(blank_term, c)[..., None], q_rows], axis=-1)
           choice = jax.random.categorical(
               jax.random.fold_in(key_t, e), logits)
         else:
@@ -745,10 +776,10 @@ class RecognitionLattice(Generic[T]):
         choice = jnp.where(done | is_padding, 0, choice.astype(jnp.int32))
         take_label = choice > 0
         take_blank = ~done & ~take_label & ~is_padding
-        if e < len(q):
+        if e < len(conts):
           label_w = jnp.take_along_axis(
-              gather_rows(lexical, c),
-              jnp.maximum(choice - 1, 0)[..., None], axis=-1)[..., 0]
+              lex_rows, jnp.maximum(choice - 1, 0)[..., None],
+              axis=-1)[..., 0]
         else:
           label_w = jnp.zeros_like(blank_w)
         logw = logw + jnp.where(take_label, label_w,

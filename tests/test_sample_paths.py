@@ -65,6 +65,8 @@ def enumerate_alignments(table, nxt, frames_int, num_frames,
 
 
 @pytest.mark.parametrize('context_size,max_expansions,num_frames', [
+    (0, None, 3),
+    (0, 1, 3),
     (1, None, 3),
     (1, 1, 3),
     (1, 2, 2),
