@@ -624,9 +624,12 @@ class RecognitionLattice(Generic[T]):
 
     Like ``arc_marginals``, both passes run the float32 XLA path (never
     the fused bfloat16 kernels) so the conditionals normalize exactly.
-    All per-sample work is gathers over the ``[..., S]`` /``[..., S, V]``
-    weight tensors, so extra samples are nearly free relative to the two
-    weight-function applications per frame.
+    Per-sample work is one-hot MXU row contractions and minor-axis
+    gathers (never ``[..., S, V]`` materializations or row gathers — see
+    ``gather_rows``/``conts_at_next_states`` and
+    ``benchmarks/tpu_sample_paths_bench.py``), so extra samples are
+    nearly free relative to the two weight-function applications per
+    frame (measured: 16 samples cost +18% over 1 at headline shapes).
 
     Args:
       params: Parameter pytree from ``init``.
