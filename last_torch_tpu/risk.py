@@ -172,8 +172,14 @@ def sampled_risk_loss(lattice,
   if estimator not in ('mwer', 'reinforce'):
     raise ValueError(f"estimator must be 'mwer' or 'reinforce', "
                      f'got {estimator!r}')
-  if num_samples < 2 and estimator == 'reinforce':
-    raise ValueError('the leave-one-out baseline needs num_samples >= 2')
+  if num_samples < 2:
+    # Both estimators are gradient-free at one sample: REINFORCE has no
+    # leave-one-out baseline, and MWER's single softmax weight is the
+    # constant 1 with a zero advantage — a silent training no-op.
+    raise ValueError(
+        f'num_samples must be >= 2 for a usable gradient (got '
+        f'{num_samples}); with one sample the {estimator!r} estimator '
+        'has zero gradient')
   align_labels, _, log_prob = lattice.sample_paths(
       params, frames, num_frames, key, num_samples=num_samples,
       cache=cache)

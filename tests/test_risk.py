@@ -225,7 +225,8 @@ def test_error_paths():
   with pytest.raises(ValueError, match='estimator'):
     risk.sampled_risk_loss(lattice, params, frames, nf, labels, nl,
                            jax.random.PRNGKey(0), estimator='nope')
-  with pytest.raises(ValueError, match='num_samples'):
-    risk.sampled_risk_loss(lattice, params, frames, nf, labels, nl,
-                           jax.random.PRNGKey(0), num_samples=1,
-                           estimator='reinforce')
+  for estimator in ('reinforce', 'mwer'):
+    with pytest.raises(ValueError, match='num_samples'):
+      risk.sampled_risk_loss(lattice, params, frames, nf, labels, nl,
+                             jax.random.PRNGKey(0), num_samples=1,
+                             estimator=estimator)
