@@ -39,6 +39,27 @@ jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
 # a cache miss from tunnel slowness (BASELINE.md "cold compile" note).
 jax.config.update('jax_explain_cache_misses', True)
 
+# Every function's FIRST trace logs a "never seen function" miss — pure
+# noise under this flag. Keep only the actionable records: a function
+# being re-defined per call ("seen another function defined on the same
+# line"), which defeats jax's tracing caches on every retrace (fixed in
+# round 5 by caching the custom-VJP objects and kernel partials; this
+# filter keeps the bench tail a regression alarm for that class of bug).
+import logging  # noqa: E402
+
+
+class _OnlyRedefinitionMisses(logging.Filter):
+
+  def filter(self, record):
+    msg = record.getMessage()
+    if 'TRACING CACHE MISS' not in msg:
+      return True
+    return 'defined on the same line' in msg
+
+
+logging.getLogger('jax._src.interpreters.partial_eval').addFilter(
+    _OnlyRedefinitionMisses())
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import last_torch_tpu  # noqa: E402

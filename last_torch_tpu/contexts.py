@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import abc
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -131,14 +132,23 @@ class ContextDependency(abc.ABC):
     batch_dims = labels.shape[:-1]
     start = jnp.full(batch_dims, self.start(), dtype=jnp.int32)
 
-    def step(state, label):
-      next_state = self.next_state(state, label)
-      return next_state, next_state
-
     time_major_labels = jnp.moveaxis(labels, -1, 0)
-    _, time_major_states = jax.lax.scan(step, start, time_major_labels)
+    _, time_major_states = jax.lax.scan(
+        _walk_states_step(self), start, time_major_labels)
     states = jnp.moveaxis(time_major_states, 0, -1)
     return jnp.concatenate([start[..., None], states], axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _walk_states_step(context):
+  """Cached scan body for ``walk_states`` (stable identity for jax's
+  tracing caches; see lattices._string_dp_step)."""
+
+  def step(state, label):
+    next_state = context.next_state(state, label)
+    return next_state, next_state
+
+  return step
 
 
 def _check_reduce_shape(self_shape, weights):

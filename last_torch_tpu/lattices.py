@@ -983,7 +983,7 @@ class RecognitionLattice(Generic[T]):
     num_labels = jnp.asarray(num_labels)
     batch_dims = num_frames.shape
     num_align_states = self.alignment.num_states()
-    lift = weight_lift if weight_lift is not None else (lambda w: w)
+    lift = weight_lift if weight_lift is not None else _identity
 
     def shortest_distance_step(carry, inputs):
       t, alpha = carry
@@ -1183,7 +1183,7 @@ class RecognitionLattice(Generic[T]):
           f'but is {len(lexical_mask)}')
 
     wf_params = params['weight_fn']
-    lift = weight_lift if weight_lift is not None else (lambda w: w)
+    lift = weight_lift if weight_lift is not None else _identity
 
     if self.fused != 'never' and allow_fused:
       from last_torch_tpu.ops import fused_scan
@@ -1261,7 +1261,7 @@ class RecognitionLattice(Generic[T]):
 
     # Infer the weight dtype without computing anything.
     abstract_blank, _ = jax.eval_shape(
-        lambda f: self.weight_fn.apply(wf_params, cache, f),
+        _weight_fn_apply(self.weight_fn), wf_params, cache,
         jax.ShapeDtypeStruct(frames.shape[:-2] + frames.shape[-1:],
                              frames.dtype))
     alpha_dtype = semirings.value_dtype(
@@ -1448,7 +1448,7 @@ class RecognitionLattice(Generic[T]):
                                       jnp.asarray(num_frames).shape)
     denominator, _ = self._forward_s1_from_weights(
         blank, lexical, num_frames, semirings.Log, None, None,
-        lambda w: w)
+        _identity)
     blank_w, lexical_w = self._s1_string_weights_from(
         blank, lexical, context_next_labels)
     numerator = self._string_dp(blank_w, lexical_w, num_frames,
@@ -1524,50 +1524,7 @@ class RecognitionLattice(Generic[T]):
           num_frames=num_frames, semiring=semirings.Log)
       return log_z
 
-    @jax.custom_vjp
-    def forward_backward(wf_params, cache, frames, num_frames):
-      log_z, _ = self._forward(
-          params={'weight_fn': wf_params},
-          cache=cache,
-          frames=frames,
-          num_frames=num_frames,
-          semiring=semirings.Log)
-      return log_z
-
-    def forward_backward_fwd(wf_params, cache, frames, num_frames):
-      log_z, alpha_history = self._forward(
-          params={'weight_fn': wf_params},
-          cache=cache,
-          frames=frames,
-          num_frames=num_frames,
-          semiring=semirings.Log)
-      return log_z, (wf_params, cache, frames, num_frames, log_z,
-                     alpha_history)
-
-    def forward_backward_bwd(residuals, g):
-      wf_params, cache, frames, num_frames, log_z, alpha_history = residuals
-
-      def accumulate(weight_vjp_fn, carry, blank_marginal, lexical_marginals):
-        d_blank = g[..., None] * blank_marginal
-        d_lexical = g[..., None, None] * lexical_marginals
-        d_params, d_cache, d_frame = weight_vjp_fn(d_blank, d_lexical)
-        next_carry = jax.tree.map(jnp.add, carry, (d_params, d_cache))
-        return next_carry, d_frame
-
-      init_carry = jax.tree.map(jnp.zeros_like, (wf_params, cache))
-      (wf_params_grad, cache_grad), frames_grad = self._backward(
-          params={'weight_fn': wf_params},
-          cache=cache,
-          frames=frames,
-          num_frames=num_frames,
-          log_z=log_z,
-          alpha_0_to_T_minus_1=alpha_history,
-          init_callback_carry=init_carry,
-          callback=accumulate)
-      return (wf_params_grad, cache_grad, frames_grad,
-              np.zeros(num_frames.shape, jax.dtypes.float0))
-
-    forward_backward.defvjp(forward_backward_fwd, forward_backward_bwd)
+    forward_backward = _forward_backward_vjp_fn(self)
     return forward_backward(params['weight_fn'], cache, frames, num_frames)
 
   class BackwardStepCallback(Protocol):
@@ -1687,6 +1644,75 @@ class RecognitionLattice(Generic[T]):
     callback_outputs = jax.tree.map(
         lambda x: jnp.moveaxis(x, 0, num_batch_dims), callback_outputs)
     return final_callback_carry, callback_outputs
+
+
+def _identity(w):
+  return w
+
+
+@functools.lru_cache(maxsize=None)
+def _weight_fn_apply(weight_fn):
+  """Stable reference to ``weight_fn.apply``: attribute access returns a
+  fresh bound-method object every time, defeating jax's tracing caches
+  when the method is passed to e.g. ``jax.eval_shape``."""
+  return weight_fn.apply
+
+
+@functools.lru_cache(maxsize=None)
+def _forward_backward_vjp_fn(lattice):
+  """Cached custom-VJP for the XLA forward-backward denominator.
+
+  A fresh ``jax.custom_vjp`` object per call forces a full re-trace of
+  the forward and backward scans on every outer retrace (same issue as
+  ``ops.fused_scan._log_partition_vjp_fn``); one stable object per
+  lattice instance lets jax's caches hit.
+  """
+
+  @jax.custom_vjp
+  def forward_backward(wf_params, cache, frames, num_frames):
+    log_z, _ = lattice._forward(
+        params={'weight_fn': wf_params},
+        cache=cache,
+        frames=frames,
+        num_frames=num_frames,
+        semiring=semirings.Log)
+    return log_z
+
+  def forward_backward_fwd(wf_params, cache, frames, num_frames):
+    log_z, alpha_history = lattice._forward(
+        params={'weight_fn': wf_params},
+        cache=cache,
+        frames=frames,
+        num_frames=num_frames,
+        semiring=semirings.Log)
+    return log_z, (wf_params, cache, frames, num_frames, log_z,
+                   alpha_history)
+
+  def forward_backward_bwd(residuals, g):
+    wf_params, cache, frames, num_frames, log_z, alpha_history = residuals
+
+    def accumulate(weight_vjp_fn, carry, blank_marginal, lexical_marginals):
+      d_blank = g[..., None] * blank_marginal
+      d_lexical = g[..., None, None] * lexical_marginals
+      d_params, d_cache, d_frame = weight_vjp_fn(d_blank, d_lexical)
+      next_carry = jax.tree.map(jnp.add, carry, (d_params, d_cache))
+      return next_carry, d_frame
+
+    init_carry = jax.tree.map(jnp.zeros_like, (wf_params, cache))
+    (wf_params_grad, cache_grad), frames_grad = lattice._backward(
+        params={'weight_fn': wf_params},
+        cache=cache,
+        frames=frames,
+        num_frames=num_frames,
+        log_z=log_z,
+        alpha_0_to_T_minus_1=alpha_history,
+        init_callback_carry=init_carry,
+        callback=accumulate)
+    return (wf_params_grad, cache_grad, frames_grad,
+            np.zeros(num_frames.shape, jax.dtypes.float0))
+
+  forward_backward.defvjp(forward_backward_fwd, forward_backward_bwd)
+  return forward_backward
 
 
 def _init_context_state_weights(batch_dims, dtype, num_states: int,

@@ -307,15 +307,20 @@ def risk_train_step(model: GNATModel,
 
   def loss_fn(params):
     encoded = model.encoder.apply(params['encoder'], frames, num_frames)
+    # Build the weight-fn cache once and share it between the risk loss
+    # and the NLL term (otherwise each builds its own and we rely on XLA
+    # CSE to dedupe them).
+    cache = model.lattice.build_cache(params['lattice'])
     er, aux = risk_lib.sampled_risk_loss(
         model.lattice, params['lattice'], encoded, num_frames, labels,
-        num_labels, key, num_samples=num_samples, estimator=estimator)
+        num_labels, key, num_samples=num_samples, estimator=estimator,
+        cache=cache)
     metrics = {'mean_risk': jnp.mean(aux['mean_risk'])}
     total = jnp.mean(er)
     if nll_weight:
       per_seq = model.lattice(
           params['lattice'], frames=encoded, num_frames=num_frames,
-          labels=labels, num_labels=num_labels)
+          labels=labels, num_labels=num_labels, cache=cache)
       finite = jnp.isfinite(per_seq)
       nll = (jnp.sum(jnp.where(finite, per_seq, 0.0)) /
              jnp.maximum(jnp.sum(finite), 1))

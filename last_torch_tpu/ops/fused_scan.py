@@ -80,6 +80,18 @@ def _mxu_precision(compute_dtype):
           else jax.lax.Precision.DEFAULT)
 
 
+
+@functools.lru_cache(maxsize=None)
+def _cached_partial(fn, *args, **kwargs):
+  """functools.partial with a stable identity per (fn, statics).
+
+  pallas_call re-traces its kernel every time it sees a new function
+  object; a fresh partial per call defeats that cache on every outer
+  retrace (all partial args here are hashable statics).
+  """
+  return functools.partial(fn, *args, **kwargs)
+
+
 def _fused_forward_kernel(
     # Inputs.
     is_pad_ref,     # [1, 1, 1, Bt] int32 (1 where t >= num_frames[b])
@@ -1322,7 +1334,7 @@ def fused_shortest_distance_fwd(wf_params: Any,
   num_s_tiles = s_pad // s_tile
 
   if mode == 'cache':
-    kernel = functools.partial(
+    kernel = _cached_partial(
         _fused_forward_kernel,
         batch_tile=batch_tile,
         s_tile=s_tile,
@@ -1343,7 +1355,7 @@ def fused_shortest_distance_fwd(wf_params: Any,
   else:
     v_tile = _choose_v_tile(vocab)
     num_v_tiles = vocab // v_tile
-    kernel = functools.partial(
+    kernel = _cached_partial(
         _online_forward_kernel,
         batch_tile=batch_tile,
         s_tile=s_tile,
@@ -1497,7 +1509,7 @@ def run_fused_backward(wf_params: Any,
 
   padded_params, _ = _pad_vocab(wf_params)
   if mode == 'cache':
-    kernel = functools.partial(
+    kernel = _cached_partial(
         _fused_backward_kernel,
         batch_tile=tile,
         s_tile=s_tile,
@@ -1522,7 +1534,7 @@ def run_fused_backward(wf_params: Any,
     v_tile = _choose_v_tile(vocab)
     num_v_tiles = vocab // v_tile
     num_pairs = 1 if frame_dependent else max_expansions
-    kernel = functools.partial(
+    kernel = _cached_partial(
         _online_backward_kernel,
         batch_tile=tile,
         s_tile=s_tile,
@@ -1682,6 +1694,23 @@ def log_partition(wf_params: Any,
                                     hidden)
   s_tile, bwd_batch_tile = _bwd_tiles(
       mode, s, _round_up(true_vocab, _LANES), s_tile, bwd_batch_tile)
+  fn = _log_partition_vjp_fn(
+      max_expansions, frame_dependent, s, batch_tile, bwd_batch_tile,
+      s_tile, compute_dtype, cache_dtype, mode, interpret)
+  return fn(wf_params, cache, frames, num_frames)
+
+
+@functools.lru_cache(maxsize=None)
+def _log_partition_vjp_fn(max_expansions, frame_dependent, s, batch_tile,
+                          bwd_batch_tile, s_tile, compute_dtype,
+                          cache_dtype, mode, interpret):
+  """Cached custom-VJP builder for ``log_partition``.
+
+  Creating the ``jax.custom_vjp`` object fresh on every call re-traced
+  the Pallas kernels on every outer retrace (tracing-cache misses at the
+  kernel ``pl.when`` bodies); one stable object per static config lets
+  jax's caches hit instead.
+  """
 
   def run_forward(wf_params, cache, frames, num_frames):
     return fused_shortest_distance_fwd(
@@ -1724,7 +1753,7 @@ def log_partition(wf_params: Any,
             np.zeros(num_frames.shape, jax.dtypes.float0))
 
   fn.defvjp(fn_fwd, fn_bwd)
-  return fn(wf_params, cache, frames, num_frames)
+  return fn
 
 
 def fused_label_marginals(wf_params: Any,
@@ -1793,7 +1822,7 @@ def fused_label_marginals(wf_params: Any,
       _stage_reverse_inputs(wf_params, cache, frames, num_frames, log_z,
                             alpha_history, tile, s_pad, s))
 
-  kernel = functools.partial(
+  kernel = _cached_partial(
       _fused_marginals_kernel,
       batch_tile=tile,
       s_tile=s_tile,

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import abc
 import dataclasses
+import functools
 from typing import Any, Callable, Generic, Optional, TypeVar
 
 import jax
