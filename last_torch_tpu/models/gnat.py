@@ -276,7 +276,8 @@ def risk_train_step(model: GNATModel,
                     num_labels, key: jax.Array,
                     num_samples: int = 4,
                     estimator: str = 'mwer',
-                    nll_weight: float = 0.0
+                    nll_weight: float = 0.0,
+                    per_example_keys: bool = False
                     ) -> tuple[GNATTrainState, dict]:
   """One jittable expected-risk (MWER) fine-tuning step.
 
@@ -295,6 +296,11 @@ def risk_train_step(model: GNATModel,
     num_samples: Posterior samples per utterance.
     estimator: ``'mwer'`` or ``'reinforce'`` (see ``risk`` module docs).
     nll_weight: Weight of the added mean likelihood loss (0 disables).
+    per_example_keys: Fold the key per GLOBAL batch row before sampling
+      (``risk.per_example_keys``), making the sampled paths invariant to
+      batch sharding — the single-device reference for the ``shard_map``
+      data-parallel step (``parallel.sharding.
+      make_shard_map_risk_train_step``).
 
   Returns:
     (new_state, metrics) where metrics has ``loss`` (the optimized
@@ -311,10 +317,18 @@ def risk_train_step(model: GNATModel,
     # and the NLL term (otherwise each builds its own and we rely on XLA
     # CSE to dedupe them).
     cache = model.lattice.build_cache(params['lattice'])
-    er, aux = risk_lib.sampled_risk_loss(
-        model.lattice, params['lattice'], encoded, num_frames, labels,
-        num_labels, key, num_samples=num_samples, estimator=estimator,
-        cache=cache)
+    if per_example_keys:
+      row_keys = risk_lib.per_example_keys(
+          key, jnp.asarray(num_frames).shape[0])
+      er, aux = risk_lib.sampled_risk_loss_per_example(
+          model.lattice, params['lattice'], encoded, num_frames, labels,
+          num_labels, row_keys, num_samples=num_samples,
+          estimator=estimator, cache=cache)
+    else:
+      er, aux = risk_lib.sampled_risk_loss(
+          model.lattice, params['lattice'], encoded, num_frames, labels,
+          num_labels, key, num_samples=num_samples, estimator=estimator,
+          cache=cache)
     metrics = {'mean_risk': jnp.mean(aux['mean_risk'])}
     total = jnp.mean(er)
     if nll_weight:

@@ -332,3 +332,94 @@ def make_shard_map_train_step(model, optimizer, mesh: Mesh,
     return fn(state, frames, num_frames, labels, num_labels)
 
   return jax.jit(step, donate_argnums=(0,))
+
+
+def make_shard_map_risk_train_step(model, optimizer, mesh: Mesh,
+                                   axis_name: str = 'data',
+                                   num_samples: int = 4,
+                                   estimator: str = 'mwer',
+                                   nll_weight: float = 0.0):
+  """Data-parallel expected-risk (MWER) train step with ``jax.shard_map``.
+
+  Each device encodes its local batch shard, draws exact posterior path
+  samples with PRNG keys folded per GLOBAL batch row
+  (``risk.per_example_keys`` with ``offset = axis_index * local_batch``),
+  and computes the local expected-risk (+ optional NLL) contribution;
+  gradients and the scalar objective ``psum`` over ICI. Because the keys
+  depend only on global row indices, the sampled paths — and therefore
+  the loss and gradients — match the single-device
+  ``gnat.risk_train_step(..., per_example_keys=True)`` exactly (up to
+  float reduction order).
+
+  Parameters and optimizer state are replicated; ``key`` is replicated.
+
+  Returns:
+    A jitted callable ``(state, frames, num_frames, labels, num_labels,
+    key) -> (state, metrics)`` with batch args sharded over
+    ``axis_name`` and metrics matching ``gnat.risk_train_step``.
+  """
+  from last_torch_tpu import risk as risk_lib
+  from last_torch_tpu.models import gnat as gnat_lib  # avoid import cycle
+
+  axis_size = mesh.shape[axis_name]
+
+  def local_step(state, frames, num_frames, labels, num_labels, key):
+    local_batch = num_frames.shape[0]
+    global_batch = local_batch * axis_size
+
+    def loss_fn(params):
+      encoded = model.encoder.apply(params['encoder'], frames, num_frames)
+      cache = model.lattice.build_cache(params['lattice'])
+      offset = jax.lax.axis_index(axis_name) * local_batch
+      row_keys = risk_lib.per_example_keys(key, local_batch, offset)
+      er, aux = risk_lib.sampled_risk_loss_per_example(
+          model.lattice, params['lattice'], encoded, num_frames, labels,
+          num_labels, row_keys, num_samples=num_samples,
+          estimator=estimator, cache=cache)
+      metrics = {
+          'mean_risk': jax.lax.psum(jnp.sum(aux['mean_risk']), axis_name)
+                       / global_batch
+      }
+      total = jnp.sum(er) / global_batch
+      if nll_weight:
+        per_seq = model.lattice(
+            params['lattice'], frames=encoded, num_frames=num_frames,
+            labels=labels, num_labels=num_labels, cache=cache)
+        finite = jnp.isfinite(per_seq)
+        count = jnp.maximum(
+            jax.lax.psum(jnp.sum(finite), axis_name), 1)
+        nll = (jax.lax.psum(jnp.sum(jnp.where(finite, per_seq, 0.0)),
+                            axis_name) / count)
+        metrics['nll'] = nll
+        # Each device adds its 1/axis_size share of the (already global)
+        # NLL term so the post-psum total counts it exactly once; the
+        # grad-side accounting stays exact because psum transposes to an
+        # identity cotangent broadcast (each local summand receives the
+        # 1/axis_size-scaled cotangent, and the later grads-psum
+        # reassembles the full dNLL).
+        total = total + nll_weight * nll / axis_size
+      return total, metrics
+
+    (local_total, metrics), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    loss = jax.lax.psum(local_total, axis_name)
+    grads = jax.lax.psum(grads, axis_name)
+    updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_state = gnat_lib.GNATTrainState(
+        params=new_params, opt_state=new_opt_state, step=state.step + 1)
+    return new_state, dict(metrics, loss=loss)
+
+  def step(state, frames, num_frames, labels, num_labels, key):
+    state_spec = jax.tree.map(lambda _: P(), state)
+    fn = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(state_spec, P(axis_name), P(axis_name), P(axis_name),
+                  P(axis_name), P()),
+        out_specs=(state_spec, P()),
+        check_vma=False)
+    return fn(state, frames, num_frames, labels, num_labels, key)
+
+  return jax.jit(step, donate_argnums=(0,))

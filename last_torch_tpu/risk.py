@@ -217,3 +217,65 @@ def sampled_risk_loss(lattice,
       'num_hyp_labels': num_hyp,
   }
   return loss, aux
+
+
+def per_example_keys(key: jax.Array, batch_size: int,
+                     offset: jnp.ndarray | int = 0) -> jax.Array:
+  """One folded PRNG key per batch row: ``fold_in(key, offset + i)``.
+
+  Feeding these to ``sampled_risk_loss_per_example`` makes the sampled
+  paths a function of each row's GLOBAL index only — invariant to how
+  the batch is sharded over a mesh or split into micro-batches. Under
+  ``shard_map`` data parallelism pass
+  ``offset = axis_index(axis) * local_batch`` so every device folds its
+  rows' global indices (see ``parallel.sharding.
+  make_shard_map_risk_train_step``).
+  """
+  idx = jnp.asarray(offset) + jnp.arange(batch_size)
+  return jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
+
+
+def sampled_risk_loss_per_example(lattice,
+                                  params: Any,
+                                  frames: jnp.ndarray,
+                                  num_frames: jnp.ndarray,
+                                  labels: jnp.ndarray,
+                                  num_labels: jnp.ndarray,
+                                  row_keys: jax.Array,
+                                  num_samples: int = 4,
+                                  estimator: str = 'mwer',
+                                  risk_fn: RiskFn = edit_distance_risk,
+                                  max_hyp_labels: Optional[int] = None,
+                                  cache: Any = None
+                                  ) -> Tuple[jnp.ndarray, dict]:
+  """``sampled_risk_loss`` with one PRNG key per batch row.
+
+  The plain entry point draws each frame's Gumbel noise from a single
+  key over the whole ``[batch, ...]`` logits array, so the bit stream —
+  and therefore the sampled paths — changes when the batch is sharded
+  into per-device blocks. This variant vmaps the loss over the leading
+  batch axis with per-row keys (``per_example_keys``), making the
+  samples depend only on ``(key, global row index)``: a ``shard_map``
+  data-parallel step reproduces the single-device samples bit-for-bit.
+
+  Args and returns match ``sampled_risk_loss`` except ``key`` becomes
+  ``row_keys`` ([batch] typed PRNG keys) and only a 1-D leading batch
+  dim is supported.
+  """
+  num_frames = jnp.asarray(num_frames)
+  if num_frames.ndim != 1:
+    raise ValueError('sampled_risk_loss_per_example supports a single '
+                     f'leading batch dim, got batch_dims '
+                     f'{num_frames.shape}')
+  if cache is None:
+    cache = lattice.build_cache(params)
+
+  def one(f, nf, l, nl, k):
+    return sampled_risk_loss(
+        lattice, params, f, nf, l, nl, k, num_samples=num_samples,
+        estimator=estimator, risk_fn=risk_fn,
+        max_hyp_labels=max_hyp_labels, cache=cache)
+
+  return jax.vmap(one, in_axes=(0, 0, 0, 0, 0))(
+      frames, num_frames, jnp.asarray(labels), jnp.asarray(num_labels),
+      row_keys)

@@ -577,6 +577,78 @@ def test_shard_map_train_step_matches_single_device(eight_devices):
       jax.device_get(new_state.params), jax.device_get(single_state.params))
 
 
+@pytest.mark.parametrize('nll_weight', [0.0, 0.3])
+def test_shard_map_risk_train_step_matches_single_device(eight_devices,
+                                                         nll_weight):
+  """dp shard_map MWER step == single-device per-example-key risk step.
+
+  Per-row PRNG key folding (``risk.per_example_keys``) makes the sampled
+  posterior paths a function of each row's GLOBAL index only, so the dp
+  step reproduces the single-device samples — loss, metrics, AND updated
+  parameters must match (up to float reduction order).
+  """
+  import optax
+  model = gnat.GNATModel(tiny_config())
+  optimizer = optax.sgd(1e-2)
+  frames, num_frames, labels, num_labels = tiny_batch(batch=8)
+  num_frames = jnp.array([6, 4, 5, 6, 6, 4, 5, 6], jnp.int32)
+  labels = jnp.tile(labels[:1], (8, 1))
+  num_labels = jnp.array([3, 2, 3, 1, 3, 2, 3, 1], jnp.int32)
+  key = jax.random.PRNGKey(42)
+
+  state0 = gnat.init_train_state(model, jax.random.PRNGKey(0), optimizer)
+  single_state, single_metrics = gnat.risk_train_step(
+      model, optimizer, state0, frames, num_frames, labels, num_labels,
+      key, num_samples=3, nll_weight=nll_weight, per_example_keys=True)
+
+  mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]),
+                           axis_names=('data',))
+  step_fn = sharding.make_shard_map_risk_train_step(
+      model, optimizer, mesh, num_samples=3, nll_weight=nll_weight)
+  state = gnat.init_train_state(model, jax.random.PRNGKey(0), optimizer)
+  batch = [
+      jax.device_put(x, sharding.batch_shardings(mesh))
+      for x in (frames, num_frames, labels, num_labels)
+  ]
+  new_state, metrics = step_fn(state, *batch, key)
+  assert int(new_state.step) == 1
+  npt.assert_allclose(float(metrics['loss']),
+                      float(single_metrics['loss']), rtol=1e-5, atol=1e-6)
+  npt.assert_allclose(float(metrics['mean_risk']),
+                      float(single_metrics['mean_risk']), rtol=1e-6)
+  if nll_weight:
+    npt.assert_allclose(float(metrics['nll']),
+                        float(single_metrics['nll']), rtol=1e-5)
+  jax.tree.map(
+      lambda a, b: npt.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
+      jax.device_get(new_state.params),
+      jax.device_get(single_state.params))
+
+
+def test_per_example_keys_shift_invariance():
+  """Folding by global row index makes sampling shard-invariant: the
+  loss of rows [4:8] computed alone with offset 4 equals those rows'
+  contribution in the full batch."""
+  from last_torch_tpu import risk
+  model = gnat.GNATModel(tiny_config())
+  params = model.init(jax.random.PRNGKey(0))
+  frames, _, labels, _ = tiny_batch(batch=8)
+  num_frames = jnp.array([6, 4, 5, 6, 6, 4, 5, 6], jnp.int32)
+  num_labels = jnp.array([3, 2, 3, 1, 3, 2, 3, 1], jnp.int32)
+  key = jax.random.PRNGKey(7)
+  encoded = model.encoder.apply(params['encoder'], frames, num_frames)
+
+  full_keys = risk.per_example_keys(key, 8)
+  full, _ = risk.sampled_risk_loss_per_example(
+      model.lattice, params['lattice'], encoded, num_frames, labels,
+      num_labels, full_keys, num_samples=3)
+  tail_keys = risk.per_example_keys(key, 4, offset=4)
+  tail, _ = risk.sampled_risk_loss_per_example(
+      model.lattice, params['lattice'], encoded[4:], num_frames[4:],
+      labels[4:], num_labels[4:], tail_keys, num_samples=3)
+  npt.assert_allclose(np.asarray(tail), np.asarray(full)[4:], rtol=1e-6)
+
+
 class TestTensorParallelLattice:
   """Vocab-sharded lattice loss (ops.sharded_scan) on the CPU mesh."""
 
