@@ -535,7 +535,10 @@ def sharded_shortest_distance(wf_params, cache, frames, num_frames, *,
                               num_context_states: int,
                               model_axis: str = 'model',
                               batch_tile: int = 8,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              alpha0=None,
+                              t_offset=0,
+                              return_alpha: bool = False):
   """Log-semiring shortest distance with the vocab head sharded.
 
   Must run inside ``jax.shard_map`` with ``wf_params['vocab_w']`` /
@@ -554,9 +557,19 @@ def sharded_shortest_distance(wf_params, cache, frames, num_frames, *,
     model_axis: Mesh axis name the vocab head is sharded over.
     batch_tile: Kernel rows per grid step.
     interpret: Pallas interpreter mode (CPU-mesh tests).
+    alpha0: Optional [B_local, S_pad(128-rounded)] initial alpha (log
+      space). Defaults to the one-hot start state. Together with
+      ``t_offset`` / ``return_alpha`` this chains frame blocks across a
+      time-sharded relay (seq x tp — ``parallel.sequence.
+      tp_shortest_distance_time_sharded``).
+    t_offset: Global frame index of ``frames[:, 0]`` for the padding
+      test (frames at global t >= num_frames leave alpha unchanged).
+    return_alpha: Return the full [B_local, S_pad] final alpha instead
+      of its log-sum over real states.
 
   Returns:
-    [B_local] log-partition values.
+    [B_local] log-partition values, or the final alpha when
+    ``return_alpha``.
   """
   num_frames = jnp.asarray(num_frames, jnp.int32)
   batch, max_t, _ = frames.shape
@@ -613,10 +626,13 @@ def sharded_shortest_distance(wf_params, cache, frames, num_frames, *,
     next_alpha = jnp.where(is_padding, alpha, next_alpha)
     return (t + 1, next_alpha), None
 
-  alpha0 = jnp.full((batch, s_pad), NEG_INF, jnp.float32)
-  alpha0 = alpha0.at[:, 0].set(0.0)
-  (_, alpha_t), _ = jax.lax.scan(frame_fn,
-                                 (jnp.zeros((), jnp.int32), alpha0), pf)
+  if alpha0 is None:
+    alpha0 = jnp.full((batch, s_pad), NEG_INF, jnp.float32)
+    alpha0 = alpha0.at[:, 0].set(0.0)
+  (_, alpha_t), _ = jax.lax.scan(
+      frame_fn, (jnp.asarray(t_offset, jnp.int32), alpha0), pf)
+  if return_alpha:
+    return alpha_t
   return log.sum(alpha_t[:, :s], axis=-1)
 
 

@@ -193,6 +193,160 @@ def make_pp_loss_fn(model, mesh: Mesh, num_microbatches: int,
   return loss_fn
 
 
+def make_pp_encode_fn(model, mesh: Mesh, num_microbatches: int,
+                      pipe_axis: str = 'pipe',
+                      data_axis: Optional[str] = None):
+  """Builds a pipelined ENCODE callable (no loss consumption).
+
+  Same GPipe schedule as ``make_pp_loss_fn``, but the last stage writes
+  each finished microbatch's final-LN output into an output buffer
+  instead of consuming it with the lattice — the composition hook for
+  pairing pipeline-parallel encoding with a differently-sharded lattice
+  loss (pp x seq: ``make_pp_seq_train_step``). The buffer psums over the
+  pipe axis (only the last stage writes), so the encoded frames come
+  back replicated; autodiff reverses the pipeline as in the loss fn.
+
+  Returns:
+    ``encode(encoder_params, frames, num_frames) ->
+    [batch, max_t, model_size]`` encoded frames (padding frames zero).
+  """
+  encoder = model.encoder
+  num_stages = mesh.shape[pipe_axis]
+  num_layers = encoder.num_layers
+  if num_layers % num_stages != 0:
+    raise ValueError(
+        f'encoder_layers={num_layers} must divide across '
+        f'{pipe_axis}={num_stages} stages')
+  layers_per_stage = num_layers // num_stages
+  m = num_microbatches
+  data_parallel = mesh.shape[data_axis] if data_axis else 1
+
+  def local_fn(stage_layers, shared, frames, num_frames):
+    stage = jax.lax.axis_index(pipe_axis)
+    local_batch, max_t = frames.shape[0], frames.shape[1]
+    if local_batch % m != 0:
+      raise ValueError(
+          f'per-device batch {local_batch} must divide into '
+          f'num_microbatches={m}')
+    mbs = local_batch // m
+    d = encoder.model_size
+
+    def mb(x, j):
+      return jax.lax.dynamic_slice_in_dim(x, j * mbs, mbs, axis=0)
+
+    def tick(carry, t):
+      x, out = carry
+      inject_j = jnp.clip(t, 0, m - 1)
+      x = jax.lax.cond(
+          jnp.logical_and(stage == 0, t < m),
+          lambda: encoder.embed(shared['input_proj'],
+                                mb(frames, inject_j)).astype(x.dtype),
+          lambda: x)
+      j = jnp.clip(t - stage, 0, m - 1)
+      nf = mb(num_frames, j)
+      mask = jnp.arange(max_t) < nf[:, None]
+      use_banded, attn_bias = encoder.attention_inputs(mask)
+      for i in range(layers_per_stage):
+        layer = jax.tree.map(lambda a, i=i: a[i], stage_layers)
+        x = encoder.block(layer, x, mask, attn_bias, use_banded)
+
+      def store(y):
+        encoded = encoder.finalize(shared['final_ln_scale'],
+                                   shared['final_ln_bias'], y, mask)
+        return jax.lax.dynamic_update_slice_in_dim(
+            out, encoded.astype(out.dtype), j * mbs, axis=0)
+
+      done = t - (num_stages - 1)
+      valid = jnp.logical_and(stage == num_stages - 1,
+                              jnp.logical_and(done >= 0, done < m))
+      out = jax.lax.cond(valid, store, lambda y: out, x)
+      perm = [(i, (i + 1) % num_stages) for i in range(num_stages)]
+      x = jax.lax.ppermute(x, pipe_axis, perm)
+      return (x, out), None
+
+    x0 = jnp.zeros((mbs, max_t, d), encoder.dtype)
+    out0 = jnp.zeros((local_batch, max_t, d), jnp.float32)
+    (_, out), _ = jax.lax.scan(
+        jax.checkpoint(tick), (x0, out0), jnp.arange(m + num_stages - 1))
+    # Only the last stage wrote; psum replicates over the pipe axis.
+    return jax.lax.psum(out, pipe_axis)
+
+  data_spec = P(data_axis) if data_axis else P()
+
+  def encode(encoder_params, frames, num_frames):
+    if frames.shape[0] % (m * data_parallel) != 0:
+      raise ValueError(
+          f'batch {frames.shape[0]} must divide into data_parallel='
+          f'{data_parallel} x num_microbatches={m}')
+    stacked = stack_layers(encoder_params['layers'])
+    shared = {
+        'input_proj': encoder_params['input_proj'],
+        'final_ln_scale': encoder_params['final_ln_scale'],
+        'final_ln_bias': encoder_params['final_ln_bias'],
+    }
+    return jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(pipe_axis), P(), data_spec, data_spec),
+        out_specs=data_spec,
+        check_vma=False)(stacked, shared, frames, num_frames)
+
+  return encode
+
+
+def make_pp_seq_train_step(model, optimizer, mesh: Mesh,
+                           num_microbatches: int,
+                           pipe_axis: str = 'pipe',
+                           seq_axis: str = 'seq',
+                           data_axis: Optional[str] = None,
+                           fused: str = 'never'):
+  """Jitted train step composing pipeline and sequence parallelism.
+
+  The encoder runs GPipe-pipelined over ``pipe_axis``
+  (``make_pp_encode_fn``); the lattice loss — whose backward needs the
+  per-frame alpha history — runs through the time-sharded relay over
+  ``seq_axis`` (``parallel.sequence.loss_time_sharded``), so both the
+  encoder parameters AND the lattice activations scale down with their
+  respective axes. Gradients are plain reverse-mode through both
+  shard_maps.
+
+  Returns ``step(state, frames, num_frames, labels, num_labels) ->
+  (state, loss)``.
+  """
+  import optax
+  from last_torch_tpu.models import gnat as gnat_lib
+  from last_torch_tpu.parallel import sequence
+
+  encode = make_pp_encode_fn(model, mesh, num_microbatches,
+                             pipe_axis=pipe_axis, data_axis=data_axis)
+
+  def loss_fn(params, frames, num_frames, labels, num_labels):
+    encoded = encode(params['encoder'], frames, num_frames)
+    per_seq = sequence.loss_time_sharded(
+        model.lattice, params['lattice'], encoded, num_frames, labels,
+        num_labels, mesh, seq_axis, fused=fused, batch_axis=data_axis)
+    finite = jnp.isfinite(per_seq)
+    per_seq = jnp.where(finite, per_seq, 0.0)
+    return jnp.sum(per_seq) / jnp.maximum(jnp.sum(finite), 1)
+
+  def step_fn(state, frames, num_frames, labels, num_labels):
+    loss, grads = jax.value_and_grad(loss_fn)(
+        state.params, frames, num_frames, labels, num_labels)
+    updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return gnat_lib.GNATTrainState(
+        params=new_params, opt_state=new_opt_state,
+        step=state.step + 1), loss
+
+  data_sharding = NamedSharding(mesh, P(data_axis) if data_axis else P())
+  return jax.jit(
+      step_fn,
+      in_shardings=(None, data_sharding, data_sharding, data_sharding,
+                    data_sharding),
+      donate_argnums=(0,))
+
+
 def make_pp_train_step(model, optimizer, mesh: Mesh,
                        num_microbatches: int, pipe_axis: str = 'pipe',
                        data_axis: Optional[str] = None):

@@ -725,6 +725,181 @@ def loss_time_sharded(lattice, params, frames, num_frames, labels,
   return denominator - numerator
 
 
+def tp_shortest_distance_time_sharded(lattice, params, frames, num_frames,
+                                      mesh: Mesh, seq_axis: str = 'seq',
+                                      model_axis: str = 'model',
+                                      batch_axis=None, cache=None,
+                                      batch_tile: int = 8,
+                                      interpret: bool = False
+                                      ) -> jnp.ndarray:
+  """Log partition with time sharded over ``seq_axis`` AND the vocab head
+  sharded over ``model_axis`` (seq x tp).
+
+  Each (seq, model) device holds a [B, T/D_seq] frame block and a
+  [h, V/D_model] head shard. The alpha relay runs over ``seq_axis`` as in
+  ``shortest_distance_time_sharded``; each active stage advances its
+  block with ``ops.sharded_scan.sharded_shortest_distance`` (per-frame
+  ``frame_reduce`` Pallas kernels on the local vocab shard, reductions
+  all-gathered over ``model_axis``), chained via its ``alpha0`` /
+  ``t_offset`` inputs. Gradients are plain reverse-mode through the
+  shard_map (ppermute/all_gather/kernel-VJP transposes), so any
+  cotangent structure the TP island supports relays too.
+
+  Args:
+    lattice: RecognitionLattice covered by ``sharded_scan.tp_supported``
+      (bigram FullNGram + JointWeightFn).
+    params: Lattice parameter pytree (global arrays; the shard_map specs
+      split the vocab head over ``model_axis``).
+    frames: [batch, max_num_frames, feature]; max_num_frames must divide
+      by the ``seq_axis`` size.
+    num_frames: [batch] frame counts.
+    mesh: Mesh containing ``seq_axis`` and ``model_axis``.
+    seq_axis / model_axis: Mesh axis names.
+    batch_axis: Optional mesh axis composing data parallelism.
+    cache: Optional prebuilt weight-fn cache.
+    batch_tile / interpret: See ``sharded_scan.frame_reduce``.
+
+  Returns:
+    [batch] log-partition values, replicated over the mesh.
+  """
+  from last_torch_tpu import alignments as alignments_lib
+  from last_torch_tpu.ops import sharded_scan
+  from last_torch_tpu.ops.fused_scan import NEG_INF, _round_up, _LANES
+
+  if cache is None:
+    cache = lattice.build_cache(params)
+  num_devices = mesh.shape[seq_axis]
+  local_t = _check_divisible(frames, num_devices, seq_axis)
+  num_frames = jnp.asarray(num_frames, jnp.int32)
+  wf_params = params['weight_fn']
+  frame_dependent = isinstance(lattice.alignment,
+                               alignments_lib.FrameDependent)
+  s = lattice.context.shape()[0]
+  s_pad = _round_up(s, _LANES)
+  block_kwargs = dict(
+      max_expansions=(0 if frame_dependent else
+                      lattice.alignment.max_expansions),
+      frame_dependent=frame_dependent,
+      num_context_states=s,
+      model_axis=model_axis,
+      batch_tile=batch_tile,
+      interpret=interpret)
+  perm_fwd = [(i, (i + 1) % num_devices) for i in range(num_devices)]
+
+  def shard_fn(local_frames, num_frames, wf_params, cache):
+    my_idx = jax.lax.axis_index(seq_axis)
+    batch = local_frames.shape[0]
+    alpha_init = jnp.full((batch, s_pad), NEG_INF, jnp.float32)
+    alpha_init = alpha_init.at[:, lattice.context.start()].set(0.0)
+
+    def block(a):
+      return sharded_scan.sharded_shortest_distance(
+          wf_params, cache, local_frames, num_frames, alpha0=a,
+          t_offset=my_idx.astype(jnp.int32) * local_t, return_alpha=True,
+          **block_kwargs)
+
+    def stage(alpha, stg):
+      active = my_idx == stg
+      advanced = jax.lax.cond(active, jax.checkpoint(block),
+                              lambda a: a, alpha)
+      advanced = jax.lax.ppermute(advanced, seq_axis, perm_fwd)
+      return advanced, None
+
+    alpha, _ = jax.lax.scan(stage, alpha_init, jnp.arange(num_devices))
+    final = _psum_from(my_idx, 0, alpha, seq_axis)
+    return semirings.Log.sum(final[:, :s], axis=-1)
+
+  wf_spec = {
+      k: (P(None, model_axis) if k == 'vocab_w' else
+          P(model_axis) if k == 'vocab_b' else P())
+      for k in wf_params
+  }
+  frames_spec = P(batch_axis, seq_axis, None)
+  fn = jax.shard_map(
+      shard_fn, mesh=mesh,
+      in_specs=(frames_spec, P(batch_axis), wf_spec, P()),
+      out_specs=P(batch_axis),
+      check_vma=False)
+  frames = jax.device_put(frames, NamedSharding(mesh, frames_spec))
+  return fn(frames, num_frames, wf_params, cache)
+
+
+def tp_loss_time_sharded(lattice, params, frames, num_frames, labels,
+                         num_labels, mesh: Mesh, seq_axis: str = 'seq',
+                         model_axis: str = 'model', batch_axis=None,
+                         cache=None, batch_tile: int = 8,
+                         interpret: bool = False) -> jnp.ndarray:
+  """GNAT loss with seq x tp composed sharding.
+
+  The denominator — the O(B * S * V) pass whose alpha history dominates
+  memory — runs ``tp_shortest_distance_time_sharded`` (frames sharded
+  over ``seq_axis``, vocab head over ``model_axis``). The numerator
+  relays over ``seq_axis`` on the full head (the cheap pass; same
+  decision as the flat TP island, ``ops.sharded_scan.tp_lattice_loss``).
+  Locally normalized weight functions skip the denominator, as in
+  ``RecognitionLattice.loss``.
+
+  Returns:
+    [batch] loss, replicated over the mesh.
+  """
+  from last_torch_tpu import weight_fns as weight_fns_lib
+  from last_torch_tpu.ops import sharded_scan
+  if not sharded_scan.tp_supported(lattice):
+    raise ValueError('lattice is not covered by the tensor-parallel '
+                     'lattice loss; use loss_time_sharded')
+  if cache is None:
+    cache = lattice.build_cache(params)
+  numerator = string_forward_time_sharded(
+      lattice, params, frames, num_frames, labels, num_labels, mesh,
+      seq_axis, cache=cache, batch_axis=batch_axis)
+  if isinstance(lattice.weight_fn,
+                weight_fns_lib.LocallyNormalizedWeightFn):
+    return -numerator
+  denominator = tp_shortest_distance_time_sharded(
+      lattice, params, frames, num_frames, mesh, seq_axis=seq_axis,
+      model_axis=model_axis, batch_axis=batch_axis, cache=cache,
+      batch_tile=batch_tile, interpret=interpret)
+  return denominator - numerator
+
+
+def make_tp_seq_train_step(model, optimizer, mesh: Mesh,
+                           seq_axis: str = 'seq',
+                           model_axis: str = 'model',
+                           batch_axis=None,
+                           interpret: bool = False):
+  """Jitted train step composing sequence (time) and tensor (vocab)
+  parallelism: the lattice denominator shards frames over ``seq_axis``
+  and the vocab head over ``model_axis`` simultaneously.
+
+  Returns ``step(state, frames, num_frames, labels, num_labels) ->
+  (state, loss)``.
+  """
+  import optax
+  from last_torch_tpu.models import gnat
+
+  def loss_fn(params, frames, num_frames, labels, num_labels):
+    encoded = model.encoder.apply(params['encoder'], frames, num_frames)
+    per_seq = tp_loss_time_sharded(
+        model.lattice, params['lattice'], encoded, num_frames, labels,
+        num_labels, mesh, seq_axis=seq_axis, model_axis=model_axis,
+        batch_axis=batch_axis, interpret=interpret)
+    finite = jnp.isfinite(per_seq)
+    per_seq = jnp.where(finite, per_seq, 0.0)
+    return jnp.sum(per_seq) / jnp.maximum(jnp.sum(finite), 1)
+
+  @jax.jit
+  def step(state, frames, num_frames, labels, num_labels):
+    loss, grads = jax.value_and_grad(loss_fn)(
+        state.params, frames, num_frames, labels, num_labels)
+    updates, opt_state = optimizer.update(grads, state.opt_state,
+                                          state.params)
+    params = optax.apply_updates(state.params, updates)
+    return gnat.GNATTrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1), loss
+
+  return step
+
+
 def make_time_sharded_train_step(model, optimizer, mesh: Mesh,
                                  axis_name: str = 'seq',
                                  fused: str = 'never',

@@ -787,6 +787,106 @@ class TestTensorParallelLattice:
     assert sharded_scan.tp_supported(make(bigram, local))
 
 
+class TestSeqTensorParallel:
+  """seq x tp composition: frames time-sharded over 'seq' while the
+  vocab head shards over 'model' in the same lattice loss."""
+
+  def _model(self, **overrides):
+    config = gnat.GNATConfig(
+        feature_size=8,
+        vocab_size=256,  # local shard 128 per model-axis device
+        context_size=1,
+        encoder_size=16,
+        encoder_layers=1,
+        encoder_heads=2,
+        encoder_ffn_size=32,
+        hidden_size=16,
+        embedding_size=16,
+        max_expansions=overrides.pop('max_expansions', 0),
+        locally_normalized=overrides.pop('locally_normalized', False))
+    return gnat.GNATModel(config)
+
+  def _batch(self, batch=2, max_t=8):
+    rng = np.random.default_rng(3)
+    frames = jnp.asarray(rng.normal(size=(batch, max_t, 8)), jnp.float32)
+    num_frames = jnp.asarray(
+        rng.integers(3, max_t + 1, size=(batch,)), jnp.int32)
+    labels = jnp.asarray(rng.integers(1, 257, size=(batch, 2)), jnp.int32)
+    num_labels = jnp.asarray([2, 1], jnp.int32)[:batch]
+    return frames, num_frames, labels, num_labels
+
+  def _mesh(self, seq=4, model=2):
+    return jax.sharding.Mesh(
+        np.array(jax.devices()[:seq * model]).reshape(seq, model),
+        axis_names=('seq', 'model'))
+
+  @pytest.mark.parametrize('max_expansions', [0, 1])
+  def test_loss_and_grads_match_single_device(self, eight_devices,
+                                              max_expansions):
+    from last_torch_tpu.parallel import sequence
+    model = self._model(max_expansions=max_expansions)
+    model.lattice.fused = 'never'  # single-device baseline path
+    lattice = model.lattice
+    params = model.init(jax.random.PRNGKey(0))['lattice']
+    frames, num_frames, labels, num_labels = self._batch()
+    # Lattice-level frames (already "encoded"): use the right width.
+    frames = jnp.asarray(
+        np.random.default_rng(5).normal(size=(2, 8, 16)), jnp.float32)
+    mesh = self._mesh()
+
+    def single(params):
+      return jnp.sum(lattice(params, frames=frames, num_frames=num_frames,
+                             labels=labels, num_labels=num_labels))
+
+    def sharded(params):
+      return jnp.sum(sequence.tp_loss_time_sharded(
+          lattice, params, frames, num_frames, labels, num_labels, mesh,
+          'seq', 'model', interpret=True))
+
+    npt.assert_allclose(sharded(params), single(params), rtol=1e-5)
+    g1 = jax.grad(single)(params)
+    g2 = jax.grad(sharded)(params)
+    scale = max(float(jnp.max(jnp.abs(leaf)))
+                for leaf in jax.tree.leaves(g1))
+    jax.tree.map(
+        lambda a, b: npt.assert_allclose(a, b, rtol=1e-4,
+                                         atol=1e-6 * max(scale, 1.0)),
+        g1, g2)
+
+  def test_train_step_matches_single_device(self, eight_devices):
+    import optax
+    from last_torch_tpu.parallel import sequence
+    model = self._model()
+    model.lattice.fused = 'never'
+    optimizer = optax.sgd(1e-2)
+    batch = self._batch()
+    state0 = gnat.init_train_state(model, jax.random.PRNGKey(0), optimizer)
+    ref_state, ref_loss = gnat.train_step(model, optimizer, state0, *batch)
+
+    mesh = self._mesh()
+    step = sequence.make_tp_seq_train_step(model, optimizer, mesh,
+                                           interpret=True)
+    state = gnat.init_train_state(model, jax.random.PRNGKey(0), optimizer)
+    new_state, loss = step(state, *batch)
+    assert int(new_state.step) == 1
+    npt.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: npt.assert_allclose(np.asarray(a), np.asarray(b),
+                                         rtol=1e-4, atol=1e-6),
+        jax.device_get(new_state.params), jax.device_get(ref_state.params))
+
+  def test_unsupported_lattice_raises(self, eight_devices):
+    from last_torch_tpu.parallel import sequence
+    model = gnat.GNATModel(tiny_config(context_size=2,
+                                       locally_normalized=False))
+    mesh = self._mesh()
+    batch = tiny_batch(batch=2, max_t=8)
+    with pytest.raises(ValueError, match='tensor-parallel'):
+      sequence.tp_loss_time_sharded(
+          model.lattice, model.init(jax.random.PRNGKey(0))['lattice'],
+          *batch, mesh, 'seq', 'model', interpret=True)
+
+
 class TestPipelineParallel:
   """GPipe pipeline over encoder blocks (parallel/pipeline.py)."""
 
@@ -890,6 +990,58 @@ class TestPipelineParallel:
         lambda a, b: npt.assert_allclose(np.asarray(a), np.asarray(b),
                                          atol=1e-5, rtol=1e-4),
         new_state.params, ref_state.params)
+
+  def test_pp_encode_matches_plain_encoder(self, eight_devices):
+    """The pipelined encode == encoder.apply (values and gradients)."""
+    from last_torch_tpu.parallel import pipeline
+    model = self._model(layers=4)
+    params = model.init(jax.random.PRNGKey(0))
+    frames, num_frames, _, _ = self._batch(batch=4)
+    mesh = pipeline.make_pp_mesh(num_devices=8, pipeline_parallel=4)
+    encode = pipeline.make_pp_encode_fn(model, mesh, 2, data_axis='data')
+    ref = model.encoder.apply(params['encoder'], frames, num_frames)
+    got = encode(params['encoder'], frames, num_frames)
+    npt.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5,
+                        atol=1e-6)
+
+    def total_ref(p):
+      return jnp.sum(jnp.tanh(
+          model.encoder.apply(p, frames, num_frames)))
+
+    def total_pp(p):
+      return jnp.sum(jnp.tanh(encode(p, frames, num_frames)))
+
+    g_ref = jax.grad(total_ref)(params['encoder'])
+    g_pp = jax.grad(total_pp)(params['encoder'])
+    jax.tree.map(
+        lambda a, b: npt.assert_allclose(np.asarray(a), np.asarray(b),
+                                         rtol=1e-4, atol=1e-6),
+        g_pp, g_ref)
+
+  def test_pp_seq_train_step_matches_single_device(self, eight_devices):
+    """pp x seq: pipelined encoder + time-sharded lattice loss == the
+    plain single-device train step (loss and updated parameters)."""
+    import optax
+    from last_torch_tpu.parallel import pipeline
+    model = self._model(layers=4)
+    optimizer = optax.sgd(1e-2)
+    frames, num_frames, labels, num_labels = self._batch(batch=4, max_t=8)
+    state0 = gnat.init_train_state(model, jax.random.PRNGKey(0), optimizer)
+    ref_state, ref_loss = gnat.train_step(
+        model, optimizer, state0, frames, num_frames, labels, num_labels)
+
+    mesh = jax.sharding.Mesh(
+        np.array(jax.devices()[:8]).reshape(2, 4),
+        axis_names=('pipe', 'seq'))
+    step = pipeline.make_pp_seq_train_step(model, optimizer, mesh, 2)
+    state = gnat.init_train_state(model, jax.random.PRNGKey(0), optimizer)
+    new_state, loss = step(state, frames, num_frames, labels, num_labels)
+    assert int(new_state.step) == 1
+    npt.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: npt.assert_allclose(np.asarray(a), np.asarray(b),
+                                         rtol=1e-4, atol=1e-5),
+        jax.device_get(new_state.params), jax.device_get(ref_state.params))
 
   def test_pp_error_paths(self, eight_devices):
     from last_torch_tpu.parallel import pipeline
