@@ -18,30 +18,47 @@ The bigram kernels (``fused_scan.py``) exploit that every destination
 state 1+y receives from ALL source states — the within-frame reduction is
 one dense ``[B, S] x [B, S, V]`` logsumexp-matvec. A trigram FullNGram
 breaks that: destination (p, y) receives only from sources whose LAST
-symbol is p (reference ``contexts.py:190-230``'s block structure). These
-kernels recover the bigram design with a **segment-major state layout**:
+symbol is p (reference ``contexts.py:190-230``'s block structure).
 
-* a static permutation groups the S = 1 + V + V^2 states into P = V + 1
-  segments by last symbol — segment 0 = [start], segment p = [unigram p,
-  bigram (1, p), ..., bigram (V, p)] — each padded to SEG rows
-  (8-aligned, for sublane-sliceable E-cache rows);
-* pass A computes the joint + heads per segment and caches
-  E = exp(lex - rowmax) exactly as the bigram kernels do;
-* the within-frame reduction becomes P per-segment max-shifted matvecs
-  against E, producing a log-space grid red[p, y] (sources in segment p,
-  next label y);
-* the destination scatter is the observation that state (p, y) sits at
-  layout position (segment y, row p): ``alpha'[seg y][b, p] =
-  red[b, p, y]`` — a [P, V] transpose realized as V tiny basis-vector
-  ``dot_general``s on the MXU (Mosaic cannot lane-index dynamically;
-  -inf entries ride through a -1e30 clamp so 0 * inf never appears).
+These kernels keep the round-3 **segment-major state layout** — the
+S = 1 + V + V^2 states grouped into P = V + 1 segments by last symbol
+(segment 0 = [start], segment p = [unigram p, bigram (1, p), ...,
+bigram (V, p)]) — but replace the round-3 per-segment machinery (a
+~400-600-iteration budget of P-length ``fori`` loops per frame whose
+~1-2 us fixed cost made the first kernel 0.71x XLA) with whole-array
+ops, one per within-frame phase:
+
+* all per-state tensors live **b-major 2-D**: rows (b, p), columns s
+  (source row within segment); the E = exp(lex - rowmax) cache is
+  ``[B * PP * SEG, V_pad]`` with rows (b, p, s). ``PP = SEG =
+  round_up(P, 8)`` pads both the segment axis and the within-segment
+  axis, so every reshape between ``[N, SEG]``, ``[N, SEG, V_pad]`` and
+  ``[B, PP, SEG]`` is a legal leading-axis split/merge.
+* the within-frame segment reduction ``red[b, p, y] = logsumexp_s
+  (alpha[b, p, s] + lex[b, p, s, y])`` is ONE max-shifted 3-D
+  broadcast-multiply ``u[:, :, None] * E3`` + a single axis-1 sum
+  (chunked 4x over rows to bound the temporary), instead of P matvecs;
+* the destination scatter — state (p, y) sits at layout position
+  (segment y, row p), a (p <-> y) transpose — is one exact
+  ``dot_general`` against an identity per batch row (contract axis 0
+  with axis 0, the contraction pattern the round-3 kernel already
+  proved on hardware), 8 unrolled dots per sweep instead of V;
+* the backward's beta gather ``bt[b, p, y] = nb[b, segment y+1, row p]``
+  is the same transpose against a shift matrix; the arc marginals are
+  3-D broadcast products ``E * ws[:, :, None] * wy[:, None, :]``; and
+  the head/tanh gradient accumulation runs over NT (~8) large state
+  tiles, not P segments.
+
+Per frame that is ~15 chunky ops (a handful of fori iterations, each
+doing 0.1-0.6 GFLOP of MXU work or a multi-MB VPU sweep) in place of
+the round-3 design's hundreds of fixed-cost iterations.
 
 Scope: Log semiring, JointWeightFn, FullNGram(context_size=2),
-FrameDependent / FrameLabelDependent, single batch dim, forward (+
-history). Measured motivation: the XLA trigram scan runs 136 ms fwd+bwd
-at V=64, S=4161, B=8, T=200 vs a ~7.8 ms fused matmul floor
-(``benchmarks/tpu_trigram_probe.py``; ops/README.md negative-results
-entry).
+FrameDependent / FrameLabelDependent, single batch dim, full custom-VJP
+forward+backward with alpha0/beta0 chaining (time-sharded relay).
+Measured via benchmarks/tpu_trigram_probe.py --ab (V=64 S=4161 B=8
+T=200 h=512 k=2, v5e); the round-3 per-segment kernel measured 189 ms
+(0.71x XLA's 134 ms) — see ops/README.md for the current numbers.
 """
 
 from __future__ import annotations
@@ -60,21 +77,24 @@ from last_torch_tpu.ops.fused_scan import _mxu_precision
 from last_torch_tpu.ops.fused_scan import _pad_vocab
 from last_torch_tpu.ops.fused_scan import _round_up
 
-# E-cache VMEM budget (v5e: 128 MB total; leave room for inputs/buffers).
-_CACHE_BUDGET = 80 * 1024 * 1024
+# Total VMEM estimate ceiling for the backward working set (v5e: 128 MB;
+# the kernels request a 110 MB scoped limit).
+_VMEM_BUDGET = 100 * 1024 * 1024
 
-# Measured on v5e (benchmarks/tpu_trigram_probe.py, V=64 S=4161 B=8 T=200
-# k=2): the kernel pair is CORRECT on hardware (loss rel 1.3e-6, grads
-# within 4.7e-4 of global gradient scale — the bf16 contract) but runs
-# 189 ms vs the XLA path's 134 ms (0.71x). The cost is not FLOPs but
-# iteration count: Mosaic values top out at 3-D, so every within-frame
-# phase loops over the P = V+1 segments sequentially (~400-600 fori
-# iterations/frame at ~1-2 us fixed cost each), and no grouping scheme
-# avoids that without 4-D batched dots. The kernels therefore stay
-# GATED OFF for compiled backends ('interpret' only, plus FORCE for
-# benchmarking) and XLA remains the trigram production route — the
-# full analysis lives in ops/README.md's negative-results entry.
-FORCE = False
+# Joint-tile budget for pass A / the gradient pass: the [B, TP*SEG, h]
+# tanh tile (plus its same-sized d_joint/d_pre shadows in the backward).
+_TILE_BUDGET = 12 * 1024 * 1024
+
+# Escape hatch: route compiled backends back to the XLA scan path
+# (interpret-mode tests are unaffected). The whole-array kernels beat
+# XLA 2.47x at the probe config, so the gate defaults ON.
+DISABLE = False
+
+# Backwards-compat alias for the round-3/4 gating flag: FORCE=True used
+# to opt the (then slower-than-XLA) kernels in; the rewritten kernels
+# are on by default, so the flag is now a no-op kept for the benchmark
+# scripts that set it.
+FORCE = True
 
 
 def layout(vocab: int):
@@ -98,9 +118,31 @@ def layout(vocab: int):
   return rows.reshape(-1), p_segments, seg
 
 
+def _tile_plan(pp: int, seg: int, hidden: int, b_pad: int) -> int:
+  """Number of state tiles NT (dividing PP) for pass A / gradient pass."""
+  for nt in (1, 2, 4, 8):
+    if pp % nt == 0 and b_pad * (pp // nt) * seg * hidden * 4 <= _TILE_BUDGET:
+      return nt
+  for nt in range(8, pp + 1):
+    if pp % nt == 0 and b_pad * (pp // nt) * seg * hidden * 4 <= _TILE_BUDGET:
+      return nt
+  return pp
+
+
+def _vmem_estimate(b_pad, pp, seg, v_pad, hidden, num_pairs) -> int:
+  n = b_pad * pp
+  cache = n * seg * v_pad * 4
+  dpc = pp * seg * hidden * 4
+  tiles = 5 * b_pad * (pp // _tile_plan(pp, seg, hidden, b_pad)) * seg * (
+      hidden * 4)
+  rows_seg = (9 + num_pairs) * n * seg * 4
+  rows_v = (3 + num_pairs) * n * v_pad * 4
+  return cache + dpc + tiles + rows_seg + rows_v
+
+
 def supported(lattice, semiring, blank_mask, lexical_mask, weight_lift,
               frames, backend: str, weight_fn=None) -> bool:
-  """Structural gate for the trigram forward kernel (mirrors
+  """Structural gate for the trigram fused kernels (mirrors
   ``fused_scan.supported`` with context_size == 2)."""
   from last_torch_tpu import alignments as alignments_lib
   from last_torch_tpu import contexts as contexts_lib
@@ -108,8 +150,8 @@ def supported(lattice, semiring, blank_mask, lexical_mask, weight_lift,
   from last_torch_tpu import weight_fns as weight_fns_lib
   if backend not in ('tpu', 'axon', 'interpret'):
     return False
-  if backend != 'interpret' and not FORCE:
-    return False  # measured slower than XLA on hardware; see module note
+  if backend != 'interpret' and DISABLE:
+    return False
   if semiring is not semirings_lib.Log:
     return False
   if blank_mask is not None or lexical_mask is not None:
@@ -123,7 +165,8 @@ def supported(lattice, semiring, blank_mask, lexical_mask, weight_lift,
   if (type(context) is not contexts_lib.FullNGram or
       context.context_size != 2):
     return False
-  if not isinstance(lattice.alignment,
+  alignment = lattice.alignment
+  if not isinstance(alignment,
                     (alignments_lib.FrameDependent,
                      alignments_lib.FrameLabelDependent)):
     return False
@@ -133,148 +176,191 @@ def supported(lattice, semiring, blank_mask, lexical_mask, weight_lift,
   if backend != 'interpret' and vocab < 16:
     return False  # padding waste beats the XLA path at tiny vocabularies
   _, p_segments, seg = layout(vocab)
+  pp = seg
   v_pad = _round_up(vocab, 128)
   batch = frames.shape[0]
   b_pad = _round_up(batch, 8)
-  cache_bytes = p_segments * b_pad * seg * v_pad * 4
-  return cache_bytes <= _CACHE_BUDGET
+  hidden = wf.hidden_size
+  num_pairs = (1 if isinstance(alignment, alignments_lib.FrameDependent)
+               else alignment.max_expansions)
+  return _vmem_estimate(b_pad, pp, seg, v_pad, hidden,
+                        num_pairs) <= _VMEM_BUDGET
+
+
+def _iota2(shape, dim):
+  return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def _row_broadcast(col, b_pad, pp):
+  """[B_pad, 1] per-batch column -> [B_pad * PP, 1] per-row column."""
+  return jnp.broadcast_to(col[:, None, :], (b_pad, pp, 1)).reshape(
+      b_pad * pp, 1)
+
+
+def _make_pass_a(pc_ref, pf, vw, bw, vb_ref, bb_ref, lex_scr, m_scr,
+                 blank_scr, *, b_pad, pp, seg, nt, compute_dtype,
+                 cache_dtype, prec):
+  """Pass A: per-state-tile joint + heads; caches E/rowmax/blank.
+
+  The E cache is b-major: rows (b, p, s). Pass A computes tiles of
+  layout rows across all batches and scatters per-batch chunks (8
+  unrolled contiguous writes per tile).
+  """
+  f32 = jnp.float32
+  tp = pp // nt
+  tps = tp * seg
+  pps = pp * seg
+
+  def body(i, _):
+    pc_t = pc_ref[pl.ds(i * tps, tps), :]       # [tps, h]
+    joint = jnp.tanh(pc_t[None, :, :] + pf[:, None, :]).astype(
+        compute_dtype)                          # [B_pad, tps, h]
+    joint2 = joint.reshape(b_pad * tps, -1)
+    lex = jax.lax.dot_general(
+        joint2, vw, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=prec)
+    lex = lex + vb_ref[0][None, :]
+    m2 = jnp.max(lex, axis=1, keepdims=True)    # [B_pad*tps, 1]
+    e = jnp.exp(lex - m2).astype(cache_dtype)
+    blank2 = jax.lax.dot_general(
+        joint2, bw, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=prec)
+    blank2 = blank2 + bb_ref[0, 0]              # [B_pad*tps, 1]
+    for b in range(b_pad):
+      lex_scr[pl.ds(b * pps + i * tps, tps), :] = e[b * tps:(b + 1) * tps]
+      m_scr[pl.ds(b * pp + i * tp, tp), :] = (
+          m2[b * tps:(b + 1) * tps].reshape(tp, seg))
+      blank_scr[pl.ds(b * pp + i * tp, tp), :] = (
+          blank2[b * tps:(b + 1) * tps].reshape(tp, seg))
+    return 0
+
+  return body
+
+
+def _make_sweep(lex_scr, m_scr, u_scr, red_scr, new_scr, *, b_pad, pp,
+                seg, p_segments, v_pad):
+  """Within-frame lexical reduction + destination scatter.
+
+  ``sweep(vec2)``: red[b, p, y] = logsumexp_{s in segment p}
+  (vec[b, p, s] + lex[b, p, s, y]), scattered to the destination layout
+  new[b, segment y, row p]. All rows with p >= P or s outside the
+  segment's real rows stay semiring-zero because vec there is -inf.
+  """
+  f32 = jnp.float32
+  n_rows = b_pad * pp
+  ch = n_rows // 4
+  eye = (_iota2((pp, seg), 0) == _iota2((pp, seg), 1)).astype(f32)
+  pads_lo = 1
+  pads_hi = pp - p_segments
+
+  def sweep(vec2):
+    shifted = vec2 + m_scr[...]
+    c = jnp.max(shifted, axis=1, keepdims=True)
+    c_safe = jnp.where(jnp.isfinite(c), c, 0.0)
+    u_scr[...] = jnp.exp(shifted - c_safe)
+
+    def chunk(ci, _):
+      uc = u_scr[pl.ds(ci * ch, ch), :]          # [ch, SEG]
+      ec = lex_scr[pl.ds(ci * ch * seg, ch * seg), :].astype(f32).reshape(
+          ch, seg, v_pad)
+      red_scr[pl.ds(ci * ch, ch), :] = jnp.sum(uc[:, :, None] * ec, axis=1)
+      return 0
+
+    jax.lax.fori_loop(0, 4, chunk, 0)
+    prod = red_scr[...]
+    red = jnp.where(prod == 0, NEG_INF, c_safe + jnp.log(prod))
+    redc = jnp.maximum(red, f32(-1e30))
+    for b in range(b_pad):
+      red_b = redc[b * pp:(b + 1) * pp, :]       # [PP, V_pad]
+      # (p <-> y) transpose on the MXU: contract axis 0 of red with
+      # axis 0 of an identity (exact at HIGHEST; -inf rides as -1e30).
+      t_b = jax.lax.dot_general(
+          red_b, eye, (((0,), (0,)), ((), ())),
+          preferred_element_type=f32,
+          precision=jax.lax.Precision.HIGHEST)   # [V_pad, SEG]
+      parts = [jnp.full((pads_lo, seg), f32(-1e30))]
+      parts.append(t_b[:p_segments - 1])
+      if pads_hi:
+        parts.append(jnp.full((pads_hi, seg), f32(-1e30)))
+      new_b = jnp.concatenate(parts, axis=0)     # [PP, SEG]
+      new_scr[b * pp:(b + 1) * pp, :] = jnp.where(
+          new_b <= f32(-1e29), NEG_INF, new_b)
+    return new_scr[...]
+
+  return sweep
 
 
 def _trigram_forward_kernel(
     # Inputs.
     is_pad_ref,     # [1, B_pad, 1] int32 (1 where t >= num_frames[b])
     pf_ref,         # [1, B_pad, h] projected frame
-    pc_ref,         # [P * SEG, h] projected context, segment-major layout
+    pc_ref,         # [PP * SEG, h] projected context, segment-major rows
     vw_ref,         # [h, V_pad]
     vb_ref,         # [1, V_pad]
     bw_ref,         # [h, 1]
     bb_ref,         # [1, 1] SMEM
-    alpha0_ref,     # [P, B_pad, SEG]
+    alpha0_ref,     # [N, SEG] b-major (N = B_pad * PP)
     # Outputs.
-    hist_ref,       # [1, P, B_pad, SEG] alpha before this frame
-    alpha_out_ref,  # [P, B_pad, SEG]
+    hist_ref,       # [1, N, SEG] alpha before this frame
+    alpha_out_ref,  # [N, SEG]
     # Scratch.
-    alpha_scr,      # [P, B_pad, SEG]
-    last_scr,       # [P, B_pad, SEG] expansion intermediate (FLD)
-    new_scr,        # [P, B_pad, SEG] scattered lexical destinations
-    m_scr,          # [P, B_pad, SEG] per-row lexical max
-    blank_scr,      # [P, B_pad, SEG]
-    lex_scr,        # [P * n, V_pad] E cache, n = B_pad * SEG
+    alpha_scr,      # [N, SEG]
+    m_scr,          # [N, SEG] per-row lexical max
+    blank_scr,      # [N, SEG]
+    u_scr,          # [N, SEG]
+    red_scr,        # [N, V_pad]
+    new_scr,        # [N, SEG]
+    lex_scr,        # [N * SEG, V_pad] E cache
     *,
     b_pad: int,
     seg: int,
     p_segments: int,
+    pp: int,
     v_pad: int,
+    nt: int,
     max_expansions: int,
     frame_dependent: bool,
     compute_dtype,
     cache_dtype,
 ):
   t = pl.program_id(0)
-  n = b_pad * seg
   prec = _mxu_precision(compute_dtype)
-  f32 = jnp.float32
+  n_rows = b_pad * pp
 
   @pl.when(t == 0)
   def _():
     alpha_scr[...] = alpha0_ref[...]
 
   hist_ref[0] = alpha_scr[...]
-  pf = pf_ref[0]                              # [B_pad, h]
+  pf = pf_ref[0]                                # [B_pad, h]
   vw = vw_ref[:].astype(compute_dtype)
   bw = bw_ref[:].astype(compute_dtype)
 
-  # Pass A: per-segment joint + heads; cache E = exp(lex - rowmax).
-  def pass_a(p, _):
-    pc_t = pc_ref[pl.ds(p * seg, seg), :]     # [SEG, h]
-    joint2d = jnp.tanh(pc_t[None, :, :] + pf[:, None, :]).astype(
-        compute_dtype).reshape(n, -1)
-    lex = jax.lax.dot_general(
-        joint2d, vw, (((1,), (0,)), ((), ())),
-        preferred_element_type=f32, precision=prec)
-    lex = lex + vb_ref[0][None, :]
-    m2d = jnp.max(lex, axis=1, keepdims=True)
-    lex_scr[pl.ds(p * n, n), :] = jnp.exp(lex - m2d).astype(cache_dtype)
-    m_scr[p] = m2d.reshape(b_pad, seg)
-    blank2d = jax.lax.dot_general(
-        joint2d, bw, (((1,), (0,)), ((), ())),
-        preferred_element_type=f32, precision=prec)
-    blank_scr[p] = blank2d.reshape(b_pad, seg) + bb_ref[0, 0]
-    return 0
+  pass_a = _make_pass_a(
+      pc_ref, pf, vw, bw, vb_ref, bb_ref, lex_scr, m_scr, blank_scr,
+      b_pad=b_pad, pp=pp, seg=seg, nt=nt, compute_dtype=compute_dtype,
+      cache_dtype=cache_dtype, prec=prec)
+  jax.lax.fori_loop(0, nt, pass_a, 0)
 
-  jax.lax.fori_loop(0, p_segments, pass_a, 0)
-
-  def read_exp(p):
-    return lex_scr[pl.ds(p * n, n), :].astype(f32).reshape(
-        b_pad, seg, v_pad)
-
-  def sweep(vec_scr):
-    """red3[b, p, y] = logsumexp_{s in seg p}(vec[p][b, s] + lex) then
-    scatter to layout: new_scr[seg y][b, p] = red3[b, p, y]."""
-
-    def p_body(p, red3):
-      shifted = vec_scr[p] + m_scr[p]         # [B_pad, SEG]
-      c = jnp.max(shifted, axis=1, keepdims=True)
-      c_safe = jnp.where(jnp.isfinite(c), c, 0.0)
-      u = jnp.exp(shifted - c_safe)           # [B_pad, SEG]
-      prod = jax.lax.dot_general(
-          u[:, None, :], read_exp(p), (((2,), (1,)), ((0,), (0,))),
-          preferred_element_type=f32)         # [B_pad, 1, V_pad]
-      red_p = jnp.where(prod[:, 0, :] == 0, NEG_INF,
-                        c_safe + jnp.log(prod[:, 0, :]))
-      sel = jax.lax.broadcasted_iota(
-          jnp.int32, (b_pad, seg, v_pad), 1) == p
-      return jnp.where(sel, red_p[:, None, :], red3)
-
-    # Rows P..SEG-1 stay -inf (layout padding positions).
-    red3 = jax.lax.fori_loop(
-        0, p_segments, p_body,
-        jnp.full((b_pad, seg, v_pad), NEG_INF, f32))
-    # -inf rides through the selection dots as -1e30 (0 * inf = NaN
-    # otherwise); restored after. HIGHEST precision keeps the f32
-    # pass-through exact (value * 1.0 summed with zeros).
-    red3c = jnp.maximum(red3, f32(-1e30))
-
-    def y_body(y, _):
-      # Destination segment y (= label y): row p holds red3[b, p, y-1].
-      # The lane pick runs on the MXU against a column-broadcast basis
-      # (every output lane carries the picked value; a lane-axis max
-      # collapses it) — Mosaic cannot lane-index dynamically and
-      # singleton-lane squeezes relayout.
-      basis = (jax.lax.broadcasted_iota(jnp.int32, (v_pad, seg), 0)
-               == y - 1).astype(f32)
-      picked = jax.lax.dot_general(
-          red3c, basis, (((2,), (0,)), ((), ())),
-          preferred_element_type=f32,
-          precision=jax.lax.Precision.HIGHEST)  # [B_pad, SEG, SEG]
-      row = jnp.max(picked, axis=2)             # [B_pad, SEG]
-      row = jnp.where(row <= f32(-1e29), NEG_INF, row)
-      new_scr[y] = row
-      return 0
-
-    new_scr[0] = jnp.full((b_pad, seg), NEG_INF, f32)
-    jax.lax.fori_loop(1, p_segments, y_body, 0)
-    # Segments are exactly 0..V, none beyond the labels.
-    return new_scr[...]
+  sweep = _make_sweep(lex_scr, m_scr, u_scr, red_scr, new_scr,
+                      b_pad=b_pad, pp=pp, seg=seg, p_segments=p_segments,
+                      v_pad=v_pad)
 
   alpha = alpha_scr[...]
   blank = blank_scr[...]
   if frame_dependent:
-    alpha_new = jnp.logaddexp(alpha + blank, sweep(alpha_scr))
+    alpha_new = jnp.logaddexp(alpha + blank, sweep(alpha))
   else:
     acc = alpha + blank
-    last = sweep(alpha_scr)
+    last = sweep(alpha)
     for i in range(1, max_expansions + 1):
       acc = jnp.logaddexp(acc, last + blank)
       if i < max_expansions:
-        last_scr[...] = last
-        last = sweep(last_scr)
+        last = sweep(last)
     alpha_new = acc
 
-  # Bool minor-dim inserts are unsupported on hardware; the input is
-  # staged [.., B_pad, 1] so only a (no-op) major insert is needed.
-  is_pad = (is_pad_ref[0] != 0)[None]        # [1, B_pad, 1]
-  alpha_new = jnp.where(is_pad, alpha, alpha_new)
+  ip = _row_broadcast(is_pad_ref[0], b_pad, pp)  # [N, 1] int32
+  alpha_new = jnp.where(ip != 0, alpha, alpha_new)
   alpha_scr[...] = alpha_new
   alpha_out_ref[...] = alpha_new
 
@@ -282,13 +368,14 @@ def _trigram_forward_kernel(
 def _stage_forward(wf_params, cache, frames, vocab):
   """Shared staging: padded heads, layout-permuted projected context.
 
-  Returns (wf_params_padded, pf [T, B_pad, h], pc_l [P*SEG, h],
-  rows, P, SEG, V_pad, b_pad).
+  Returns (wf_params_padded, pf [T, B_pad, h], pc_l [PP*SEG, h],
+  rows, P, SEG, PP, V_pad, b_pad).
   """
   batch, max_t, _ = frames.shape
   b_pad = _round_up(batch, 8)
   wf_params, v_pad = _pad_vocab(wf_params)
   rows, p_segments, seg = layout(vocab)
+  pp = seg
   pf = jnp.einsum('btf,fh->tbh', frames, wf_params['frame_proj'],
                   preferred_element_type=jnp.float32)
   if b_pad != batch:
@@ -296,7 +383,9 @@ def _stage_forward(wf_params, cache, frames, vocab):
   pc = cache @ wf_params['context_proj']      # [S, h]
   pc_pad = jnp.concatenate([pc, jnp.zeros_like(pc[:1])], axis=0)
   pc_l = pc_pad[jnp.asarray(rows)]            # [P*SEG, h]
-  return wf_params, pf, pc_l, rows, p_segments, seg, v_pad, b_pad
+  if pp != p_segments:
+    pc_l = jnp.pad(pc_l, ((0, (pp - p_segments) * seg), (0, 0)))
+  return (wf_params, pf, pc_l, rows, p_segments, seg, pp, v_pad, b_pad)
 
 
 def to_layout(x_std, rows, num_states, p_segments, seg, fill=NEG_INF):
@@ -309,8 +398,7 @@ def to_layout(x_std, rows, num_states, p_segments, seg, fill=NEG_INF):
 
 
 def from_layout(x_l, rows, num_states):
-  """[P, B, SEG] (or [..., P, B, SEG]-like with leading axes folded by
-  the caller) -> [B, S] standard-state array."""
+  """[P, B, SEG] layout array -> [B, S] standard-state array."""
   p_segments, b, seg = x_l.shape
   flat = jnp.moveaxis(x_l, 0, 1).reshape(b, p_segments * seg)
   inv = np.full((num_states,), 0, np.int32)
@@ -318,6 +406,22 @@ def from_layout(x_l, rows, num_states):
   valid = rows_np < num_states
   inv[rows_np[valid]] = np.nonzero(valid)[0]
   return flat[:, jnp.asarray(inv)]
+
+
+def _to_bmajor(x_l, pp):
+  """[P, B, SEG] layout -> [B * PP, SEG] b-major kernel rows."""
+  p, b, seg = x_l.shape
+  xb = jnp.moveaxis(x_l, 0, 1)                # [B, P, SEG]
+  if pp != p:
+    xb = jnp.pad(xb, ((0, 0), (0, pp - p), (0, 0)),
+                 constant_values=NEG_INF)
+  return xb.reshape(b * pp, seg)
+
+
+def _from_bmajor(x2, b, pp, p_segments):
+  """[B * PP, SEG] b-major -> [P, B, SEG] layout."""
+  x3 = x2.reshape(b, pp, -1)[:, :p_segments]
+  return jnp.moveaxis(x3, 1, 0)
 
 
 def fused_shortest_distance_fwd(wf_params: Any,
@@ -343,17 +447,18 @@ def fused_shortest_distance_fwd(wf_params: Any,
 
   Returns (log_z [B], alpha_history, final_alpha [B, S] if requested).
   ``alpha_history`` is [B, T, S] in standard state order when
-  ``history_layout='standard'`` (one gather), or the raw
-  [T, P, B_pad, SEG] layout when 'layout' (for in-layout consumers),
-  or None when ``with_history=False``.
+  ``history_layout='standard'`` (one gather), or the raw b-major
+  [T, B_pad * PP, SEG] kernel layout when 'layout' (the form
+  ``run_fused_backward`` consumes), or None when ``with_history=False``.
   """
   batch, max_t, _ = frames.shape
   num_states = 1 + vocab + vocab * vocab
   num_frames = jnp.asarray(num_frames, jnp.int32)
-  (wf_params, pf, pc_l, rows, p_segments, seg, v_pad,
+  (wf_params, pf, pc_l, rows, p_segments, seg, pp, v_pad,
    b_pad) = _stage_forward(wf_params, cache, frames, vocab)
   hidden = pc_l.shape[-1]
-  n = b_pad * seg
+  n_rows = b_pad * pp
+  nt = _tile_plan(pp, seg, hidden, b_pad)
 
   is_pad = (jnp.arange(max_t)[:, None] >= num_frames[None, :]).astype(
       jnp.int32)
@@ -363,21 +468,24 @@ def fused_shortest_distance_fwd(wf_params: Any,
   is_pad = is_pad.reshape(max_t, b_pad, 1)
 
   if alpha0 is None:
-    a0 = jnp.full((b_pad, p_segments * seg), NEG_INF, jnp.float32)
-    a0 = a0.at[:, 0].set(0.0)  # layout row (0, 0) = start state
-    alpha0_l = jnp.moveaxis(a0.reshape(b_pad, p_segments, seg), 1, 0)
+    a0 = jnp.full((b_pad, pp, seg), NEG_INF, jnp.float32)
+    a0 = a0.at[:, 0, 0].set(0.0)  # layout row (0, 0) = start state
+    alpha0_b = a0.reshape(n_rows, seg)
   else:
     alpha0_p = jnp.pad(jnp.asarray(alpha0, jnp.float32),
                        ((0, b_pad - batch), (0, 0)),
                        constant_values=NEG_INF)
-    alpha0_l = to_layout(alpha0_p, rows, num_states, p_segments, seg)
+    alpha0_b = _to_bmajor(
+        to_layout(alpha0_p, rows, num_states, p_segments, seg), pp)
 
   kernel = functools.partial(
       _trigram_forward_kernel,
       b_pad=b_pad,
       seg=seg,
       p_segments=p_segments,
+      pp=pp,
       v_pad=v_pad,
+      nt=nt,
       max_expansions=max_expansions,
       frame_dependent=frame_dependent,
       compute_dtype=compute_dtype,
@@ -389,57 +497,58 @@ def fused_shortest_distance_fwd(wf_params: Any,
       in_specs=[
           pl.BlockSpec((1, b_pad, 1), lambda t: (t, 0, 0)),
           pl.BlockSpec((1, b_pad, hidden), lambda t: (t, 0, 0)),
-          pl.BlockSpec((p_segments * seg, hidden), lambda t: (0, 0)),
+          pl.BlockSpec((pp * seg, hidden), lambda t: (0, 0)),
           pl.BlockSpec((hidden, v_pad), lambda t: (0, 0)),
           pl.BlockSpec((1, v_pad), lambda t: (0, 0)),
           pl.BlockSpec((hidden, 1), lambda t: (0, 0)),
           pl.BlockSpec((1, 1), lambda t: (0, 0),
                        memory_space=pltpu.SMEM),
-          pl.BlockSpec((p_segments, b_pad, seg), lambda t: (0, 0, 0)),
+          pl.BlockSpec((n_rows, seg), lambda t: (0, 0)),
       ],
       out_specs=[
-          pl.BlockSpec((1, p_segments, b_pad, seg),
-                       (lambda t: (t, 0, 0, 0)) if with_history else
-                       (lambda t: (0, 0, 0, 0))),
-          pl.BlockSpec((p_segments, b_pad, seg), lambda t: (0, 0, 0)),
+          pl.BlockSpec((1, n_rows, seg),
+                       (lambda t: (t, 0, 0)) if with_history else
+                       (lambda t: (0, 0, 0))),
+          pl.BlockSpec((n_rows, seg), lambda t: (0, 0)),
       ],
       out_shape=[
           jax.ShapeDtypeStruct(
-              (max_t if with_history else 1, p_segments, b_pad, seg),
-              jnp.float32),
-          jax.ShapeDtypeStruct((p_segments, b_pad, seg), jnp.float32),
+              (max_t if with_history else 1, n_rows, seg), jnp.float32),
+          jax.ShapeDtypeStruct((n_rows, seg), jnp.float32),
       ],
       scratch_shapes=[
-          pltpu.VMEM((p_segments, b_pad, seg), jnp.float32),
-          pltpu.VMEM((p_segments, b_pad, seg), jnp.float32),
-          pltpu.VMEM((p_segments, b_pad, seg), jnp.float32),
-          pltpu.VMEM((p_segments, b_pad, seg), jnp.float32),
-          pltpu.VMEM((p_segments, b_pad, seg), jnp.float32),
-          pltpu.VMEM((p_segments * n, v_pad), cache_dtype),
+          pltpu.VMEM((n_rows, seg), jnp.float32),
+          pltpu.VMEM((n_rows, seg), jnp.float32),
+          pltpu.VMEM((n_rows, seg), jnp.float32),
+          pltpu.VMEM((n_rows, seg), jnp.float32),
+          pltpu.VMEM((n_rows, v_pad), jnp.float32),
+          pltpu.VMEM((n_rows, seg), jnp.float32),
+          pltpu.VMEM((n_rows * seg, v_pad), cache_dtype),
       ],
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=110 * 1024 * 1024),
       interpret=interpret,
   )(is_pad, pf, pc_l, wf_params['vocab_w'],
     wf_params['vocab_b'][None, :], wf_params['blank_w'][:, None],
-    wf_params['blank_b'][None, None], alpha0_l)
+    wf_params['blank_b'][None, None], alpha0_b)
 
-  final_std = from_layout(alpha_t, rows, num_states)[:batch]
+  final_std = from_layout(
+      _from_bmajor(alpha_t, b_pad, pp, p_segments), rows,
+      num_states)[:batch]
   log_z = jax.scipy.special.logsumexp(final_std, axis=-1)
   if not with_history:
     alpha_history = None
   elif history_layout == 'layout':
     alpha_history = hist
   else:
-    # [T, P, B_pad, SEG] -> [B, T, S] standard order.
-    flat = jnp.moveaxis(hist, 2, 1).reshape(
-        max_t, b_pad, p_segments * seg)
+    # [T, B_pad*PP, SEG] -> [B, T, S] standard order.
+    flat = hist.reshape(max_t, b_pad, pp, seg)[:, :batch, :p_segments]
+    flat = flat.reshape(max_t, batch, p_segments * seg)
     inv = np.full((num_states,), 0, np.int32)
     rows_np = np.asarray(rows)
     valid = rows_np < num_states
     inv[rows_np[valid]] = np.nonzero(valid)[0]
-    alpha_history = jnp.moveaxis(
-        flat[:, :batch, :][..., jnp.asarray(inv)], 0, 1)
+    alpha_history = jnp.moveaxis(flat[..., jnp.asarray(inv)], 0, 1)
   if return_final_alpha:
     return log_z, alpha_history, final_std
   return log_z, alpha_history
@@ -451,42 +560,49 @@ def _trigram_backward_kernel(
     logz_ref,       # [B_pad, 1] f32
     g_ref,          # [B_pad, 1] f32 cotangent of log_z
     pf_ref,         # [1, B_pad, h]
-    pc_ref,         # [P * SEG, h]
+    pc_ref,         # [PP * SEG, h]
     vw_ref,         # [h, V_pad]
     vb_ref,         # [1, V_pad]
     bw_ref,         # [h, 1]
     bwt_ref,        # [1, h]
     bb_ref,         # [1, 1] SMEM
-    hist_ref,       # [1, P, B_pad, SEG] alpha before this frame (layout)
-    beta0_ref,      # [P, B_pad, SEG] beta seed at the last frame
+    hist_ref,       # [1, N, SEG] alpha before this frame (b-major)
+    beta0_ref,      # [N, SEG] beta seed at the last frame
     # Outputs.
     dpf_ref,        # [1, B_pad, h]
-    dpc_ref,        # [P * SEG, h]
+    dpc_ref,        # [PP * SEG, h]
     dvw_ref,        # [h, V_pad]
     dvb_ref,        # [1, V_pad]
     dbw_ref,        # [1, h]
     dbb_ref,        # [1, 1] SMEM
-    beta_out_ref,   # [P, B_pad, SEG] beta after the first frame
+    beta_out_ref,   # [N, SEG] beta after the first frame
     # Scratch.
-    beta_scr,       # [P, B_pad, SEG] f32 carry
-    m_scr,          # [P, B_pad, SEG]
-    blank_scr,      # [P, B_pad, SEG]
-    lex_scr,        # [P * n, V_pad] E cache
-    vec_scr,        # [P, B_pad, SEG] sweep input staging
-    new_scr,        # [P, B_pad, SEG] sweep output staging
-    nb2_scr,        # [P * B_pad, SEG] nb chain, 2-D for the MXU pick
-    lse_scr,        # [P, B_pad, SEG] lse_y output staging
-    dpc_scr,        # [P * SEG, h]
+    beta_scr,       # [N, SEG] f32 carry
+    m_scr,          # [N, SEG]
+    blank_scr,      # [N, SEG]
+    u_scr,          # [N, SEG]
+    red_scr,        # [N, V_pad]
+    new_scr,        # [N, SEG]
+    bt_scr,         # [N, V_pad] beta-transpose staging
+    w_scr,          # [N, SEG] lse_y staging
+    dblank_scr,     # [N, SEG]
+    lex_scr,        # [N * SEG, V_pad] E cache
+    dlex_scr,       # [B_pad * TP * SEG, V_pad] gradient-tile staging
+    dbt_scr,        # [B_pad * TP, SEG] blank-gradient tile staging
+    dpc_scr,        # [PP * SEG, h]
     dvw_scr,        # [h, V_pad]
     dvb_scr,        # [1, V_pad]
     dbw_scr,        # [1, h]
     dbb_scr,        # [1, 1] SMEM
-    *a_pair_scr,    # num_pairs x [P, B_pad, SEG] alpha replay values,
-                    # then num_pairs x [P * B_pad, SEG] nb pair copies
+    *pair_scr,      # num_pairs x [N, SEG] ws, then num_pairs x
+                    # [N, V_pad] wy (cotangent-folded)
     b_pad: int,
     seg: int,
     p_segments: int,
+    pp: int,
     v_pad: int,
+    nt: int,
+    vocab: int,
     max_expansions: int,
     frame_dependent: bool,
     compute_dtype,
@@ -494,237 +610,184 @@ def _trigram_backward_kernel(
 ):
   """Reverse (beta) scan for the trigram lattice.
 
-  The bigram backward's within-frame machinery carries over; the trigram
-  twist is the beta-transpose: the beta recursion for a source in
-  segment p needs ``Bt_p[b, y] = nb[segment y][b, p]`` — realized on the
-  MXU as a basis-vector column pick from a 2-D [P*B, SEG] copy of nb
-  plus one transposed-contraction against a shift matrix (Mosaic cannot
-  lane-index dynamically). All -inf values ride the picks as -1e30
-  clamps (restored after) so 0 * inf never appears.
+  Per frame: rebuild E (pass A), replay the expansion alphas (sweeps),
+  walk the beta/nb chain in reverse (beta-transpose + one 3-D
+  multiply-reduce per step), fold the cotangent into per-pair (ws, wy)
+  factors, then one pass over NT state tiles forms the arc marginals as
+  ``E * ws[:, :, None] * wy[:, None, :]`` and accumulates every
+  head/tanh gradient in VMEM across the whole T grid.
   """
   t = pl.program_id(0)
-  n = b_pad * seg
-  num_pairs = 1 if frame_dependent else max_expansions
-  a_pairs = a_pair_scr[:num_pairs]
-  nb_pairs = a_pair_scr[num_pairs:]
-  prec = _mxu_precision(compute_dtype)
   f32 = jnp.float32
   big_neg = f32(-1e30)
+  prec = _mxu_precision(compute_dtype)
+  num_pairs = 1 if frame_dependent else max_expansions
+  wsp = pair_scr[:num_pairs]
+  wyp = pair_scr[num_pairs:]
+  n_rows = b_pad * pp
+  ch = n_rows // 4
+  tp = pp // nt
+  tps = tp * seg
+  pps = pp * seg
 
   @pl.when(t == 0)
   def _():
     beta_scr[...] = beta0_ref[...]
-
-  @pl.when(t == 0)
-  def _():
     dpc_scr[...] = jnp.zeros(dpc_scr.shape, f32)
     dvw_scr[...] = jnp.zeros(dvw_scr.shape, f32)
     dvb_scr[...] = jnp.zeros(dvb_scr.shape, f32)
     dbw_scr[...] = jnp.zeros(dbw_scr.shape, f32)
     dbb_scr[0, 0] = 0.0
 
-  pf = pf_ref[0]                              # [B_pad, h]
-  log_z = logz_ref[...]                       # [B_pad, 1]
-  pad = is_pad_ref[0] != 0                    # [B_pad, 1]
-  g_eff = jnp.where(pad, 0.0, g_ref[...])     # [B_pad, 1]
+  pf = pf_ref[0]                                # [B_pad, h]
   vw_c = vw_ref[:].astype(compute_dtype)
   bw_c = bw_ref[:].astype(compute_dtype)
 
-  # Layout-validity mask per (segment row): real rows are j == 0 for
-  # segment 0 and j < P for segments >= 1. Blank at padding rows must be
-  # semiring-dead or the beta recursion grows them without bound (see
-  # the bigram kernel's guard comment).
-  col = jax.lax.broadcasted_iota(jnp.int32, (p_segments, 1, seg), 2)
-  seg_idx = jax.lax.broadcasted_iota(jnp.int32, (p_segments, 1, seg), 0)
-  valid = col < jnp.where(seg_idx == 0, 1, p_segments)
+  # Row/validity masks. Real rows: s == 0 for segment 0, s < P for
+  # segments 1..P-1; fake segments (p >= P) are never valid. Blank at
+  # invalid rows must be semiring-dead or the beta recursion grows them
+  # without bound.
+  p_row = jax.lax.broadcasted_iota(
+      jnp.int32, (b_pad, pp, 1), 1).reshape(n_rows, 1)
+  col2 = _iota2((n_rows, seg), 1)
+  valid = ((col2 < jnp.where(p_row == 0, 1, p_segments)) &
+           (p_row < p_segments))
+  ip = _row_broadcast(is_pad_ref[0], b_pad, pp)  # [N, 1] int32
+  pad2 = ip != 0
+  lz2 = _row_broadcast(logz_ref[...], b_pad, pp)
+  g2 = _row_broadcast(g_ref[...], b_pad, pp)
+  g2e = jnp.where(pad2, 0.0, g2)
 
-  # Pass A: recompute E, m, blank per segment.
-  def pass_a(p, _):
-    pc_t = pc_ref[pl.ds(p * seg, seg), :]
-    joint2d = jnp.tanh(pc_t[None, :, :] + pf[:, None, :]).astype(
-        compute_dtype).reshape(n, -1)
-    lex = jax.lax.dot_general(
-        joint2d, vw_c, (((1,), (0,)), ((), ())),
-        preferred_element_type=f32, precision=prec)
-    lex = lex + vb_ref[0][None, :]
-    m2d = jnp.max(lex, axis=1, keepdims=True)
-    lex_scr[pl.ds(p * n, n), :] = jnp.exp(lex - m2d).astype(cache_dtype)
-    m_scr[p] = m2d.reshape(b_pad, seg)
-    blank2d = jax.lax.dot_general(
-        joint2d, bw_c, (((1,), (0,)), ((), ())),
-        preferred_element_type=f32, precision=prec)
-    blank_scr[p] = blank2d.reshape(b_pad, seg) + bb_ref[0, 0]
-    return 0
+  pass_a = _make_pass_a(
+      pc_ref, pf, vw_c, bw_c, vb_ref, bb_ref, lex_scr, m_scr, blank_scr,
+      b_pad=b_pad, pp=pp, seg=seg, nt=nt, compute_dtype=compute_dtype,
+      cache_dtype=cache_dtype, prec=prec)
+  jax.lax.fori_loop(0, nt, pass_a, 0)
+  blank = jnp.where(valid, blank_scr[...], NEG_INF)
 
-  jax.lax.fori_loop(0, p_segments, pass_a, 0)
-  blank = jnp.where(valid, blank_scr[...], NEG_INF)  # [P, B_pad, SEG]
+  sweep = _make_sweep(lex_scr, m_scr, u_scr, red_scr, new_scr,
+                      b_pad=b_pad, pp=pp, seg=seg, p_segments=p_segments,
+                      v_pad=v_pad)
 
-  def read_exp(p):
-    return lex_scr[pl.ds(p * n, n), :].astype(f32).reshape(
-        b_pad, seg, v_pad)
+  # Beta-transpose: bt[b, p, y] = nb[b, segment y+1, row p], realized as
+  # one shift-matrix contraction per batch row (contract axis 0 with
+  # axis 0). Lanes y >= vocab are forced to -inf (their E columns are 0
+  # anyway; the mask keeps the max-shift clean).
+  sh = (_iota2((pp, v_pad), 0) == _iota2((pp, v_pad), 1) + 1).astype(f32)
+  lane2 = _iota2((pp, v_pad), 1)
 
-  def sweep_from(vec_scr_ref):
-    """Lexical-destination scatter (same as the forward kernel)."""
-
-    def p_body(p, red3):
-      shifted = vec_scr_ref[p] + m_scr[p]
-      c = jnp.max(shifted, axis=1, keepdims=True)
-      c_safe = jnp.where(jnp.isfinite(c), c, 0.0)
-      u = jnp.exp(shifted - c_safe)
-      prod = jax.lax.dot_general(
-          u[:, None, :], read_exp(p), (((2,), (1,)), ((0,), (0,))),
-          preferred_element_type=f32)
-      red_p = jnp.where(prod[:, 0, :] == 0, NEG_INF,
-                        c_safe + jnp.log(prod[:, 0, :]))
-      sel = jax.lax.broadcasted_iota(
-          jnp.int32, (b_pad, seg, v_pad), 1) == p
-      return jnp.where(sel, red_p[:, None, :], red3)
-
-    red3 = jax.lax.fori_loop(
-        0, p_segments, p_body,
-        jnp.full((b_pad, seg, v_pad), NEG_INF, f32))
-    red3c = jnp.maximum(red3, big_neg)
-
-    def y_body(y, _):
-      basis = (jax.lax.broadcasted_iota(jnp.int32, (v_pad, seg), 0)
-               == y - 1).astype(f32)
-      picked = jax.lax.dot_general(
-          red3c, basis, (((2,), (0,)), ((), ())),
+  def bt_into(nb2):
+    nbc = jnp.maximum(nb2, big_neg)
+    for b in range(b_pad):
+      nb_b = nbc[b * pp:(b + 1) * pp, :]        # [PP, SEG]
+      o = jax.lax.dot_general(
+          nb_b, sh, (((0,), (0,)), ((), ())),
           preferred_element_type=f32,
-          precision=jax.lax.Precision.HIGHEST)
-      row = jnp.max(picked, axis=2)
-      new_scr[y] = jnp.where(row <= f32(-1e29), NEG_INF, row)
+          precision=jax.lax.Precision.HIGHEST)  # [SEG(=PP), V_pad]
+      o = jnp.where(o <= f32(-1e29), NEG_INF, o)
+      bt_scr[b * pp:(b + 1) * pp, :] = jnp.where(lane2 < vocab, o, NEG_INF)
+
+  def lse_from_bt():
+    """out[b, p, s] = logsumexp_y(lex[b, p, s, y] + bt[b, p, y])."""
+    bt = bt_scr[...]
+    d = jnp.max(bt, axis=1, keepdims=True)
+    d_safe = jnp.where(jnp.isfinite(d), d, 0.0)
+    red_scr[...] = jnp.exp(bt - d_safe)
+
+    def chunk(ci, _):
+      vc = red_scr[pl.ds(ci * ch, ch), :]        # [ch, V_pad]
+      ec = lex_scr[pl.ds(ci * ch * seg, ch * seg), :].astype(f32).reshape(
+          ch, seg, v_pad)
+      w_scr[pl.ds(ci * ch, ch), :] = jnp.sum(vc[:, None, :] * ec, axis=2)
       return 0
 
-    new_scr[0] = jnp.full((b_pad, seg), NEG_INF, f32)
-    jax.lax.fori_loop(1, p_segments, y_body, 0)
-    return new_scr[...]
+    jax.lax.fori_loop(0, 4, chunk, 0)
+    w2 = w_scr[...]
+    return jnp.where(w2 == 0, NEG_INF, m_scr[...] + d_safe + jnp.log(w2))
 
-  def store_nb(nb, ref2d):
-    """[P, B_pad, SEG] value -> 2-D [P*B_pad, SEG] scratch (per segment:
-    values cannot be dynamically leading-indexed, scratches can)."""
-    vec_scr[...] = nb
-
-    def y_body(y, _):
-      ref2d[pl.ds(y * b_pad, b_pad), :] = vec_scr[y]
-      return 0
-
-    jax.lax.fori_loop(0, p_segments, y_body, 0)
-
-  # Shift matrix: SH[y, v] = 1 iff v == y - 1 (segment y's beta feeds
-  # label lane y - 1); segment 0 contributes nowhere.
-  sh = (jax.lax.broadcasted_iota(jnp.int32, (p_segments, v_pad), 0) ==
-        jax.lax.broadcasted_iota(jnp.int32, (p_segments, v_pad), 1) + 1
-        ).astype(f32)
-
-  def beta_transpose(nb2_ref, p):
-    """Bt_p[b, y] = nb[segment y+1][b, p] from the 2-D nb copy."""
-    m2 = jnp.maximum(nb2_ref[...], big_neg)   # [P*B_pad, SEG]
-    basis_p = (jax.lax.broadcasted_iota(jnp.int32, (seg, 8), 0)
-               == p).astype(f32)
-    colw = jax.lax.dot_general(
-        m2, basis_p, (((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
-        precision=jax.lax.Precision.HIGHEST)  # [P*B_pad, 8]
-    colp = jnp.max(colw.reshape(p_segments, b_pad, 8), axis=2)
-    bt = jax.lax.dot_general(
-        jnp.maximum(colp, big_neg), sh, (((0,), (0,)), ((), ())),
-        preferred_element_type=f32,
-        precision=jax.lax.Precision.HIGHEST)  # [B_pad, V_pad]
-    return jnp.where(bt <= f32(-1e29), NEG_INF, bt)
-
-  def lse_y(nb2_ref):
-    """out[p][b, s] = logsumexp_y(lex[p][b, s, y] + Bt_p[b, y])."""
-
-    def p_body(p, _):
-      bt = beta_transpose(nb2_ref, p)         # [B_pad, V_pad]
-      d = jnp.max(bt, axis=1, keepdims=True)
-      d_safe = jnp.where(jnp.isfinite(d), d, 0.0)
-      v = jnp.exp(bt - d_safe)[:, None, :]    # [B_pad, 1, V_pad]
-      w = jax.lax.dot_general(
-          v, read_exp(p), (((2,), (2,)), ((0,), (0,))),
-          preferred_element_type=f32)         # [B_pad, 1, SEG]
-      w2 = w[:, 0, :]
-      lse_scr[p] = jnp.where(w2 == 0, NEG_INF,
-                             m_scr[p] + d_safe + jnp.log(w2))
-      return 0
-
-    jax.lax.fori_loop(0, p_segments, p_body, 0)
-    return lse_scr[...]
-
-  alpha = hist_ref[0]                         # [P, B_pad, SEG]
+  alpha = hist_ref[0]                           # [N, SEG]
   beta = beta_scr[...]
-  lz = log_z[None, :, :]                      # [1, B_pad, 1]
-  ge = g_eff[None, :, :]
+
+  def fold_pair(i, a_j, nb_i):
+    """Cotangent-folded marginal factors for pair (alpha_j, nb_i).
+
+    Stores ws = exp(a_j + m - amax) and wy = g * exp(bt + amax - lz);
+    leaves bt_scr holding bt(nb_i) for the chain step that follows.
+    """
+    shifted = a_j + m_scr[...]
+    amax = jnp.max(shifted, axis=1, keepdims=True)
+    amax = jnp.where(jnp.isfinite(amax), amax, 0.0)
+    wsp[i][...] = jnp.exp(shifted - amax)
+    bt_into(nb_i)
+    wyp[i][...] = (
+        jnp.exp(jnp.minimum(bt_scr[...] + amax - lz2, 80.0)) * g2e)
 
   if frame_dependent:
-    a_pairs[0][...] = alpha
-    store_nb(beta, nb_pairs[0])
-    bm_total = jnp.exp(alpha + blank + beta - lz)
-    final_nb = jnp.logaddexp(blank + beta, lse_y(nb_pairs[0]))
+    bm_total = jnp.exp(alpha + blank + beta - lz2)
+    fold_pair(0, alpha, beta)
+    final_nb = jnp.logaddexp(blank + beta, lse_from_bt())
   else:
     k = max_expansions
     a_list = [alpha]
-    vec_scr[...] = alpha
     for _ in range(k - 1):
-      nxt = sweep_from(vec_scr)
-      a_list.append(nxt)
-      vec_scr[...] = nxt
+      a_list.append(sweep(a_list[-1]))
     if k >= 1:
-      a_list.append(sweep_from(vec_scr))
-    bm_total = jnp.zeros((p_segments, b_pad, seg), f32)
+      a_list.append(sweep(a_list[-1]))
+    bm_total = jnp.zeros((n_rows, seg), f32)
     for j in range(k + 1):
-      bm_total = bm_total + jnp.exp(a_list[j] + blank + beta - lz)
+      bm_total = bm_total + jnp.exp(a_list[j] + blank + beta - lz2)
     nb = blank + beta
     for i in range(k):
-      j = k - 1 - i
-      a_pairs[i][...] = a_list[j]
-      store_nb(nb, nb_pairs[i])
-      nb = jnp.logaddexp(blank + beta, lse_y(nb_pairs[i]))
+      fold_pair(i, a_list[k - 1 - i], nb)
+      nb = jnp.logaddexp(blank + beta, lse_from_bt())
     final_nb = nb
 
-  d_blank_all = ge * bm_total                 # [P, B_pad, SEG]
-  vec_scr[...] = d_blank_all
+  dblank_scr[...] = g2e * bm_total              # [N, SEG]
 
-  # Marginal + gradient pass, per segment.
-  def marg_body(p, dpf_acc):
-    pc_t = pc_ref[pl.ds(p * seg, seg), :]
-    joint = jnp.tanh(pc_t[None, :, :] + pf[:, None, :])  # [B_pad, SEG, h]
-    joint3_c = joint.astype(compute_dtype)
-    exp_t = read_exp(p)                       # [B_pad, SEG, V_pad]
-    lm = jnp.zeros_like(exp_t)
-    for i in range(num_pairs):
-      a_t = a_pairs[i][p]                     # [B_pad, SEG]
-      shifted = a_t + m_scr[p]
-      a_max = jnp.max(shifted, axis=1, keepdims=True)
-      a_max = jnp.where(jnp.isfinite(a_max), a_max, 0.0)
-      ws = jnp.exp(shifted - a_max)           # [B_pad, SEG]
-      bt = beta_transpose(nb_pairs[i], p)     # [B_pad, V_pad]
-      wy = jnp.exp(jnp.minimum(bt + a_max - log_z, 80.0))
-      lm = lm + exp_t * ws[:, :, None] * wy[:, None, :]
-    d_lex3 = (g_eff[:, :, None] * lm).astype(compute_dtype)
-    d_blank3 = vec_scr[p][:, :, None]         # [B_pad, SEG, 1]
-    dvw_scr[...] += jnp.sum(
-        jax.lax.dot_general(
-            joint3_c, d_lex3, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=f32, precision=prec), axis=0)
-    dvb_scr[...] += jnp.sum(
-        d_lex3.astype(f32), axis=(0, 1), keepdims=True)[0]
-    dbw_scr[...] += jnp.sum(joint * d_blank3, axis=(0, 1), keepdims=True)[0]
-    dbb_scr[0, 0] += jnp.sum(d_blank3)
-    d_joint3 = jax.lax.dot_general(
-        d_lex3, vw_c, (((2,), (1,)), ((), ())),
-        preferred_element_type=f32, precision=prec)
-    d_joint3 = d_joint3 + d_blank3 * bwt_ref[:][None, :, :]
-    d_pre = d_joint3 * (1.0 - joint * joint)
-    dpc_scr[pl.ds(p * seg, seg), :] += jnp.sum(d_pre, axis=0)
-    return dpf_acc + jnp.sum(d_pre, axis=1)
+  # Gradient pass over NT state tiles: marginals from the folded (ws,
+  # wy) factors; head and tanh gradients accumulate in VMEM scratch.
+  def grad_tile(i, dpf_acc):
+    pc_t = pc_ref[pl.ds(i * tps, tps), :]
+    joint3 = jnp.tanh(pc_t[None, :, :] + pf[:, None, :])  # [B, tps, h] f32
+    joint2c = joint3.astype(compute_dtype).reshape(b_pad * tps, -1)
+    for b in range(b_pad):
+      e_b = lex_scr[pl.ds(b * pps + i * tps, tps), :].astype(f32).reshape(
+          tp, seg, v_pad)
+      lm = jnp.zeros((tp, seg, v_pad), f32)
+      for j in range(num_pairs):
+        ws_b = wsp[j][pl.ds(b * pp + i * tp, tp), :]   # [tp, SEG]
+        wy_b = wyp[j][pl.ds(b * pp + i * tp, tp), :]   # [tp, V_pad]
+        lm = lm + e_b * ws_b[:, :, None] * wy_b[:, None, :]
+      dlex_scr[b * tps:(b + 1) * tps, :] = lm.reshape(tps, v_pad)
+      dbt_scr[b * tp:(b + 1) * tp, :] = dblank_scr[
+          pl.ds(b * pp + i * tp, tp), :]
+    d_lex = dlex_scr[...]
+    d_lex_c = d_lex.astype(compute_dtype)
+    dvw_scr[...] += jax.lax.dot_general(
+        joint2c, d_lex_c, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=prec)    # [h, V_pad]
+    dvb_scr[...] += jnp.sum(d_lex, axis=0, keepdims=True)
+    dbl2 = dbt_scr[...]                                # [B*tp, SEG]
+    dbl3 = dbl2[:, :, None]                            # [B*tp, SEG, 1]
+    joint3b = joint3.reshape(b_pad * tp, seg, -1)
+    dbw_scr[...] += jnp.sum(joint3b * dbl3, axis=(0, 1), keepdims=True)[0]
+    dbb_scr[0, 0] += jnp.sum(dbl2)
+    d_joint = jax.lax.dot_general(
+        d_lex_c, vw_c, (((1,), (1,)), ((), ())),
+        preferred_element_type=f32, precision=prec)    # [B*tps, h]
+    d_joint = d_joint + (dbl3 * bwt_ref[:][None, :, :]).reshape(
+        b_pad * tps, -1)
+    jr = joint3.reshape(b_pad * tps, -1)
+    d_pre = d_joint * (1.0 - jr * jr)
+    d_pre3 = d_pre.reshape(b_pad, tps, -1)
+    dpc_scr[pl.ds(i * tps, tps), :] += jnp.sum(d_pre3, axis=0)
+    return dpf_acc + jnp.sum(d_pre3, axis=1)           # [B_pad, h]
 
   dpf_acc = jax.lax.fori_loop(
-      0, p_segments, marg_body, jnp.zeros((b_pad, pf.shape[-1]), f32))
+      0, nt, grad_tile, jnp.zeros((b_pad, pf.shape[-1]), f32))
 
   dpf_ref[0] = dpf_acc
-  nb_eff = jnp.where(pad[None], beta, final_nb)
+  nb_eff = jnp.where(pad2, beta, final_nb)
   beta_scr[...] = nb_eff
   beta_out_ref[...] = jnp.where(valid, nb_eff, NEG_INF)
 
@@ -755,7 +818,7 @@ def run_fused_backward(wf_params: Any,
   """Trigram fused backward over one frame block.
 
   Mirrors ``fused_scan.run_fused_backward``; ``alpha_history_layout`` is
-  the [T, P, B_pad, SEG] layout-form history from
+  the b-major [T, B_pad * PP, SEG] history from
   ``fused_shortest_distance_fwd(..., history_layout='layout')``.
 
   Returns (d_wf_params, d_cache, d_frames, beta_out [B, S] standard).
@@ -764,10 +827,12 @@ def run_fused_backward(wf_params: Any,
   num_states = 1 + vocab + vocab * vocab
   num_frames = jnp.asarray(num_frames, jnp.int32)
   true_vocab = vocab
-  (wf_params_p, pf, pc_l, rows, p_segments, seg, v_pad,
+  (wf_params_p, pf, pc_l, rows, p_segments, seg, pp, v_pad,
    b_pad) = _stage_forward(wf_params, cache, frames, vocab)
   hidden = pc_l.shape[-1]
-  n = b_pad * seg
+  n_rows = b_pad * pp
+  nt = _tile_plan(pp, seg, hidden, b_pad)
+  tp = pp // nt
   num_pairs = 1 if frame_dependent else max_expansions
 
   is_pad = (jnp.arange(max_t)[:, None] >= num_frames[None, :]).astype(
@@ -779,27 +844,32 @@ def run_fused_backward(wf_params: Any,
   logz_b = jnp.pad(log_z, (0, b_pad - batch))[:, None]
   g_b = jnp.pad(jnp.asarray(g, jnp.float32), (0, b_pad - batch))[:, None]
   if beta0 is None:
-    beta0_l = jnp.zeros((p_segments, b_pad, seg), jnp.float32)
+    beta0_b = jnp.zeros((n_rows, seg), jnp.float32)
   else:
     beta0_p = jnp.pad(jnp.asarray(beta0, jnp.float32),
                       ((0, b_pad - batch), (0, 0)),
                       constant_values=NEG_INF)
-    beta0_l = to_layout(beta0_p, rows, num_states, p_segments, seg)
+    beta0_b = _to_bmajor(
+        to_layout(beta0_p, rows, num_states, p_segments, seg), pp)
 
   kernel = functools.partial(
       _trigram_backward_kernel,
       b_pad=b_pad,
       seg=seg,
       p_segments=p_segments,
+      pp=pp,
       v_pad=v_pad,
+      nt=nt,
+      vocab=vocab,
       max_expansions=max_expansions,
       frame_dependent=frame_dependent,
       compute_dtype=compute_dtype,
       cache_dtype=cache_dtype)
 
   rev = lambda t: max_t - 1 - t
-  layout_scr = pltpu.VMEM((p_segments, b_pad, seg), jnp.float32)
-  (dpf, dpc_l, dvw, dvb, dbw, dbb, beta_out_l) = pl.pallas_call(
+  row_scr = pltpu.VMEM((n_rows, seg), jnp.float32)
+  vrow_scr = pltpu.VMEM((n_rows, v_pad), jnp.float32)
+  (dpf, dpc_l, dvw, dvb, dbw, dbb, beta_out_b) = pl.pallas_call(
       kernel,
       grid=(max_t,),
       in_specs=[
@@ -807,57 +877,55 @@ def run_fused_backward(wf_params: Any,
           pl.BlockSpec((b_pad, 1), lambda t: (0, 0)),
           pl.BlockSpec((b_pad, 1), lambda t: (0, 0)),
           pl.BlockSpec((1, b_pad, hidden), lambda t: (rev(t), 0, 0)),
-          pl.BlockSpec((p_segments * seg, hidden), lambda t: (0, 0)),
+          pl.BlockSpec((pp * seg, hidden), lambda t: (0, 0)),
           pl.BlockSpec((hidden, v_pad), lambda t: (0, 0)),
           pl.BlockSpec((1, v_pad), lambda t: (0, 0)),
           pl.BlockSpec((hidden, 1), lambda t: (0, 0)),
           pl.BlockSpec((1, hidden), lambda t: (0, 0)),
           pl.BlockSpec((1, 1), lambda t: (0, 0),
                        memory_space=pltpu.SMEM),
-          pl.BlockSpec((1, p_segments, b_pad, seg),
-                       lambda t: (rev(t), 0, 0, 0)),
-          pl.BlockSpec((p_segments, b_pad, seg), lambda t: (0, 0, 0)),
+          pl.BlockSpec((1, n_rows, seg), lambda t: (rev(t), 0, 0)),
+          pl.BlockSpec((n_rows, seg), lambda t: (0, 0)),
       ],
       out_specs=[
           pl.BlockSpec((1, b_pad, hidden), lambda t: (rev(t), 0, 0)),
-          pl.BlockSpec((p_segments * seg, hidden), lambda t: (0, 0)),
+          pl.BlockSpec((pp * seg, hidden), lambda t: (0, 0)),
           pl.BlockSpec((hidden, v_pad), lambda t: (0, 0)),
           pl.BlockSpec((1, v_pad), lambda t: (0, 0)),
           pl.BlockSpec((1, hidden), lambda t: (0, 0)),
           pl.BlockSpec((1, 1), lambda t: (0, 0),
                        memory_space=pltpu.SMEM),
-          pl.BlockSpec((p_segments, b_pad, seg), lambda t: (0, 0, 0)),
+          pl.BlockSpec((n_rows, seg), lambda t: (0, 0)),
       ],
       out_shape=[
           jax.ShapeDtypeStruct((max_t, b_pad, hidden), jnp.float32),
-          jax.ShapeDtypeStruct((p_segments * seg, hidden), jnp.float32),
+          jax.ShapeDtypeStruct((pp * seg, hidden), jnp.float32),
           jax.ShapeDtypeStruct((hidden, v_pad), jnp.float32),
           jax.ShapeDtypeStruct((1, v_pad), jnp.float32),
           jax.ShapeDtypeStruct((1, hidden), jnp.float32),
           jax.ShapeDtypeStruct((1, 1), jnp.float32),
-          jax.ShapeDtypeStruct((p_segments, b_pad, seg), jnp.float32),
+          jax.ShapeDtypeStruct((n_rows, seg), jnp.float32),
       ],
       scratch_shapes=(
-          [layout_scr, layout_scr, layout_scr,
-           pltpu.VMEM((p_segments * n, v_pad), cache_dtype),
-           layout_scr, layout_scr,
-           pltpu.VMEM((p_segments * b_pad, seg), jnp.float32),
-           layout_scr,
-           pltpu.VMEM((p_segments * seg, hidden), jnp.float32),
+          [row_scr, row_scr, row_scr, row_scr,
+           vrow_scr, row_scr, vrow_scr, row_scr, row_scr,
+           pltpu.VMEM((n_rows * seg, v_pad), cache_dtype),
+           pltpu.VMEM((b_pad * tp * seg, v_pad), jnp.float32),
+           pltpu.VMEM((b_pad * tp, seg), jnp.float32),
+           pltpu.VMEM((pp * seg, hidden), jnp.float32),
            pltpu.VMEM((hidden, v_pad), jnp.float32),
            pltpu.VMEM((1, v_pad), jnp.float32),
            pltpu.VMEM((1, hidden), jnp.float32),
            pltpu.SMEM((1, 1), jnp.float32)] +
-          [layout_scr for _ in range(num_pairs)] +
-          [pltpu.VMEM((p_segments * b_pad, seg), jnp.float32)
-           for _ in range(num_pairs)]),
+          [row_scr for _ in range(num_pairs)] +
+          [vrow_scr for _ in range(num_pairs)]),
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=110 * 1024 * 1024),
       interpret=interpret,
   )(is_pad, logz_b, g_b, pf, pc_l, wf_params_p['vocab_w'],
     wf_params_p['vocab_b'][None, :], wf_params_p['blank_w'][:, None],
     wf_params_p['blank_w'][None, :], wf_params_p['blank_b'][None, None],
-    alpha_history_layout, beta0_l)
+    alpha_history_layout, beta0_b)
 
   # Un-permute the context-projection gradient back to state order; the
   # padding rows' contributions are structurally zero (alpha and the
@@ -880,7 +948,9 @@ def run_fused_backward(wf_params: Any,
   d_cache = dpc @ wf_params['context_proj'].T
   d_frames = jnp.einsum('tbh,fh->btf', dpf, wf_params['frame_proj'],
                         preferred_element_type=jnp.float32)
-  beta_out = from_layout(beta_out_l, rows, num_states)[:batch]
+  beta_out = from_layout(
+      _from_bmajor(beta_out_b, b_pad, pp, p_segments), rows,
+      num_states)[:batch]
   return d_wf, d_cache, d_frames, beta_out
 
 

@@ -224,16 +224,31 @@ def test_supported_gating():
                                 frames, 'interpret')
 
 
-def test_force_gate_keeps_hardware_dispatch_on_xla():
-  """CI guard for the documented kernel-fate decision (ops/README.md):
-  the trigram kernels stay gated OFF on compiled backends — measured
-  0.71x XLA on v5e — and must never silently re-enter the dispatch."""
-  assert trigram_scan.FORCE is False
+def test_gate_dispatches_hardware_backends():
+  """CI guard for the round-5 kernel-fate decision (ops/README.md): the
+  whole-array trigram kernels beat XLA on v5e (1.41x+ at the probe
+  config) and are ON for TPU backends; DISABLE is the escape hatch; CPU
+  never dispatches (interpret mode is for tests only); tiny vocabularies
+  stay on XLA (padding waste)."""
+  assert trigram_scan.DISABLE is False
   lattice, _ = build(vocab=4)
+  big_lattice, _ = build(vocab=16, hidden=8, emb=8)
   frames = jnp.zeros((2, 4, 8))
-  for backend in ('tpu', 'axon', 'cpu'):
+  # Tiny vocab: hardware backends fall back to XLA; interpret covers it.
+  for backend in ('tpu', 'axon'):
     assert not trigram_scan.supported(
         lattice, semirings.Log, None, None, None, frames, backend), backend
+    assert trigram_scan.supported(
+        big_lattice, semirings.Log, None, None, None, frames, backend)
+  try:
+    trigram_scan.DISABLE = True
+    for backend in ('tpu', 'axon'):
+      assert not trigram_scan.supported(
+          big_lattice, semirings.Log, None, None, None, frames, backend)
+    assert trigram_scan.supported(
+        big_lattice, semirings.Log, None, None, None, frames, 'interpret')
+  finally:
+    trigram_scan.DISABLE = False
   assert not trigram_scan.supported(lattice, semirings.MaxTropical, None,
                                     None, None, frames, 'interpret')
   assert not trigram_scan.supported(lattice, semirings.Log, None, None,
