@@ -8,17 +8,16 @@ h=512, bigram FLD k=2) across num_samples, and times the composed
 expected-risk loss (``risk.sampled_risk_loss``, sampling + label
 extraction + batched edit distance) for the MWER fine-tuning story.
 
-Measured 2026-08-18 (v5e, after the optimization pass below):
+Measured 2026-08-19 (v5e, after optimization 4 below):
 
-  sample_paths m=1 / 4 / 16:   2290 / 2629 / 2703 ms  (16 samples cost
-                               +18% over 1 — extra samples near-free)
-  sampled_risk_loss m=4:       2620 ms (the edit distance is free)
-  => an MWER step's sampling+risk side costs ~1.5x the headline
-     likelihood loss fwd+bwd (1752 ms); m=4 is 19.5k frames/s.
+  sample_paths m=1 / 4 / 16:   1320 / 1347 / 1429 ms  (was 2290 / 2629 /
+                               2703 in round 4)
+  sampled_risk_loss m=4:       1356 ms (the edit distance is free)
+  => an MWER step's sampling+risk side now costs ~0.77x the headline
+     likelihood loss fwd+bwd (1752 ms); m=4 is 38.0k frames/s.
 
 Optimization history (same shapes, measured at T=400 then confirmed at
-T=1600) — three TPU-specific rewrites, 8.5x in total, each preserving
-bit-identical output scalars:
+T=1600) — four TPU-specific rewrites, ~16x in total:
 
   1. Never materialize the per-expansion [B, S, V] arc-score tensors in
      the sampling pass — compute continuation VALUES with fused
@@ -33,6 +32,14 @@ bit-identical output scalars:
      sample-independent (label y always leads to state y), so the
      per-sample continuation gather is a broadcast (m=16: 5004 -> 703
      ms; samples became genuinely near-free).
+  4. (round 5) The sampling pass runs NO dense weight pass at all: the
+     reverse beta scan also emits the per-expansion continuation VALUE
+     histories (k extra [T, B, S] outputs, ~0.1% of its existing
+     per-frame weight tensor), and the forward pass computes arc
+     weights only at the M sampled context rows via the weight fn's
+     per-state form under a vmap over samples (m=4: 2629 -> 1347 ms —
+     phase 2 went from ~half the total to ~nothing; VERDICT round-4
+     task 2, bar was <=1500 ms).
 
 Timing is per-call with a single f32 scalar pulled via ``.item()``
 (seconds-scale programs; the ~30 ms tunnel RTT is noise here).

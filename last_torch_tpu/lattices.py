@@ -627,9 +627,12 @@ class RecognitionLattice(Generic[T]):
     Per-sample work is one-hot MXU row contractions and minor-axis
     gathers (never ``[..., S, V]`` materializations or row gathers — see
     ``gather_rows``/``conts_at_next_states`` and
-    ``benchmarks/tpu_sample_paths_bench.py``), so extra samples are
-    nearly free relative to the two weight-function applications per
-    frame (measured: 16 samples cost +18% over 1 at headline shapes).
+    ``benchmarks/tpu_sample_paths_bench.py``), and the sampling pass
+    runs no dense weight pass at all: the reverse scan emits the
+    continuation-value histories and the forward pass evaluates the
+    weight fn only at the M sampled context rows, so the whole
+    sampler costs about ONE dense weight pass (measured at headline
+    shapes: m=1/4/16 take 1320/1347/1429 ms vs the 1752 ms loss step).
 
     Args:
       params: Parameter pytree from ``init``.
@@ -696,16 +699,22 @@ class RecognitionLattice(Generic[T]):
 
     # Phase 1: reverse scan for the backward weights; the stacked output
     # at frame t is beta_{t+1} (the incoming carry), the final carry is
-    # beta_0 whose start-state entry is log Z.
+    # beta_0 whose start-state entry is log Z. For FrameLabelDependent
+    # the per-expansion continuation VALUES v[1..k] are stacked too —
+    # they are what the sampling pass conditions on, and emitting them
+    # here (k extra [T, batch..., S] float32 outputs, ~0.1% of the
+    # [batch..., S, V] weight tensor this scan already materializes per
+    # frame) is what lets phase 2 run without ANY dense weight pass.
     def beta_step(beta, inputs):
       t, frame = inputs
       blank, lexical = self.weight_fn.apply(wf_params, cache, frame)
       v = cont_values(blank, lexical, beta)
       is_padding = (t >= num_frames)[..., None]
-      return jnp.where(is_padding, beta, v[0]), beta
+      ys = (beta, tuple(v[1:]) if fld else ())
+      return jnp.where(is_padding, beta, v[0]), ys
 
     init_beta = semirings.Log.ones((*batch_dims, num_states), jnp.float32)
-    beta_0, beta_next_hist = jax.lax.scan(
+    beta_0, (beta_next_hist, v_hist) = jax.lax.scan(
         beta_step, init_beta, (t_ix, frames_tm), reverse=True)
     log_z = beta_0[..., self.context.start()]
 
@@ -746,31 +755,44 @@ class RecognitionLattice(Generic[T]):
       out = jnp.take_along_axis(cont, flat, axis=-1)
       return out.reshape(ns.shape)
 
-    # Phase 2: forward sampling. Per frame: recompute the arc weights,
-    # rebuild the continuation VALUES, and draw each expansion's arc from
-    # its exact conditional via Gumbel-max (jax.random.categorical); the
-    # per-arc scores are assembled only at the M sampled rows.
+    # Phase 2: forward sampling. Per frame: arc weights are computed at
+    # the M SAMPLED context rows only (the weight fn's per-state form —
+    # O(M) joint rows instead of the full [batch..., S, V] pass), the
+    # continuation VALUES come precomputed from phase 1, and each
+    # expansion's arc is drawn from its exact conditional via Gumbel-max
+    # (jax.random.categorical). Phase 2 therefore runs no dense weight
+    # pass at all — measured on v5e at headline shapes this halved
+    # sample_paths (see benchmarks/tpu_sample_paths_bench.py).
+    def row_weights(frame, c):
+      """(blank [batch..., M], lexical [batch..., M, V]) at rows ``c``.
+
+      vmap over the sample axis keeps each inner call on the WeightFn
+      contract (state broadcastable to the frame's batch_dims); the
+      unbatched frame lets XLA share its projection across samples.
+      """
+      return jax.vmap(
+          lambda s: self.weight_fn.apply(wf_params, cache, frame, s),
+          in_axes=-1, out_axes=(-1, -2))(c)
+
     def sample_step(carry, inputs):
       c, logw = carry  # [batch..., M] state ids / accumulated arc weight
-      t, frame, beta_next = inputs
-      blank, lexical = self.weight_fn.apply(wf_params, cache, frame)
-      blank_term = blank + beta_next
+      t, frame, beta_next, v_t = inputs
       # Successor continuation of expansion e: v[e+1] (the next expansion
       # state) for FLD; beta_next for FrameDependent, whose lexical arc
       # itself advances the frame.
-      conts = cont_values(blank, lexical, beta_next)[1:]
+      conts = list(v_t) if fld else [beta_next]
       key_t = jax.random.fold_in(key, t)
       is_padding = (t >= num_frames)[..., None]
 
       done = jnp.zeros(c.shape, bool)
       slots = []
       for e in range(num_align_states):
-        blank_w = gather_rows(blank, c)
+        blank_w, lex_rows = row_weights(frame, c)
         if e < len(conts):
-          lex_rows = gather_rows(lexical, c)  # [batch..., M, V]
           q_rows = lex_rows + conts_at_next_states(conts[e], c)
+          blank_term_w = blank_w + gather_rows(beta_next, c)
           logits = jnp.concatenate(
-              [gather_rows(blank_term, c)[..., None], q_rows], axis=-1)
+              [blank_term_w[..., None], q_rows], axis=-1)
           choice = jax.random.categorical(
               jax.random.fold_in(key_t, e), logits)
         else:
@@ -797,7 +819,8 @@ class RecognitionLattice(Generic[T]):
     start = jnp.full((*batch_dims, m), self.context.start(), jnp.int32)
     logw0 = jnp.zeros((*batch_dims, m), jnp.float32)
     (_, logw), slot_hist = jax.lax.scan(
-        sample_step, (start, logw0), (t_ix, frames_tm, beta_next_hist))
+        sample_step, (start, logw0),
+        (t_ix, frames_tm, beta_next_hist, v_hist))
     # slot_hist: [T, batch..., M, A] -> [batch..., M, T * A].
     nb = len(batch_dims)
     labels = jnp.moveaxis(slot_hist, 0, nb + 1)
