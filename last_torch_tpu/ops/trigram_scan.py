@@ -87,8 +87,18 @@ _TILE_BUDGET = 12 * 1024 * 1024
 
 # Escape hatch: route compiled backends back to the XLA scan path
 # (interpret-mode tests are unaffected). The whole-array kernels beat
-# XLA 2.47x at the probe config, so the gate defaults ON.
+# XLA at the probe config, so the gate defaults ON.
 DISABLE = False
+
+# Batch the per-sweep (p <-> y) transposes and the backward beta gather
+# into ONE 3-D batched dot_general over the batch axis instead of
+# B_pad unrolled 2-D dots. Measured a WASH on v5e (same-process A/B,
+# benchmarks/tpu_trigram_kernel_ab.py, 2026-08-19): batched 92.4 ms vs
+# unbatched 91.8/91.8 ms fwd+bwd at the probe config — Mosaic lowers the
+# [B, PP, SEG] batched contraction to the same per-slice matmuls, and
+# the extra broadcast of the identity costs the difference. Kept as a
+# flag (default OFF) so the A/B stays reproducible.
+BATCHED_TRANSPOSE = False
 
 # Backwards-compat alias for the round-3/4 gating flag: FORCE=True used
 # to opt the (then slower-than-XLA) kernels in; the rewritten kernels
@@ -118,13 +128,14 @@ def layout(vocab: int):
   return rows.reshape(-1), p_segments, seg
 
 
-def _tile_plan(pp: int, seg: int, hidden: int, b_pad: int) -> int:
+def _tile_plan(pp: int, seg: int, hidden: int, b_pad: int,
+               budget: int = _TILE_BUDGET) -> int:
   """Number of state tiles NT (dividing PP) for pass A / gradient pass."""
   for nt in (1, 2, 4, 8):
-    if pp % nt == 0 and b_pad * (pp // nt) * seg * hidden * 4 <= _TILE_BUDGET:
+    if pp % nt == 0 and b_pad * (pp // nt) * seg * hidden * 4 <= budget:
       return nt
   for nt in range(8, pp + 1):
-    if pp % nt == 0 and b_pad * (pp // nt) * seg * hidden * 4 <= _TILE_BUDGET:
+    if pp % nt == 0 and b_pad * (pp // nt) * seg * hidden * 4 <= budget:
       return nt
   return pp
 
@@ -270,10 +281,24 @@ def _make_sweep(lex_scr, m_scr, u_scr, red_scr, new_scr, *, b_pad, pp,
     prod = red_scr[...]
     red = jnp.where(prod == 0, NEG_INF, c_safe + jnp.log(prod))
     redc = jnp.maximum(red, f32(-1e30))
+    # (p <-> y) transpose on the MXU: contract the segment axis of red
+    # with that of an identity (exact at HIGHEST; -inf rides as -1e30).
+    if BATCHED_TRANSPOSE:
+      red3 = redc.reshape(b_pad, pp, v_pad)
+      eye3 = jnp.broadcast_to(eye[None], (b_pad, pp, seg))
+      t3 = jax.lax.dot_general(
+          red3, eye3, (((1,), (1,)), ((0,), (0,))),
+          preferred_element_type=f32,
+          precision=jax.lax.Precision.HIGHEST)   # [B, V_pad, SEG]
+      parts = [jnp.full((b_pad, pads_lo, seg), f32(-1e30)),
+               t3[:, :p_segments - 1]]
+      if pads_hi:
+        parts.append(jnp.full((b_pad, pads_hi, seg), f32(-1e30)))
+      new2 = jnp.concatenate(parts, axis=1).reshape(n_rows, seg)
+      new_scr[...] = jnp.where(new2 <= f32(-1e29), NEG_INF, new2)
+      return new_scr[...]
     for b in range(b_pad):
       red_b = redc[b * pp:(b + 1) * pp, :]       # [PP, V_pad]
-      # (p <-> y) transpose on the MXU: contract axis 0 of red with
-      # axis 0 of an identity (exact at HIGHEST; -inf rides as -1e30).
       t_b = jax.lax.dot_general(
           red_b, eye, (((0,), (0,)), ((), ())),
           preferred_element_type=f32,
@@ -458,7 +483,9 @@ def fused_shortest_distance_fwd(wf_params: Any,
    b_pad) = _stage_forward(wf_params, cache, frames, vocab)
   hidden = pc_l.shape[-1]
   n_rows = b_pad * pp
-  nt = _tile_plan(pp, seg, hidden, b_pad)
+  # The forward's per-tile transients are ~half the backward's, so it
+  # affords double the tile size (fewer fixed-cost tile iterations).
+  nt = _tile_plan(pp, seg, hidden, b_pad, budget=2 * _TILE_BUDGET)
 
   is_pad = (jnp.arange(max_t)[:, None] >= num_frames[None, :]).astype(
       jnp.int32)
@@ -675,9 +702,21 @@ def _trigram_backward_kernel(
   # anyway; the mask keeps the max-shift clean).
   sh = (_iota2((pp, v_pad), 0) == _iota2((pp, v_pad), 1) + 1).astype(f32)
   lane2 = _iota2((pp, v_pad), 1)
+  lane_n = _iota2((n_rows, v_pad), 1)
 
   def bt_into(nb2):
     nbc = jnp.maximum(nb2, big_neg)
+    if BATCHED_TRANSPOSE:
+      nb3 = nbc.reshape(b_pad, pp, seg)
+      sh3 = jnp.broadcast_to(sh[None], (b_pad, pp, v_pad))
+      o3 = jax.lax.dot_general(
+          nb3, sh3, (((1,), (1,)), ((0,), (0,))),
+          preferred_element_type=f32,
+          precision=jax.lax.Precision.HIGHEST)  # [B, SEG(=PP), V_pad]
+      o2 = o3.reshape(n_rows, v_pad)
+      o2 = jnp.where(o2 <= f32(-1e29), NEG_INF, o2)
+      bt_scr[...] = jnp.where(lane_n < vocab, o2, NEG_INF)
+      return
     for b in range(b_pad):
       nb_b = nbc[b * pp:(b + 1) * pp, :]        # [PP, SEG]
       o = jax.lax.dot_general(
@@ -753,12 +792,12 @@ def _trigram_backward_kernel(
     for b in range(b_pad):
       e_b = lex_scr[pl.ds(b * pps + i * tps, tps), :].astype(f32).reshape(
           tp, seg, v_pad)
-      lm = jnp.zeros((tp, seg, v_pad), f32)
+      acc = jnp.zeros((tp, seg, v_pad), f32)
       for j in range(num_pairs):
         ws_b = wsp[j][pl.ds(b * pp + i * tp, tp), :]   # [tp, SEG]
         wy_b = wyp[j][pl.ds(b * pp + i * tp, tp), :]   # [tp, V_pad]
-        lm = lm + e_b * ws_b[:, :, None] * wy_b[:, None, :]
-      dlex_scr[b * tps:(b + 1) * tps, :] = lm.reshape(tps, v_pad)
+        acc = acc + ws_b[:, :, None] * wy_b[:, None, :]
+      dlex_scr[b * tps:(b + 1) * tps, :] = (e_b * acc).reshape(tps, v_pad)
       dbt_scr[b * tp:(b + 1) * tp, :] = dblank_scr[
           pl.ds(b * pp + i * tp, tp), :]
     d_lex = dlex_scr[...]

@@ -263,3 +263,34 @@ def test_gate_dispatches_hardware_backends():
           vocab_size=4, hidden_size=8))
   assert not trigram_scan.supported(bigram, semirings.Log, None, None,
                                     None, frames, 'interpret')
+
+
+def test_batched_transpose_variant_matches(monkeypatch):
+  """The gated-off BATCHED_TRANSPOSE path stays correct (values+grads).
+
+  The flag is a measured wash on v5e (92.4 vs 91.8 ms, see the module
+  comment / benchmarks/tpu_trigram_kernel_ab.py) and defaults OFF; this
+  pins the alternate kernel path so the A/B stays re-runnable."""
+  vocab, max_expansions = 4, 2
+  lattice, params = build(vocab=vocab, max_expansions=max_expansions)
+  cache = lattice.build_cache(params)
+  frames = jax.random.normal(jax.random.PRNGKey(5), (2, 4, 8))
+  num_frames = jnp.array([4, 3])
+
+  def fused(wf, cache, frames):
+    return jnp.sum(trigram_scan.log_partition(
+        wf, cache, frames, num_frames,
+        max_expansions=max_expansions, frame_dependent=False,
+        vocab=vocab, compute_dtype=jnp.float32, interpret=True))
+
+  wf = params['weight_fn']
+  assert not trigram_scan.BATCHED_TRANSPOSE  # default is OFF
+  val_off = fused(wf, cache, frames)
+  g_off = jax.grad(fused, argnums=(0, 1, 2))(wf, cache, frames)
+  monkeypatch.setattr(trigram_scan, 'BATCHED_TRANSPOSE', True)
+  val_on = fused(wf, cache, frames)
+  g_on = jax.grad(fused, argnums=(0, 1, 2))(wf, cache, frames)
+  npt.assert_allclose(val_on, val_off, rtol=1e-6)
+  jax.tree.map(
+      lambda a, b: npt.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+      g_on, g_off)
