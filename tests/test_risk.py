@@ -231,3 +231,76 @@ def test_error_paths():
       risk.sampled_risk_loss(lattice, params, frames, nf, labels, nl,
                              jax.random.PRNGKey(0), num_samples=1,
                              estimator=estimator)
+
+
+@pytest.mark.slow
+def test_mwer_fine_tuning_improves_error_rate():
+  """End-to-end value check (VERDICT round-4 task 8): MWER fine-tuning
+  after likelihood training lowers the Monte Carlo expected edit
+  distance AND does not regress the Viterbi label error rate, on a
+  synthetic separable-but-noisy task. The estimator itself is
+  enumeration-verified above; this pins that it moves the metric when
+  wired into the model family (examples/train_mwer.py is the narrated
+  version of this test)."""
+  from last_torch_tpu.models import gnat
+  from last_torch_tpu.models import metrics
+
+  vocab, feature = 6, 8
+  config = gnat.GNATConfig(
+      vocab_size=vocab, feature_size=feature, context_size=1,
+      encoder_size=16, encoder_layers=1, encoder_heads=2,
+      encoder_ffn_size=32, hidden_size=16, embedding_size=8,
+      max_expansions=1, locally_normalized=True)
+  model = gnat.GNATModel(config)
+
+  def synthetic_batch(rng, batch, max_u=4):
+    max_t = 2 * max_u
+    num_labels = rng.integers(2, max_u + 1, size=(batch,))
+    labels = np.zeros((batch, max_u), np.int32)
+    frames = rng.normal(size=(batch, max_t, feature)) * 0.45
+    for b in range(batch):
+      seq = rng.integers(1, vocab + 1, size=num_labels[b])
+      labels[b, :num_labels[b]] = seq
+      for u, y in enumerate(seq):
+        frames[b, 2 * u:2 * u + 2, y - 1] += 1.0
+    return (jnp.asarray(frames, jnp.float32),
+            jnp.asarray(2 * num_labels, jnp.int32),
+            jnp.asarray(labels), jnp.asarray(num_labels, jnp.int32))
+
+  rng = np.random.default_rng(0)
+  batches = [synthetic_batch(rng, 8) for _ in range(4)]
+
+  def label_error_rate(params):
+    state = metrics.empty_error_rate_state()
+    for frames, num_frames, labels, num_labels in batches:
+      aligned, _, _ = model.decode(params, frames, num_frames)
+      hyp, num_hyp = risk.labels_from_alignment(aligned)
+      state = metrics.update_error_rate(state, hyp, num_hyp, labels,
+                                        num_labels)
+    return float(metrics.error_rate(state))
+
+  optimizer = gnat.make_optimizer(learning_rate=3e-3, warmup_steps=10)
+  state = gnat.init_train_state(model, jax.random.PRNGKey(0), optimizer)
+  nll_step = jax.jit(lambda s, *b: gnat.train_step(model, optimizer, s, *b))
+  for step in range(120):
+    state, _ = nll_step(state, *batches[step % len(batches)])
+  ler_nll = label_error_rate(state.params)
+
+  ft_optimizer = gnat.make_optimizer(learning_rate=1e-3)
+  ft_state = gnat.GNATTrainState(
+      params=state.params, opt_state=ft_optimizer.init(state.params),
+      step=jnp.zeros((), jnp.int32))
+  risk_step = jax.jit(lambda s, k, *b: gnat.risk_train_step(
+      model, ft_optimizer, s, *b, key=k, num_samples=8,
+      estimator='reinforce', nll_weight=0.1))
+  risks = []
+  for step in range(120):
+    key = jax.random.fold_in(jax.random.PRNGKey(1), step)
+    ft_state, m = risk_step(ft_state, key, *batches[step % len(batches)])
+    risks.append(float(m['mean_risk']))
+  ler_mwer = label_error_rate(ft_state.params)
+
+  # Average the noisy Monte Carlo risk over the first/last few steps.
+  first, last = np.mean(risks[:8]), np.mean(risks[-8:])
+  assert last < first, (first, last)
+  assert ler_mwer <= ler_nll, (ler_nll, ler_mwer)
