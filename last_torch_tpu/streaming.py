@@ -152,6 +152,16 @@ class StreamingBeamDecoder:
   ``merge='logsumexp'`` accumulates total path probability per label
   sequence (sequence-posterior semantics); ``merge='none'`` disables
   recombination.
+
+  Choosing ``beam_size`` (measured, ``benchmarks/beam_quality.py``;
+  tables in BASELINE.md): on a TRAINED (peaked) lattice beam 4 is
+  near-exact (15/16 Viterbi-transcript match, mean regret 0.06) and
+  beam 16 recovered the Viterbi path exactly on every held-out
+  utterance — **beam 4–8 is the recommended serving default**, beam 16
+  when search error must be negligible. The random-weight worst case
+  needs beam 32 for 12/16; treat it as an adversarial bound (early in
+  training, near-uniform weights), not the serving regime. Greedy
+  (beam 1) is measurably lossy even on trained weights.
   """
 
   def __init__(self, lattice, beam_size: int, max_labels: int,
