@@ -81,7 +81,31 @@ DISABLE = False
 # lever below the current 51%-of-matmul-floor position.
 FRAMES_PER_CELL = 1
 
+# Independent batch-tile interleave (VERDICT round-4 task 3): split each
+# frame's row block into BATCH_SPLIT batch halves and issue BOTH half
+# matmuls before either half's VPU epilogue, so the Mosaic scheduler can
+# run half A's exp/logsumexp on the VPU while half B's matmul occupies
+# the MXU. Unlike FRAMES_PER_CELL (dependent frames), the halves are
+# fully independent within a frame. Measured a WASH on hardware
+# (same-process A/B, B=32 T=1600 V=1024 h=512: split=1 181.6 ms,
+# split=2 183.2 ms = 0.991x, split=4 185.7 ms = 0.978x;
+# benchmarks/tpu_numerator_split_ab.py, 2026-08-19): Mosaic will not
+# overlap independent tiles' VPU epilogues with another tile's matmul
+# any more than it pipelines dependent frames. Together with the
+# FRAMES_PER_CELL wash this closes the MXU/VPU-overlap question — the
+# serial MXU+VPU floor is real on this Mosaic. Default stays 1; the
+# machinery is kept and correctness-pinned (tests/test_numerator_scan).
+BATCH_SPLIT = 1
+
 _MAX_VMEM = 118 * 1024 * 1024
+
+
+def _spans(batch: int):
+  """Row spans (b0, b1) per independent batch tile for this trace."""
+  if BATCH_SPLIT <= 1 or batch % BATCH_SPLIT != 0 or batch < BATCH_SPLIT:
+    return [(0, batch)]
+  step = batch // BATCH_SPLIT
+  return [(i * step, (i + 1) * step) for i in range(BATCH_SPLIT)]
 
 
 def _plan_bytes(num_rows: int, hidden: int, v_pad: int,
@@ -208,7 +232,7 @@ def _log_sigmoid(x):
   return jnp.minimum(x, 0.0) - jnp.log1p(jnp.exp(-jnp.abs(x)))
 
 
-def _joint(pc_ref, pf, batch, u1p, hidden):
+def _joint(pc, pf, batch, u1p, hidden):
   """tanh(pc + pf broadcast over label positions), loop-free and exact.
 
   The per-batch broadcast is a 3-D ``broadcast_in_dim`` followed by a
@@ -218,10 +242,13 @@ def _joint(pc_ref, pf, batch, u1p, hidden):
   of sublane slices (per-iteration overhead put the forward at 32% of
   floor) and an exact 0/1 selector matmul at precision=highest (6 bf16
   passes, ~25 ms/step at headline shapes, 0.91x XLA).
+
+  ``pc`` is the [batch * u1p, hidden] VALUE (a full ref read or a
+  static sublane-slice of one for the BATCH_SPLIT tiles).
   """
   pf3 = jax.lax.broadcast_in_dim(pf, (batch, u1p, hidden), (0, 2))
   pf_exp = jnp.reshape(pf3, (batch * u1p, hidden))
-  return jnp.tanh(pc_ref[...] + pf_exp)
+  return jnp.tanh(pc + pf_exp)
 
 
 def _numerator_fwd(pc, pf, w, wy, vb, bpack, wb, batch, u1p, hat,
@@ -258,25 +285,40 @@ def _fwd_kernel(pc_ref, pf_ref, w_ref, wy_ref, vb_ref, bp_ref, wb_ref,
                 out_ref, *, batch, u1p, hat, hidden, ft, compute_dtype):
   by = _lane_col(bp_ref[...], 0)
   bb = _lane_col(bp_ref[...], 1)
+  spans = _spans(batch)
   for f in range(ft):
-    j32 = _joint(pc_ref, pf_ref[f], batch, u1p, hidden)
-    logits = jax.lax.dot_general(
-        j32.astype(compute_dtype), w_ref[...], (((1,), (0,)), ((), ())),
-        precision=_mxu_precision(compute_dtype),
-        preferred_element_type=jnp.float32) + vb_ref[...]
-    m = jnp.max(logits, axis=1, keepdims=True)
-    z = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=1, keepdims=True))
-    ly = jnp.sum(j32 * wy_ref[...], axis=1, keepdims=True) + by
-    blank = jnp.sum(j32 * wb_ref[0:1], axis=1, keepdims=True) + bb
-    if hat:
-      nb = _log_sigmoid(blank)
-      nl = ly - z + _log_sigmoid(-blank)
-    else:
-      za = jnp.logaddexp(blank, z)
-      nb = blank - za
-      nl = ly - za
-    out_ref[f] = (nb * _lane_mask(0) + nl * _lane_mask(1) +
-                  z * _lane_mask(2) + blank * _lane_mask(3))
+    # Stage 1 — joints + head matmuls for ALL batch tiles, issued
+    # back-to-back so tile i+1's matmul can occupy the MXU while tile
+    # i's VPU epilogue (stage 2) runs.
+    staged = []
+    for b0, b1 in spans:
+      r0, r1 = b0 * u1p, b1 * u1p
+      j32 = _joint(pc_ref[r0:r1, :], pf_ref[f][b0:b1, :], b1 - b0, u1p,
+                   hidden)
+      logits = jax.lax.dot_general(
+          j32.astype(compute_dtype), w_ref[...],
+          (((1,), (0,)), ((), ())),
+          precision=_mxu_precision(compute_dtype),
+          preferred_element_type=jnp.float32) + vb_ref[...]
+      staged.append((r0, r1, j32, logits))
+    # Stage 2 — VPU epilogue per tile.
+    for r0, r1, j32, logits in staged:
+      m = jnp.max(logits, axis=1, keepdims=True)
+      z = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=1,
+                              keepdims=True))
+      ly = jnp.sum(j32 * wy_ref[r0:r1, :], axis=1,
+                   keepdims=True) + by[r0:r1]
+      blank = jnp.sum(j32 * wb_ref[0:1], axis=1,
+                      keepdims=True) + bb[r0:r1]
+      if hat:
+        nb = _log_sigmoid(blank)
+        nl = ly - z + _log_sigmoid(-blank)
+      else:
+        za = jnp.logaddexp(blank, z)
+        nb = blank - za
+        nl = ly - za
+      out_ref[f, r0:r1, :] = (nb * _lane_mask(0) + nl * _lane_mask(1) +
+                              z * _lane_mask(2) + blank * _lane_mask(3))
 
 
 def _numerator_bwd(batch, u1p, hat, compute_dtype, interpret, residuals,
@@ -337,78 +379,99 @@ def _bwd_kernel(g_ref, s_ref, pc_ref, pf_ref, w_ref, wt_ref, wy_ref,
                 batch, u1p, hat, hidden, ft, compute_dtype):
   t = pl.program_id(0)
   prec = _mxu_precision(compute_dtype)
+  spans = _spans(batch)
   for f in range(ft):
-    gpack = g_ref[f]  # [R, 8]
-    gb = _lane_col(gpack, 0)
-    gl = _lane_col(gpack, 1)
-    spack = s_ref[f]
-    z = _lane_col(spack, 2)
-    blank = _lane_col(spack, 3)
-
-    j32 = _joint(pc_ref, pf_ref[f], batch, u1p, hidden)
-    jc = j32.astype(compute_dtype)
-    logits = jax.lax.dot_general(
-        jc, w_ref[...], (((1,), (0,)), ((), ())),
-        precision=prec, preferred_element_type=jnp.float32) + vb_ref[...]
-
-    if hat:
-      # nb = log_sigmoid(blank); nl = ly - z + log_sigmoid(-blank).
-      ds = jnp.exp(logits - z) * (-gl)
-      sig = 1.0 / (1.0 + jnp.exp(-blank))
-      d_blank = gb * (1.0 - sig) - gl * sig
-    else:
-      # nb = blank - za; nl = ly - za; za = logaddexp(blank, z).
-      za = jnp.logaddexp(blank, z)
-      ds = jnp.exp(logits - za) * (-(gb + gl))
-      d_blank = gb - (gb + gl) * jnp.exp(blank - za)
-
-    dsc = ds.astype(compute_dtype)
-    dj = jax.lax.dot_general(
-        dsc, wt_ref[...], (((1,), (0,)), ((), ())),
-        precision=prec, preferred_element_type=jnp.float32)
-    dj = dj + gl * wy_ref[...] + d_blank * wb_ref[0:1]
-    du = dj * (1.0 - j32 * j32)
-
-    dw = jax.lax.dot_general(
-        jc, dsc, (((0,), (0,)), ((), ())),
-        precision=prec, preferred_element_type=jnp.float32)
-    dvb_row = jnp.sum(ds, axis=0, keepdims=True)  # [1, v_pad]
-    dwb_row = jnp.sum(d_blank * j32, axis=0, keepdims=True)  # [1, h]
-    # Per-row bias cotangents: lane 0 = d_by (= gl), lane 1 = d_bb.
-    dbp = gl * _lane_mask(0) + d_blank * _lane_mask(1)
+    # Stage 1 — joints + head matmuls for every batch tile up front.
+    staged = []
+    for b0, b1 in spans:
+      r0, r1 = b0 * u1p, b1 * u1p
+      j32 = _joint(pc_ref[r0:r1, :], pf_ref[f][b0:b1, :], b1 - b0, u1p,
+                   hidden)
+      jc = j32.astype(compute_dtype)
+      logits = jax.lax.dot_general(
+          jc, w_ref[...], (((1,), (0,)), ((), ())),
+          precision=prec,
+          preferred_element_type=jnp.float32) + vb_ref[...]
+      staged.append((b0, b1, r0, r1, j32, jc, logits))
+    # Stage 2 — per tile: the ds VPU block then the two gradient
+    # matmuls; tile i+1's ds can overlap tile i's matmuls.
+    mids = []
+    for b0, b1, r0, r1, j32, jc, logits in staged:
+      gpack = g_ref[f][r0:r1, :]
+      gb = _lane_col(gpack, 0)
+      gl = _lane_col(gpack, 1)
+      spack = s_ref[f][r0:r1, :]
+      z = _lane_col(spack, 2)
+      blank = _lane_col(spack, 3)
+      if hat:
+        # nb = log_sigmoid(blank); nl = ly - z + log_sigmoid(-blank).
+        ds = jnp.exp(logits - z) * (-gl)
+        sig = 1.0 / (1.0 + jnp.exp(-blank))
+        d_blank = gb * (1.0 - sig) - gl * sig
+      else:
+        # nb = blank - za; nl = ly - za; za = logaddexp(blank, z).
+        za = jnp.logaddexp(blank, z)
+        ds = jnp.exp(logits - za) * (-(gb + gl))
+        d_blank = gb - (gb + gl) * jnp.exp(blank - za)
+      dsc = ds.astype(compute_dtype)
+      dj = jax.lax.dot_general(
+          dsc, wt_ref[...], (((1,), (0,)), ((), ())),
+          precision=prec, preferred_element_type=jnp.float32)
+      dw = jax.lax.dot_general(
+          jc, dsc, (((0,), (0,)), ((), ())),
+          precision=prec, preferred_element_type=jnp.float32)
+      mids.append((b0, b1, r0, r1, j32, gl, d_blank, ds, dj, dw))
+    # Stage 3 — VPU epilogues + accumulator writes.
+    dw_sum = mids[0][9]
+    dvb_row = jnp.sum(mids[0][7], axis=0, keepdims=True)  # [1, v_pad]
+    dwb_row = jnp.sum(mids[0][6] * mids[0][4], axis=0, keepdims=True)
+    for b0, b1, r0, r1, j32, gl, d_blank, ds, dj, dw in mids[1:]:
+      dw_sum = dw_sum + dw
+      dvb_row = dvb_row + jnp.sum(ds, axis=0, keepdims=True)
+      dwb_row = dwb_row + jnp.sum(d_blank * j32, axis=0, keepdims=True)
+    tiles = []
+    for b0, b1, r0, r1, j32, gl, d_blank, ds, dj, dw in mids:
+      djf = dj + gl * wy_ref[r0:r1, :] + d_blank * wb_ref[0:1]
+      du = djf * (1.0 - j32 * j32)
+      # Per-row bias cotangents: lane 0 = d_by (= gl), lane 1 = d_bb.
+      dbp = gl * _lane_mask(0) + d_blank * _lane_mask(1)
+      tiles.append((b0, b1, r0, r1, du, gl * j32, dbp))
+      # d_pf rows: per-b sums over the u-range of du — the inverse of
+      # the _joint broadcast: sublane-compatible split reshape + one
+      # reduce.
+      du3 = jnp.reshape(du, (b1 - b0, u1p, hidden))
+      d_pf_ref[f, b0:b1, :] = jnp.sum(du3, axis=1)
 
     if f == 0:
       @pl.when(t == 0)
-      def _(du=du, gl=gl, j32=j32, dw=dw, dvb_row=dvb_row,
-            dwb_row=dwb_row, dbp=dbp):
-        d_pc_ref[...] = du
-        d_wy_ref[...] = gl * j32
-        d_w_ref[...] = dw
+      def _(tiles=tiles, dw_sum=dw_sum, dvb_row=dvb_row,
+            dwb_row=dwb_row):
+        for b0, b1, r0, r1, du, dwy, dbp in tiles:
+          d_pc_ref[r0:r1, :] = du
+          d_wy_ref[r0:r1, :] = dwy
+          d_bp_ref[r0:r1, :] = dbp
+        d_w_ref[...] = dw_sum
         d_vb_ref[...] = dvb_row * jnp.ones((8, 1), jnp.float32) * _sub0()
         d_wb_ref[...] = dwb_row * jnp.ones((8, 1), jnp.float32) * _sub0()
-        d_bp_ref[...] = dbp
 
       @pl.when(t > 0)
-      def _(du=du, gl=gl, j32=j32, dw=dw, dvb_row=dvb_row,
-            dwb_row=dwb_row, dbp=dbp):
-        d_pc_ref[...] += du
-        d_wy_ref[...] += gl * j32
-        d_w_ref[...] += dw
+      def _(tiles=tiles, dw_sum=dw_sum, dvb_row=dvb_row,
+            dwb_row=dwb_row):
+        for b0, b1, r0, r1, du, dwy, dbp in tiles:
+          d_pc_ref[r0:r1, :] += du
+          d_wy_ref[r0:r1, :] += dwy
+          d_bp_ref[r0:r1, :] += dbp
+        d_w_ref[...] += dw_sum
         d_vb_ref[0:1] += dvb_row
         d_wb_ref[0:1] += dwb_row
-        d_bp_ref[...] += dbp
     else:
-      d_pc_ref[...] += du
-      d_wy_ref[...] += gl * j32
-      d_w_ref[...] += dw
+      for b0, b1, r0, r1, du, dwy, dbp in tiles:
+        d_pc_ref[r0:r1, :] += du
+        d_wy_ref[r0:r1, :] += dwy
+        d_bp_ref[r0:r1, :] += dbp
+      d_w_ref[...] += dw_sum
       d_vb_ref[0:1] += dvb_row
       d_wb_ref[0:1] += dwb_row
-      d_bp_ref[...] += dbp
-
-    # d_pf rows: per-b sums over the u-range of du — the inverse of the
-    # _joint broadcast: sublane-compatible split reshape + one reduce.
-    du3 = jnp.reshape(du, (batch, u1p, hidden))
-    d_pf_ref[f] = jnp.sum(du3, axis=1)
 
 
 def _sub0():

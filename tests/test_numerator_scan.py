@@ -88,7 +88,13 @@ def test_values_match_xla_route(interpret_kernel, normalize, u1, vocab):
 
 @pytest.mark.parametrize('normalize', [weight_fns.hat_normalize,
                                        weight_fns.log_softmax_normalize])
-def test_gradients_match_xla_route(interpret_kernel, normalize):
+@pytest.mark.parametrize('batch_split', [1, 2])
+def test_gradients_match_xla_route(interpret_kernel, monkeypatch, normalize,
+                                   batch_split):
+  # batch_split=2 pins the independent-batch-tile interleave path (a
+  # measured perf wash on hardware, kept as probe machinery — see the
+  # BATCH_SPLIT comment in numerator_scan.py).
+  monkeypatch.setattr(numerator_scan, 'BATCH_SPLIT', batch_split)
   vocab, hidden, emb, batch, max_t, u1, num_states = 70, 128, 16, 2, 3, 5, 7
   wfn = _make(vocab, hidden, normalize)
   cache, frames, states, next_labels = _inputs(
