@@ -2,12 +2,23 @@
 
 The full probe (tpu_trigram_probe.py) re-times the XLA scan path, whose
 compile alone costs 400-776 s over the tunnel. For kernel-vs-kernel
-decisions (e.g. the BATCHED_TRANSPOSE flag) only the fused kernels need
-compiling (~10-25 s each), and the same-process discipline still removes
-tunnel drift between the variants. The unbatched variant runs first and
-last so the drift across the session is visible in the output.
+decisions (the BATCHED_TRANSPOSE / FOLD_BLANK flags) only the fused
+kernels need compiling (~10-25 s each), and the same-process discipline
+still removes tunnel drift between the variants. The flag's DEFAULT
+setting runs first and last so the drift across the session is visible
+in the output.
 
-Usage: python benchmarks/tpu_trigram_kernel_ab.py
+Usage: python benchmarks/tpu_trigram_kernel_ab.py [FLAG]
+  FLAG: a boolean module flag of trigram_scan (default FOLD_BLANK).
+
+Results (v5e, probe config V=64 S=4161 B=8 T=200 h=512 bf16):
+  BATCHED_TRANSPOSE (2026-08-19): a wash — batched 92.4 ms vs
+    unbatched 91.8/91.8 ms; flag stays OFF.
+  FOLD_BLANK (2026-08-19): a win — folded 88.2/89.2 ms vs unfolded
+    96.5 ms = 1.09x (identical losses); flag stays ON. The separate
+    blank matvec's 1-wide MXU output costs the same tile passes as the
+    128-wide lex matmul, so folding it into the spare lex lane removes
+    half of pass A's MXU time whenever v_pad > vocab.
 """
 
 import sys
@@ -31,6 +42,9 @@ from last_torch_tpu.ops import trigram_scan  # noqa: E402
 def main():
   if jax.default_backend() not in ('tpu', 'axon'):
     raise SystemExit(f'needs TPU hardware, got {jax.default_backend()}')
+  flag = sys.argv[1] if len(sys.argv) > 1 else 'FOLD_BLANK'
+  default = getattr(trigram_scan, flag)
+  assert isinstance(default, bool), (flag, default)
   vocab, hidden, emb = 64, 512, 512
   batch, max_t, max_u = 8, 200, 20
   context = contexts.FullNGram(vocab_size=vocab, context_size=2)
@@ -58,12 +72,14 @@ def main():
   def total_loss(params, frames):
     return jnp.sum(lattice(params, frames, num_frames, labels, num_labels))
 
-  print(f'trigram kernel A/B V={vocab} S={num_states} B={batch} '
+  print(f'trigram kernel A/B [{flag}] V={vocab} S={num_states} B={batch} '
         f'T={max_t} hidden={hidden}', flush=True)
   results = {}
-  for name, flag in (('unbatched', False), ('batched', True),
-                     ('unbatched-again', False)):
-    trigram_scan.BATCHED_TRANSPOSE = flag
+  variants = [(f'{flag}={default}', default),
+              (f'{flag}={not default}', not default),
+              (f'{flag}={default}-again', default)]
+  for name, value in variants:
+    setattr(trigram_scan, flag, value)
     fn = jax.jit(jax.value_and_grad(total_loss, argnums=(0, 1)))
     t0 = time.monotonic()
     val, _ = fn(params, frames)
@@ -76,13 +92,17 @@ def main():
       times.append(time.monotonic() - t0)
     ms = float(np.median(times)) * 1e3
     results[name] = (ms, val)
-    print(f'{name:16s} fwd+bwd: {ms:7.1f} ms (compile {compile_s:.1f}s, '
+    print(f'{name:24s} fwd+bwd: {ms:7.1f} ms (compile {compile_s:.1f}s, '
           f'loss {val:.6f})', flush=True)
-  base = min(results['unbatched'][0], results['unbatched-again'][0])
-  print(f'batched/unbatched: {results["batched"][0] / base:.3f} '
-        f'(>1 means batched is slower)', flush=True)
-  assert abs(results['batched'][1] - results['unbatched'][1]) <= (
-      1e-4 * abs(results['unbatched'][1])), 'variant losses diverge'
+  setattr(trigram_scan, flag, default)
+  base = min(results[f'{flag}={default}'][0],
+             results[f'{flag}={default}-again'][0])
+  alt = results[f'{flag}={not default}']
+  print(f'{flag}={not default} vs default: {alt[0] / base:.3f} '
+        f'(>1 means the non-default is slower)', flush=True)
+  rel = abs(alt[1] - results[f'{flag}={default}'][1])
+  assert rel <= 1e-4 * abs(results[f'{flag}={default}'][1]), (
+      'variant losses diverge', results)
 
 
 if __name__ == '__main__':

@@ -106,6 +106,35 @@ BATCHED_TRANSPOSE = False
 # scripts that set it.
 FORCE = True
 
+# Fold the blank head into spare lex lanes. An MXU matmul with a 1-wide
+# output ([rows, h] x [h, 1]) costs the SAME tile passes as a 128-wide
+# one, so pass A's separate blank matvec doubles its MXU time whenever
+# v_pad > vocab leaves dead lanes in the lex head. With the fold, the
+# staged vocab_w/vocab_b carry blank_w/blank_b in column `vocab`: pass A
+# runs ONE matmul and extracts blank with a lane-mask row-sum (masking
+# that lane back to -inf for the E cache / rowmax), and the backward
+# writes d_blank into column `vocab` of d_lex so the d_vw and d_joint
+# matmuls absorb d_bw and the d_blank*bw term for free (d_bb rides the
+# d_vb row; d_bw/d_bb are separated from the accumulators once, at the
+# last grid step). Inactive automatically when vocab % 128 == 0 (no
+# spare lane). Flag kept for A/Bs and for pinning the unfused path.
+FOLD_BLANK = True
+
+
+def _fold_blank_active(vocab: int, v_pad: int) -> bool:
+  return FOLD_BLANK and v_pad > vocab
+
+
+def _fold_blank_head(wf_params, vocab: int, v_pad: int):
+  """Installs the blank head in spare lex column ``vocab`` (FOLD_BLANK)."""
+  if not _fold_blank_active(vocab, v_pad):
+    return wf_params
+  return dict(
+      wf_params,
+      vocab_w=wf_params['vocab_w'].at[:, vocab].set(
+          wf_params['blank_w']),
+      vocab_b=wf_params['vocab_b'].at[vocab].set(wf_params['blank_b']))
+
 
 def layout(vocab: int):
   """Segment-major trigram state layout.
@@ -210,12 +239,16 @@ def _row_broadcast(col, b_pad, pp):
 
 def _make_pass_a(pc_ref, pf, vw, bw, vb_ref, bb_ref, lex_scr, m_scr,
                  blank_scr, *, b_pad, pp, seg, nt, compute_dtype,
-                 cache_dtype, prec):
+                 cache_dtype, prec, vocab=None, v_pad=None,
+                 fold_blank=False):
   """Pass A: per-state-tile joint + heads; caches E/rowmax/blank.
 
   The E cache is b-major: rows (b, p, s). Pass A computes tiles of
   layout rows across all batches and scatters per-batch chunks (8
-  unrolled contiguous writes per tile).
+  unrolled contiguous writes per tile). With ``fold_blank`` the staged
+  ``vw``/``vb`` carry the blank head in lane ``vocab`` (see FOLD_BLANK):
+  one matmul instead of two, blank extracted by a lane-mask row-sum and
+  that lane masked back to -inf before the rowmax/E-cache epilogue.
   """
   f32 = jnp.float32
   tp = pp // nt
@@ -231,12 +264,21 @@ def _make_pass_a(pc_ref, pf, vw, bw, vb_ref, bb_ref, lex_scr, m_scr,
         joint2, vw, (((1,), (0,)), ((), ())),
         preferred_element_type=f32, precision=prec)
     lex = lex + vb_ref[0][None, :]
-    m2 = jnp.max(lex, axis=1, keepdims=True)    # [B_pad*tps, 1]
-    e = jnp.exp(lex - m2).astype(cache_dtype)
-    blank2 = jax.lax.dot_general(
-        joint2, bw, (((1,), (0,)), ((), ())),
-        preferred_element_type=f32, precision=prec)
-    blank2 = blank2 + bb_ref[0, 0]              # [B_pad*tps, 1]
+    if fold_blank:
+      lane = _iota2((b_pad * tps, v_pad), 1)
+      is_blank = lane == vocab
+      blank2 = jnp.sum(jnp.where(is_blank, lex, 0.0), axis=1,
+                       keepdims=True)           # [B_pad*tps, 1]
+      lex = jnp.where(is_blank, NEG_INF, lex)
+      m2 = jnp.max(lex, axis=1, keepdims=True)  # [B_pad*tps, 1]
+      e = jnp.exp(lex - m2).astype(cache_dtype)
+    else:
+      m2 = jnp.max(lex, axis=1, keepdims=True)  # [B_pad*tps, 1]
+      e = jnp.exp(lex - m2).astype(cache_dtype)
+      blank2 = jax.lax.dot_general(
+          joint2, bw, (((1,), (0,)), ((), ())),
+          preferred_element_type=f32, precision=prec)
+      blank2 = blank2 + bb_ref[0, 0]            # [B_pad*tps, 1]
     for b in range(b_pad):
       lex_scr[pl.ds(b * pps + i * tps, tps), :] = e[b * tps:(b + 1) * tps]
       m_scr[pl.ds(b * pp + i * tp, tp), :] = (
@@ -343,10 +385,12 @@ def _trigram_forward_kernel(
     pp: int,
     v_pad: int,
     nt: int,
+    vocab: int,
     max_expansions: int,
     frame_dependent: bool,
     compute_dtype,
     cache_dtype,
+    fold_blank: bool,
 ):
   t = pl.program_id(0)
   prec = _mxu_precision(compute_dtype)
@@ -364,7 +408,8 @@ def _trigram_forward_kernel(
   pass_a = _make_pass_a(
       pc_ref, pf, vw, bw, vb_ref, bb_ref, lex_scr, m_scr, blank_scr,
       b_pad=b_pad, pp=pp, seg=seg, nt=nt, compute_dtype=compute_dtype,
-      cache_dtype=cache_dtype, prec=prec)
+      cache_dtype=cache_dtype, prec=prec, vocab=vocab, v_pad=v_pad,
+      fold_blank=fold_blank)
   jax.lax.fori_loop(0, nt, pass_a, 0)
 
   sweep = _make_sweep(lex_scr, m_scr, u_scr, red_scr, new_scr,
@@ -481,6 +526,7 @@ def fused_shortest_distance_fwd(wf_params: Any,
   num_frames = jnp.asarray(num_frames, jnp.int32)
   (wf_params, pf, pc_l, rows, p_segments, seg, pp, v_pad,
    b_pad) = _stage_forward(wf_params, cache, frames, vocab)
+  wf_params = _fold_blank_head(wf_params, vocab, v_pad)
   hidden = pc_l.shape[-1]
   n_rows = b_pad * pp
   # The forward's per-tile transients are ~half the backward's, so it
@@ -513,10 +559,12 @@ def fused_shortest_distance_fwd(wf_params: Any,
       pp=pp,
       v_pad=v_pad,
       nt=nt,
+      vocab=vocab,
       max_expansions=max_expansions,
       frame_dependent=frame_dependent,
       compute_dtype=compute_dtype,
-      cache_dtype=cache_dtype)
+      cache_dtype=cache_dtype,
+      fold_blank=_fold_blank_active(vocab, v_pad))
 
   hist, alpha_t = pl.pallas_call(
       kernel,
@@ -634,6 +682,7 @@ def _trigram_backward_kernel(
     frame_dependent: bool,
     compute_dtype,
     cache_dtype,
+    fold_blank: bool,
 ):
   """Reverse (beta) scan for the trigram lattice.
 
@@ -688,7 +737,8 @@ def _trigram_backward_kernel(
   pass_a = _make_pass_a(
       pc_ref, pf, vw_c, bw_c, vb_ref, bb_ref, lex_scr, m_scr, blank_scr,
       b_pad=b_pad, pp=pp, seg=seg, nt=nt, compute_dtype=compute_dtype,
-      cache_dtype=cache_dtype, prec=prec)
+      cache_dtype=cache_dtype, prec=prec, vocab=vocab, v_pad=v_pad,
+      fold_blank=fold_blank)
   jax.lax.fori_loop(0, nt, pass_a, 0)
   blank = jnp.where(valid, blank_scr[...], NEG_INF)
 
@@ -785,6 +835,8 @@ def _trigram_backward_kernel(
 
   # Gradient pass over NT state tiles: marginals from the folded (ws,
   # wy) factors; head and tanh gradients accumulate in VMEM scratch.
+  lane3_t = jax.lax.broadcasted_iota(jnp.int32, (tp, seg, v_pad), 2)
+
   def grad_tile(i, dpf_acc):
     pc_t = pc_ref[pl.ds(i * tps, tps), :]
     joint3 = jnp.tanh(pc_t[None, :, :] + pf[:, None, :])  # [B, tps, h] f32
@@ -797,25 +849,39 @@ def _trigram_backward_kernel(
         ws_b = wsp[j][pl.ds(b * pp + i * tp, tp), :]   # [tp, SEG]
         wy_b = wyp[j][pl.ds(b * pp + i * tp, tp), :]   # [tp, V_pad]
         acc = acc + ws_b[:, :, None] * wy_b[:, None, :]
-      dlex_scr[b * tps:(b + 1) * tps, :] = (e_b * acc).reshape(tps, v_pad)
-      dbt_scr[b * tp:(b + 1) * tp, :] = dblank_scr[
-          pl.ds(b * pp + i * tp, tp), :]
+      d3 = e_b * acc                                   # [tp, SEG, V_pad]
+      if fold_blank:
+        # d_blank rides lane `vocab` of d_lex (the E column there is 0,
+        # so the marginal part of that lane is 0): the d_vw and d_joint
+        # matmuls below then absorb d_bw and the d_blank*bw term. Built
+        # in 3-D + sublane-merge reshape — a direct [tp, SEG]->[tps, 1]
+        # reshape of dblank is a lane merge Mosaic rejects
+        # (vector<9x72> -> vector<648x1> "tpu.reshape" error on v5e).
+        dbl = dblank_scr[pl.ds(b * pp + i * tp, tp), :]  # [tp, SEG]
+        d3 = d3 + jnp.where(lane3_t == vocab, dbl[:, :, None], 0.0)
+      d_lex_b = d3.reshape(tps, v_pad)
+      if not fold_blank:
+        dbt_scr[b * tp:(b + 1) * tp, :] = dblank_scr[
+            pl.ds(b * pp + i * tp, tp), :]
+      dlex_scr[b * tps:(b + 1) * tps, :] = d_lex_b
     d_lex = dlex_scr[...]
     d_lex_c = d_lex.astype(compute_dtype)
     dvw_scr[...] += jax.lax.dot_general(
         joint2c, d_lex_c, (((0,), (0,)), ((), ())),
         preferred_element_type=f32, precision=prec)    # [h, V_pad]
     dvb_scr[...] += jnp.sum(d_lex, axis=0, keepdims=True)
-    dbl2 = dbt_scr[...]                                # [B*tp, SEG]
-    dbl3 = dbl2[:, :, None]                            # [B*tp, SEG, 1]
-    joint3b = joint3.reshape(b_pad * tp, seg, -1)
-    dbw_scr[...] += jnp.sum(joint3b * dbl3, axis=(0, 1), keepdims=True)[0]
-    dbb_scr[0, 0] += jnp.sum(dbl2)
     d_joint = jax.lax.dot_general(
         d_lex_c, vw_c, (((1,), (1,)), ((), ())),
         preferred_element_type=f32, precision=prec)    # [B*tps, h]
-    d_joint = d_joint + (dbl3 * bwt_ref[:][None, :, :]).reshape(
-        b_pad * tps, -1)
+    if not fold_blank:
+      dbl2 = dbt_scr[...]                              # [B*tp, SEG]
+      dbl3 = dbl2[:, :, None]                          # [B*tp, SEG, 1]
+      joint3b = joint3.reshape(b_pad * tp, seg, -1)
+      dbw_scr[...] += jnp.sum(joint3b * dbl3, axis=(0, 1),
+                              keepdims=True)[0]
+      dbb_scr[0, 0] += jnp.sum(dbl2)
+      d_joint = d_joint + (dbl3 * bwt_ref[:][None, :, :]).reshape(
+          b_pad * tps, -1)
     jr = joint3.reshape(b_pad * tps, -1)
     d_pre = d_joint * (1.0 - jr * jr)
     d_pre3 = d_pre.reshape(b_pad, tps, -1)
@@ -835,8 +901,19 @@ def _trigram_backward_kernel(
     dpc_ref[...] = dpc_scr[...]
     dvw_ref[...] = dvw_scr[...]
     dvb_ref[...] = dvb_scr[...]
-    dbw_ref[...] = dbw_scr[...]
-    dbb_ref[0, 0] = dbb_scr[0, 0]
+    if fold_blank:
+      # d_bw/d_bb accumulated in lane `vocab` of the d_vw/d_vb
+      # accumulators; separate them once. The host trims dvw/dvb to the
+      # true vocab, so the folded lane never leaks.
+      onehot = (_iota2((1, v_pad), 1) == vocab).astype(f32)
+      dbw_ref[...] = jax.lax.dot_general(
+          onehot, dvw_scr[...], (((1,), (1,)), ((), ())),
+          preferred_element_type=f32,
+          precision=jax.lax.Precision.HIGHEST)         # [1, h]
+      dbb_ref[0, 0] = jnp.sum(dvb_scr[...] * onehot)
+    else:
+      dbw_ref[...] = dbw_scr[...]
+      dbb_ref[0, 0] = dbb_scr[0, 0]
 
 
 def run_fused_backward(wf_params: Any,
@@ -868,6 +945,7 @@ def run_fused_backward(wf_params: Any,
   true_vocab = vocab
   (wf_params_p, pf, pc_l, rows, p_segments, seg, pp, v_pad,
    b_pad) = _stage_forward(wf_params, cache, frames, vocab)
+  wf_params_p = _fold_blank_head(wf_params_p, vocab, v_pad)
   hidden = pc_l.shape[-1]
   n_rows = b_pad * pp
   nt = _tile_plan(pp, seg, hidden, b_pad)
@@ -903,7 +981,8 @@ def run_fused_backward(wf_params: Any,
       max_expansions=max_expansions,
       frame_dependent=frame_dependent,
       compute_dtype=compute_dtype,
-      cache_dtype=cache_dtype)
+      cache_dtype=cache_dtype,
+      fold_blank=_fold_blank_active(vocab, v_pad))
 
   rev = lambda t: max_t - 1 - t
   row_scr = pltpu.VMEM((n_rows, seg), jnp.float32)

@@ -294,3 +294,36 @@ def test_batched_transpose_variant_matches(monkeypatch):
   jax.tree.map(
       lambda a, b: npt.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
       g_on, g_off)
+
+
+def test_fold_blank_variant_matches(monkeypatch):
+  """FOLD_BLANK (default ON) == the two-matmul blank path (values+grads).
+
+  The fold carries the blank head in spare lex lane `vocab` so pass A
+  runs one matmul instead of two and the backward's d_vw/d_joint
+  matmuls absorb d_bw / the d_blank*bw term (see the FOLD_BLANK module
+  comment). This pins the legacy unfused path so the A/B stays
+  re-runnable, and the exact equality of the two routes at f32."""
+  vocab, max_expansions = 4, 2
+  lattice, params = build(vocab=vocab, max_expansions=max_expansions)
+  cache = lattice.build_cache(params)
+  frames = jax.random.normal(jax.random.PRNGKey(7), (2, 4, 8))
+  num_frames = jnp.array([4, 3])
+
+  def fused(wf, cache, frames):
+    return jnp.sum(trigram_scan.log_partition(
+        wf, cache, frames, num_frames,
+        max_expansions=max_expansions, frame_dependent=False,
+        vocab=vocab, compute_dtype=jnp.float32, interpret=True))
+
+  wf = params['weight_fn']
+  assert trigram_scan.FOLD_BLANK  # default is ON
+  val_on = fused(wf, cache, frames)
+  g_on = jax.grad(fused, argnums=(0, 1, 2))(wf, cache, frames)
+  monkeypatch.setattr(trigram_scan, 'FOLD_BLANK', False)
+  val_off = fused(wf, cache, frames)
+  g_off = jax.grad(fused, argnums=(0, 1, 2))(wf, cache, frames)
+  npt.assert_allclose(val_on, val_off, rtol=1e-6)
+  jax.tree.map(
+      lambda a, b: npt.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+      g_on, g_off)
