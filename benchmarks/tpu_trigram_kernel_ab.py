@@ -19,6 +19,13 @@ Results (v5e, probe config V=64 S=4161 B=8 T=200 h=512 bf16):
     blank matvec's 1-wide MXU output costs the same tile passes as the
     128-wide lex matmul, so folding it into the spare lex lane removes
     half of pass A's MXU time whenever v_pad > vocab.
+  STREAM_EXPANSIONS (2026-08-19): a win — streamed 75.7/76.9 ms vs
+    in-kernel sweeps 87.0 ms = 1.15x (identical losses); flag stays
+    ON. The forward streams its expansion alphas sweep^1..sweep^k to
+    an extra [T, k*N, SEG] output (~660 KB/frame HBM at this config)
+    and the backward reads them instead of re-deriving them with k
+    full-E sweeps per frame. Stacked with FOLD_BLANK the kernel is at
+    ~1.70x the round-5 XLA baseline (128.7 ms).
 """
 
 import sys

@@ -121,6 +121,23 @@ FORCE = True
 FOLD_BLANK = True
 
 
+# Stream the forward's expansion alphas to the backward. The FLD
+# backward re-derives sweep^1(alpha)..sweep^k(alpha) with k in-kernel
+# sweeps per frame — quantities the forward already computed while
+# building alpha'. With the flag on, the forward writes them to an
+# extra [T, k*N, SEG] f32 output (~k*330 KB/frame HBM at the probe
+# config — noise next to the compute) and the backward reads them
+# instead of sweeping, deleting ALL backward sweeps (each one is a
+# full-E 3-D broadcast reduce + transpose matmuls + exp/log chains).
+# Bit-identical: the backward's sweeps ran on the same staged inputs.
+STREAM_EXPANSIONS = True
+
+
+def _stream_active(frame_dependent: bool, max_expansions: int) -> bool:
+  return (STREAM_EXPANSIONS and not frame_dependent
+          and max_expansions >= 1)
+
+
 def _fold_blank_active(vocab: int, v_pad: int) -> bool:
   return FOLD_BLANK and v_pad > vocab
 
@@ -177,7 +194,10 @@ def _vmem_estimate(b_pad, pp, seg, v_pad, hidden, num_pairs) -> int:
       hidden * 4)
   rows_seg = (9 + num_pairs) * n * seg * 4
   rows_v = (3 + num_pairs) * n * v_pad * 4
-  return cache + dpc + tiles + rows_seg + rows_v
+  # Streamed expansion-history input block (STREAM_EXPANSIONS), double
+  # buffered by the pipeline.
+  expans = 2 * num_pairs * n * seg * 4
+  return cache + dpc + tiles + rows_seg + rows_v + expans
 
 
 def supported(lattice, semiring, blank_mask, lexical_mask, weight_lift,
@@ -367,18 +387,15 @@ def _trigram_forward_kernel(
     bw_ref,         # [h, 1]
     bb_ref,         # [1, 1] SMEM
     alpha0_ref,     # [N, SEG] b-major (N = B_pad * PP)
-    # Outputs.
-    hist_ref,       # [1, N, SEG] alpha before this frame
-    alpha_out_ref,  # [N, SEG]
-    # Scratch.
-    alpha_scr,      # [N, SEG]
-    m_scr,          # [N, SEG] per-row lexical max
-    blank_scr,      # [N, SEG]
-    u_scr,          # [N, SEG]
-    red_scr,        # [N, V_pad]
-    new_scr,        # [N, SEG]
-    lex_scr,        # [N * SEG, V_pad] E cache
-    *,
+    # Outputs: hist_ref [1, N, SEG] (alpha before this frame),
+    # alpha_out_ref [N, SEG], then with ``with_expansions`` an
+    # expans_ref [1, k*N, SEG] (sweep^1..sweep^k of alpha, slab j =
+    # sweep^{j+1}); then scratch: alpha_scr, m_scr, blank_scr, u_scr
+    # [N, SEG], red_scr [N, V_pad], new_scr [N, SEG], lex_scr
+    # [N*SEG, V_pad] E cache.
+    hist_ref,
+    alpha_out_ref,
+    *rest,
     b_pad: int,
     seg: int,
     p_segments: int,
@@ -391,7 +408,16 @@ def _trigram_forward_kernel(
     compute_dtype,
     cache_dtype,
     fold_blank: bool,
+    with_expansions: bool = False,
 ):
+  if with_expansions:
+    expans_ref = rest[0]
+    rest_scr = rest[1:]
+  else:
+    expans_ref = None
+    rest_scr = rest
+  (alpha_scr, m_scr, blank_scr, u_scr, red_scr, new_scr,
+   lex_scr) = rest_scr
   t = pl.program_id(0)
   prec = _mxu_precision(compute_dtype)
   n_rows = b_pad * pp
@@ -423,10 +449,14 @@ def _trigram_forward_kernel(
   else:
     acc = alpha + blank
     last = sweep(alpha)
+    if expans_ref is not None:
+      expans_ref[0, pl.ds(0, n_rows), :] = last
     for i in range(1, max_expansions + 1):
       acc = jnp.logaddexp(acc, last + blank)
       if i < max_expansions:
         last = sweep(last)
+        if expans_ref is not None:
+          expans_ref[0, pl.ds(i * n_rows, n_rows), :] = last
     alpha_new = acc
 
   ip = _row_broadcast(is_pad_ref[0], b_pad, pp)  # [N, 1] int32
@@ -508,19 +538,28 @@ def fused_shortest_distance_fwd(wf_params: Any,
                                 alpha0=None,
                                 return_final_alpha: bool = False,
                                 with_history: bool = True,
-                                history_layout: str = 'standard'):
+                                history_layout: str = 'standard',
+                                with_expansions: bool = False):
   """Trigram fused forward scan.
 
   Mirrors ``fused_scan.fused_shortest_distance_fwd`` for
   FullNGram(context_size=2). ``alpha0`` (standard [B, S] state order)
   chains blocks, e.g. for the time-sharded relay.
 
-  Returns (log_z [B], alpha_history, final_alpha [B, S] if requested).
+  Returns (log_z [B], alpha_history, final_alpha [B, S] if requested,
+  expansion_history if ``with_expansions``).
   ``alpha_history`` is [B, T, S] in standard state order when
   ``history_layout='standard'`` (one gather), or the raw b-major
   [T, B_pad * PP, SEG] kernel layout when 'layout' (the form
   ``run_fused_backward`` consumes), or None when ``with_history=False``.
+  With ``with_expansions`` (FLD only, see STREAM_EXPANSIONS) the kernel
+  additionally streams the k expansion alphas sweep^1..sweep^k per
+  frame as a raw [T, k*N, SEG] f32 array, appended to the return tuple,
+  for ``run_fused_backward(expansion_history=...)`` to consume.
   """
+  if with_expansions and (frame_dependent or max_expansions < 1):
+    raise ValueError('with_expansions requires FrameLabelDependent with '
+                     'max_expansions >= 1')
   batch, max_t, _ = frames.shape
   num_states = 1 + vocab + vocab * vocab
   num_frames = jnp.asarray(num_frames, jnp.int32)
@@ -564,9 +603,28 @@ def fused_shortest_distance_fwd(wf_params: Any,
       frame_dependent=frame_dependent,
       compute_dtype=compute_dtype,
       cache_dtype=cache_dtype,
-      fold_blank=_fold_blank_active(vocab, v_pad))
+      fold_blank=_fold_blank_active(vocab, v_pad),
+      with_expansions=with_expansions)
 
-  hist, alpha_t = pl.pallas_call(
+  out_specs = [
+      pl.BlockSpec((1, n_rows, seg),
+                   (lambda t: (t, 0, 0)) if with_history else
+                   (lambda t: (0, 0, 0))),
+      pl.BlockSpec((n_rows, seg), lambda t: (0, 0)),
+  ]
+  out_shape = [
+      jax.ShapeDtypeStruct(
+          (max_t if with_history else 1, n_rows, seg), jnp.float32),
+      jax.ShapeDtypeStruct((n_rows, seg), jnp.float32),
+  ]
+  if with_expansions:
+    k = max_expansions
+    out_specs.append(pl.BlockSpec((1, k * n_rows, seg),
+                                  lambda t: (t, 0, 0)))
+    out_shape.append(
+        jax.ShapeDtypeStruct((max_t, k * n_rows, seg), jnp.float32))
+
+  outs = pl.pallas_call(
       kernel,
       grid=(max_t,),
       in_specs=[
@@ -580,17 +638,8 @@ def fused_shortest_distance_fwd(wf_params: Any,
                        memory_space=pltpu.SMEM),
           pl.BlockSpec((n_rows, seg), lambda t: (0, 0)),
       ],
-      out_specs=[
-          pl.BlockSpec((1, n_rows, seg),
-                       (lambda t: (t, 0, 0)) if with_history else
-                       (lambda t: (0, 0, 0))),
-          pl.BlockSpec((n_rows, seg), lambda t: (0, 0)),
-      ],
-      out_shape=[
-          jax.ShapeDtypeStruct(
-              (max_t if with_history else 1, n_rows, seg), jnp.float32),
-          jax.ShapeDtypeStruct((n_rows, seg), jnp.float32),
-      ],
+      out_specs=out_specs,
+      out_shape=out_shape,
       scratch_shapes=[
           pltpu.VMEM((n_rows, seg), jnp.float32),
           pltpu.VMEM((n_rows, seg), jnp.float32),
@@ -606,6 +655,11 @@ def fused_shortest_distance_fwd(wf_params: Any,
   )(is_pad, pf, pc_l, wf_params['vocab_w'],
     wf_params['vocab_b'][None, :], wf_params['blank_w'][:, None],
     wf_params['blank_b'][None, None], alpha0_b)
+  if with_expansions:
+    hist, alpha_t, expans = outs
+  else:
+    hist, alpha_t = outs
+    expans = None
 
   final_std = from_layout(
       _from_bmajor(alpha_t, b_pad, pp, p_segments), rows,
@@ -624,9 +678,12 @@ def fused_shortest_distance_fwd(wf_params: Any,
     valid = rows_np < num_states
     inv[rows_np[valid]] = np.nonzero(valid)[0]
     alpha_history = jnp.moveaxis(flat[..., jnp.asarray(inv)], 0, 1)
+  ret = [log_z, alpha_history]
   if return_final_alpha:
-    return log_z, alpha_history, final_std
-  return log_z, alpha_history
+    ret.append(final_std)
+  if with_expansions:
+    ret.append(expans)
+  return tuple(ret)
 
 
 def _trigram_backward_kernel(
@@ -642,35 +699,20 @@ def _trigram_backward_kernel(
     bwt_ref,        # [1, h]
     bb_ref,         # [1, 1] SMEM
     hist_ref,       # [1, N, SEG] alpha before this frame (b-major)
-    beta0_ref,      # [N, SEG] beta seed at the last frame
-    # Outputs.
-    dpf_ref,        # [1, B_pad, h]
-    dpc_ref,        # [PP * SEG, h]
-    dvw_ref,        # [h, V_pad]
-    dvb_ref,        # [1, V_pad]
-    dbw_ref,        # [1, h]
-    dbb_ref,        # [1, 1] SMEM
-    beta_out_ref,   # [N, SEG] beta after the first frame
-    # Scratch.
-    beta_scr,       # [N, SEG] f32 carry
-    m_scr,          # [N, SEG]
-    blank_scr,      # [N, SEG]
-    u_scr,          # [N, SEG]
-    red_scr,        # [N, V_pad]
-    new_scr,        # [N, SEG]
-    bt_scr,         # [N, V_pad] beta-transpose staging
-    w_scr,          # [N, SEG] lse_y staging
-    dblank_scr,     # [N, SEG]
-    lex_scr,        # [N * SEG, V_pad] E cache
-    dlex_scr,       # [B_pad * TP * SEG, V_pad] gradient-tile staging
-    dbt_scr,        # [B_pad * TP, SEG] blank-gradient tile staging
-    dpc_scr,        # [PP * SEG, h]
-    dvw_scr,        # [h, V_pad]
-    dvb_scr,        # [1, V_pad]
-    dbw_scr,        # [1, h]
-    dbb_scr,        # [1, 1] SMEM
-    *pair_scr,      # num_pairs x [N, SEG] ws, then num_pairs x
-                    # [N, V_pad] wy (cotangent-folded)
+    # Then: with ``with_expansions`` an expans_ref input
+    # [1, k*N, SEG] (the forward's streamed sweep^1..sweep^k, slab j =
+    # sweep^{j+1}); beta0_ref [N, SEG] (beta seed at the last frame).
+    # Outputs: dpf_ref [1, B_pad, h], dpc_ref [PP*SEG, h], dvw_ref
+    # [h, V_pad], dvb_ref [1, V_pad], dbw_ref [1, h], dbb_ref [1, 1]
+    # SMEM, beta_out_ref [N, SEG].
+    # Scratch: beta_scr, m_scr, blank_scr, u_scr [N, SEG]; red_scr
+    # [N, V_pad]; new_scr [N, SEG]; bt_scr [N, V_pad]; w_scr,
+    # dblank_scr [N, SEG]; lex_scr [N*SEG, V_pad] E cache; dlex_scr
+    # [B_pad*TP*SEG, V_pad]; dbt_scr [B_pad*TP, SEG]; dpc_scr
+    # [PP*SEG, h]; dvw_scr [h, V_pad]; dvb_scr [1, V_pad]; dbw_scr
+    # [1, h]; dbb_scr [1, 1] SMEM; then num_pairs x [N, SEG] ws and
+    # num_pairs x [N, V_pad] wy (cotangent-folded).
+    *rest,
     b_pad: int,
     seg: int,
     p_segments: int,
@@ -683,16 +725,29 @@ def _trigram_backward_kernel(
     compute_dtype,
     cache_dtype,
     fold_blank: bool,
+    with_expansions: bool = False,
 ):
   """Reverse (beta) scan for the trigram lattice.
 
-  Per frame: rebuild E (pass A), replay the expansion alphas (sweeps),
-  walk the beta/nb chain in reverse (beta-transpose + one 3-D
-  multiply-reduce per step), fold the cotangent into per-pair (ws, wy)
-  factors, then one pass over NT state tiles forms the arc marginals as
-  ``E * ws[:, :, None] * wy[:, None, :]`` and accumulates every
-  head/tanh gradient in VMEM across the whole T grid.
+  Per frame: rebuild E (pass A), replay the expansion alphas (read from
+  the forward's streamed expansion history, or re-derived with sweeps
+  when it is absent — see STREAM_EXPANSIONS), walk the beta/nb chain in
+  reverse (beta-transpose + one 3-D multiply-reduce per step), fold the
+  cotangent into per-pair (ws, wy) factors, then one pass over NT state
+  tiles forms the arc marginals as ``E * ws[:, :, None] * wy[:, None,
+  :]`` and accumulates every head/tanh gradient in VMEM across the
+  whole T grid.
   """
+  if with_expansions:
+    expans_ref = rest[0]
+    rest2 = rest[1:]
+  else:
+    expans_ref = None
+    rest2 = rest
+  (beta0_ref, dpf_ref, dpc_ref, dvw_ref, dvb_ref, dbw_ref, dbb_ref,
+   beta_out_ref, beta_scr, m_scr, blank_scr, u_scr, red_scr, new_scr,
+   bt_scr, w_scr, dblank_scr, lex_scr, dlex_scr, dbt_scr, dpc_scr,
+   dvw_scr, dvb_scr, dbw_scr, dbb_scr, *pair_scr) = rest2
   t = pl.program_id(0)
   f32 = jnp.float32
   big_neg = f32(-1e30)
@@ -817,11 +872,17 @@ def _trigram_backward_kernel(
     final_nb = jnp.logaddexp(blank + beta, lse_from_bt())
   else:
     k = max_expansions
-    a_list = [alpha]
-    for _ in range(k - 1):
-      a_list.append(sweep(a_list[-1]))
-    if k >= 1:
-      a_list.append(sweep(a_list[-1]))
+    if expans_ref is not None:
+      # The forward streamed sweep^1..sweep^k (slab j = sweep^{j+1});
+      # no in-kernel sweeps needed.
+      a_list = [alpha] + [
+          expans_ref[0, pl.ds(j * n_rows, n_rows), :] for j in range(k)]
+    else:
+      a_list = [alpha]
+      for _ in range(k - 1):
+        a_list.append(sweep(a_list[-1]))
+      if k >= 1:
+        a_list.append(sweep(a_list[-1]))
     bm_total = jnp.zeros((n_rows, seg), f32)
     for j in range(k + 1):
       bm_total = bm_total + jnp.exp(a_list[j] + blank + beta - lz2)
@@ -930,15 +991,24 @@ def run_fused_backward(wf_params: Any,
                        compute_dtype=jnp.bfloat16,
                        cache_dtype=jnp.float32,
                        interpret: bool = False,
-                       beta0=None):
+                       beta0=None,
+                       expansion_history=None):
   """Trigram fused backward over one frame block.
 
   Mirrors ``fused_scan.run_fused_backward``; ``alpha_history_layout`` is
   the b-major [T, B_pad * PP, SEG] history from
   ``fused_shortest_distance_fwd(..., history_layout='layout')``.
+  ``expansion_history`` is the forward's streamed [T, k*N, SEG]
+  expansion alphas (``with_expansions=True``); when provided (FLD
+  only), the kernel reads sweep^1..sweep^k per frame instead of
+  re-deriving them with k in-kernel sweeps. Bit-identical gradients.
 
   Returns (d_wf_params, d_cache, d_frames, beta_out [B, S] standard).
   """
+  if expansion_history is not None and (frame_dependent
+                                        or max_expansions < 1):
+    raise ValueError('expansion_history requires FrameLabelDependent '
+                     'with max_expansions >= 1')
   batch, max_t, _ = frames.shape
   num_states = 1 + vocab + vocab * vocab
   num_frames = jnp.asarray(num_frames, jnp.int32)
@@ -982,29 +1052,43 @@ def run_fused_backward(wf_params: Any,
       frame_dependent=frame_dependent,
       compute_dtype=compute_dtype,
       cache_dtype=cache_dtype,
-      fold_blank=_fold_blank_active(vocab, v_pad))
+      fold_blank=_fold_blank_active(vocab, v_pad),
+      with_expansions=expansion_history is not None)
 
   rev = lambda t: max_t - 1 - t
   row_scr = pltpu.VMEM((n_rows, seg), jnp.float32)
   vrow_scr = pltpu.VMEM((n_rows, v_pad), jnp.float32)
+  in_specs = [
+      pl.BlockSpec((1, b_pad, 1), lambda t: (rev(t), 0, 0)),
+      pl.BlockSpec((b_pad, 1), lambda t: (0, 0)),
+      pl.BlockSpec((b_pad, 1), lambda t: (0, 0)),
+      pl.BlockSpec((1, b_pad, hidden), lambda t: (rev(t), 0, 0)),
+      pl.BlockSpec((pp * seg, hidden), lambda t: (0, 0)),
+      pl.BlockSpec((hidden, v_pad), lambda t: (0, 0)),
+      pl.BlockSpec((1, v_pad), lambda t: (0, 0)),
+      pl.BlockSpec((hidden, 1), lambda t: (0, 0)),
+      pl.BlockSpec((1, hidden), lambda t: (0, 0)),
+      pl.BlockSpec((1, 1), lambda t: (0, 0),
+                   memory_space=pltpu.SMEM),
+      pl.BlockSpec((1, n_rows, seg), lambda t: (rev(t), 0, 0)),
+  ]
+  inputs = [is_pad, logz_b, g_b, pf, pc_l, wf_params_p['vocab_w'],
+            wf_params_p['vocab_b'][None, :],
+            wf_params_p['blank_w'][:, None],
+            wf_params_p['blank_w'][None, :],
+            wf_params_p['blank_b'][None, None],
+            alpha_history_layout]
+  if expansion_history is not None:
+    k = max_expansions
+    in_specs.append(pl.BlockSpec((1, k * n_rows, seg),
+                                 lambda t: (rev(t), 0, 0)))
+    inputs.append(expansion_history)
+  in_specs.append(pl.BlockSpec((n_rows, seg), lambda t: (0, 0)))
+  inputs.append(beta0_b)
   (dpf, dpc_l, dvw, dvb, dbw, dbb, beta_out_b) = pl.pallas_call(
       kernel,
       grid=(max_t,),
-      in_specs=[
-          pl.BlockSpec((1, b_pad, 1), lambda t: (rev(t), 0, 0)),
-          pl.BlockSpec((b_pad, 1), lambda t: (0, 0)),
-          pl.BlockSpec((b_pad, 1), lambda t: (0, 0)),
-          pl.BlockSpec((1, b_pad, hidden), lambda t: (rev(t), 0, 0)),
-          pl.BlockSpec((pp * seg, hidden), lambda t: (0, 0)),
-          pl.BlockSpec((hidden, v_pad), lambda t: (0, 0)),
-          pl.BlockSpec((1, v_pad), lambda t: (0, 0)),
-          pl.BlockSpec((hidden, 1), lambda t: (0, 0)),
-          pl.BlockSpec((1, hidden), lambda t: (0, 0)),
-          pl.BlockSpec((1, 1), lambda t: (0, 0),
-                       memory_space=pltpu.SMEM),
-          pl.BlockSpec((1, n_rows, seg), lambda t: (rev(t), 0, 0)),
-          pl.BlockSpec((n_rows, seg), lambda t: (0, 0)),
-      ],
+      in_specs=in_specs,
       out_specs=[
           pl.BlockSpec((1, b_pad, hidden), lambda t: (rev(t), 0, 0)),
           pl.BlockSpec((pp * seg, hidden), lambda t: (0, 0)),
@@ -1040,10 +1124,7 @@ def run_fused_backward(wf_params: Any,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=110 * 1024 * 1024),
       interpret=interpret,
-  )(is_pad, logz_b, g_b, pf, pc_l, wf_params_p['vocab_w'],
-    wf_params_p['vocab_b'][None, :], wf_params_p['blank_w'][:, None],
-    wf_params_p['blank_w'][None, :], wf_params_p['blank_b'][None, None],
-    alpha_history_layout, beta0_b)
+  )(*inputs)
 
   # Un-permute the context-projection gradient back to state order; the
   # padding rows' contributions are structurally zero (alpha and the
@@ -1091,9 +1172,10 @@ def log_partition(wf_params: Any,
   wf_params, cache and frames.
   """
   num_frames = jnp.asarray(num_frames, jnp.int32)
+  stream = _stream_active(frame_dependent, max_expansions)
 
   def run_forward(wf_params, cache, frames, num_frames):
-    return fused_shortest_distance_fwd(
+    outs = fused_shortest_distance_fwd(
         wf_params, cache, frames, num_frames,
         max_expansions=max_expansions,
         frame_dependent=frame_dependent,
@@ -1101,19 +1183,28 @@ def log_partition(wf_params: Any,
         compute_dtype=compute_dtype,
         cache_dtype=cache_dtype,
         interpret=interpret,
-        history_layout='layout')
+        history_layout='layout',
+        with_expansions=stream)
+    if stream:
+      log_z, hist, expans = outs
+    else:
+      (log_z, hist), expans = outs, None
+    return log_z, hist, expans
 
   @jax.custom_vjp
   def fn(wf_params, cache, frames, num_frames):
-    log_z, _ = run_forward(wf_params, cache, frames, num_frames)
+    log_z, _, _ = run_forward(wf_params, cache, frames, num_frames)
     return log_z
 
   def fn_fwd(wf_params, cache, frames, num_frames):
-    log_z, hist = run_forward(wf_params, cache, frames, num_frames)
-    return log_z, (wf_params, cache, frames, num_frames, log_z, hist)
+    log_z, hist, expans = run_forward(wf_params, cache, frames,
+                                      num_frames)
+    return log_z, (wf_params, cache, frames, num_frames, log_z, hist,
+                   expans)
 
   def fn_bwd(residuals, g):
-    wf_params, cache, frames, num_frames, log_z, hist = residuals
+    (wf_params, cache, frames, num_frames, log_z, hist,
+     expans) = residuals
     d_wf, d_cache, d_frames, _ = run_fused_backward(
         wf_params, cache, frames, num_frames, log_z, g, hist,
         max_expansions=max_expansions,
@@ -1121,7 +1212,8 @@ def log_partition(wf_params: Any,
         vocab=vocab,
         compute_dtype=compute_dtype,
         cache_dtype=cache_dtype,
-        interpret=interpret)
+        interpret=interpret,
+        expansion_history=expans)
     return (d_wf, d_cache, d_frames,
             np.zeros(num_frames.shape, jax.dtypes.float0))
 

@@ -296,6 +296,40 @@ def test_batched_transpose_variant_matches(monkeypatch):
       g_on, g_off)
 
 
+def test_stream_expansions_variant_matches(monkeypatch):
+  """STREAM_EXPANSIONS (default ON) == in-kernel sweeps (values+grads).
+
+  With the flag on, the forward streams its expansion alphas
+  sweep^1..sweep^k per frame to an extra output and the backward reads
+  them instead of re-deriving them with k sweeps. The two routes run
+  the same sweep code on the same staged inputs, so the results are
+  bit-identical; this pins the legacy in-kernel-sweeps path so the A/B
+  stays re-runnable."""
+  vocab, max_expansions = 4, 2
+  lattice, params = build(vocab=vocab, max_expansions=max_expansions)
+  cache = lattice.build_cache(params)
+  frames = jax.random.normal(jax.random.PRNGKey(11), (2, 5, 8))
+  num_frames = jnp.array([5, 3])
+
+  def fused(wf, cache, frames):
+    return jnp.sum(trigram_scan.log_partition(
+        wf, cache, frames, num_frames,
+        max_expansions=max_expansions, frame_dependent=False,
+        vocab=vocab, compute_dtype=jnp.float32, interpret=True))
+
+  wf = params['weight_fn']
+  assert trigram_scan.STREAM_EXPANSIONS  # default is ON
+  val_on = fused(wf, cache, frames)
+  g_on = jax.grad(fused, argnums=(0, 1, 2))(wf, cache, frames)
+  monkeypatch.setattr(trigram_scan, 'STREAM_EXPANSIONS', False)
+  val_off = fused(wf, cache, frames)
+  g_off = jax.grad(fused, argnums=(0, 1, 2))(wf, cache, frames)
+  npt.assert_allclose(val_on, val_off, rtol=1e-6)
+  jax.tree.map(
+      lambda a, b: npt.assert_allclose(a, b, rtol=1e-6, atol=1e-7),
+      g_on, g_off)
+
+
 def test_fold_blank_variant_matches(monkeypatch):
   """FOLD_BLANK (default ON) == the two-matmul blank path (values+grads).
 
