@@ -21,12 +21,18 @@ import jax  # noqa: E402
 jax.config.update('jax_platforms', 'cpu')
 
 # Persistent compilation cache: test runs are compile-bound on this box.
-jax.config.update(
-    'jax_compilation_cache_dir',
-    os.path.join(os.path.dirname(__file__), '..', '.jax_cache'))
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
-jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+# LAST_TORCH_TPU_NO_CACHE=1 disables it (for measuring cache
+# effectiveness; see CLAUDE.md's test wall-clock notes).
+if not os.environ.get('LAST_TORCH_TPU_NO_CACHE'):
+  jax.config.update(
+      'jax_compilation_cache_dir',
+      os.path.join(os.path.dirname(__file__), '..', '.jax_cache'))
+  jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+  jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
 
 # The default matmul precision on this backend is bfloat16-level; tests
 # compare against float64 numpy oracles, so force true float32 matmuls.
-jax.config.update('jax_default_matmul_precision', 'highest')
+# LAST_TORCH_TPU_FAST_PRECISION=1 leaves the backend default (for
+# measuring the flag's wall-clock cost only — oracle tests will fail).
+if not os.environ.get('LAST_TORCH_TPU_FAST_PRECISION'):
+  jax.config.update('jax_default_matmul_precision', 'highest')

@@ -535,7 +535,12 @@ class TestTimeShardedInference:
     npt.assert_array_equal(np.asarray(emit_s)[0], np.asarray(emit_1)[0])
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun(eight_devices):
+  # slow (~90 s: jits 10 sharded train steps): deselected by default —
+  # the build driver runs __graft_entry__.dryrun_multichip(8) itself
+  # every round (MULTICHIP_r*.json) so the default suite does not
+  # duplicate it; run with `pytest -m slow` locally.
   """The driver-facing multichip dry run executes."""
   import __graft_entry__
   __graft_entry__.dryrun_multichip(8)
