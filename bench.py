@@ -40,21 +40,38 @@ jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
 jax.config.update('jax_explain_cache_misses', True)
 
 # Every function's FIRST trace logs a "never seen function" miss — pure
-# noise under this flag. Keep only the actionable records: a function
-# being re-defined per call ("seen another function defined on the same
-# line"), which defeats jax's tracing caches on every retrace (fixed in
-# round 5 by caching the custom-VJP objects and kernel partials; this
-# filter keeps the bench tail a regression alarm for that class of bug).
+# noise under this flag. Keep only the actionable records: the SAME
+# function (same "defined at file:line") missing MORE THAN ONCE, i.e. a
+# closure re-created per call, which defeats jax's tracing caches on
+# every retrace (fixed in round 5 by caching the custom-VJP objects and
+# kernel partials; this filter keeps the bench tail a regression alarm
+# for that class of bug). jax's own "defined on the same line" hint is
+# NOT usable for this: it keys on the CALLSITE, so the second distinct
+# pl.when closure traced through one call site trips it even on a
+# healthy cold trace (three first-time closures inside one kernel did,
+# every run).
 import logging  # noqa: E402
+import re  # noqa: E402
 
 
 class _OnlyRedefinitionMisses(logging.Filter):
+
+  _DEFINED_AT = re.compile(r'defined at (\S+:\d+|\S+)')
+
+  def __init__(self):
+    super().__init__()
+    self._seen = set()
 
   def filter(self, record):
     msg = record.getMessage()
     if 'TRACING CACHE MISS' not in msg:
       return True
-    return 'defined on the same line' in msg
+    m = self._DEFINED_AT.search(msg)
+    loc = m.group(1) if m else msg
+    if loc in self._seen:
+      return True  # second+ miss of the same function: a real retrace
+    self._seen.add(loc)
+    return False
 
 
 logging.getLogger('jax._src.interpreters.partial_eval').addFilter(
