@@ -58,6 +58,23 @@ NEG_INF = float('-inf')
 # Mosaic lane width; vocab heads are padded to a multiple of this.
 _LANES = 128
 
+# Stream the forward's expansion alphas to the backward (the bigram
+# analogue of trigram_scan.STREAM_EXPANSIONS). The FrameLabelDependent
+# backward replays expand(sweep_reduce(..)) k times per frame to
+# re-derive the expansion alphas the forward already computed while
+# building alpha'; with the flag on, the forward writes them to k extra
+# [T, B_pad, S_pad] f32 outputs and the backward reads them instead.
+# Bit-identical (same ops on the same staged inputs, rebuilt E included).
+# Applies to the 'cache' (VMEM-resident E) kernels only — the online
+# kernels keep their in-kernel replay.
+STREAM_EXPANSIONS = True
+
+
+def _stream_active(frame_dependent: bool, max_expansions: int,
+                   mode: str) -> bool:
+  return (STREAM_EXPANSIONS and not frame_dependent
+          and max_expansions >= 1 and mode == 'cache')
+
 
 def _round_up(x: int, m: int) -> int:
   return (x + m - 1) // m * m
@@ -102,14 +119,16 @@ def _fused_forward_kernel(
     bw_ref,         # [h, 1] blank head
     bb_ref,         # [1, 1] blank bias
     alpha0_ref,     # [Bt, S_pad] initial alpha for this b-tile
-    # Outputs.
-    hist_ref,       # [1, Bt, S_pad] alpha before this frame
-    alpha_out_ref,  # [Bt, S_pad] final alpha
-    # Scratch.
-    alpha_scr,      # [B, S_pad] carry across the time grid
-    blank_scr,      # [Bt, S_pad] per-frame blank weights
-    exp_scr,        # [Bt * S_pad, V] cached exp(lex - rowmax) (2-D layout)
-    *,
+    # Outputs: hist_ref [1, Bt, S_pad] (alpha before this frame),
+    # alpha_out_ref [Bt, S_pad] (final alpha), then with
+    # ``with_expansions`` k expans refs [1, Bt, S_pad] (the streamed
+    # expansion alphas, ref j-1 = expand(sweep_reduce)^j of alpha — see
+    # STREAM_EXPANSIONS). Scratch: alpha_scr [B, S_pad] (carry across
+    # the time grid), blank_scr [Bt, S_pad], exp_scr [Bt*S_pad, V]
+    # (cached exp(lex - rowmax), 2-D layout).
+    hist_ref,
+    alpha_out_ref,
+    *rest,
     batch_tile: int,
     s_tile: int,
     num_s_tiles: int,
@@ -117,12 +136,19 @@ def _fused_forward_kernel(
     frame_dependent: bool,
     compute_dtype,
     cache_dtype,
+    with_expansions: bool = False,
 ):
   # The expensive joint/vocab-head matmul runs ONCE per frame; its result is
   # cached on-chip as E = exp(lex - rowmax) and every within-frame semiring
   # reduction (k of them for FrameLabelDependent) becomes a tiny batched
   # matvec against E. See _fused_backward_kernel for the Mosaic layout
   # constraints this code works around.
+  if with_expansions:
+    expans_refs = rest[:max_expansions]
+    alpha_scr, blank_scr, exp_scr = rest[max_expansions:]
+  else:
+    expans_refs = ()
+    alpha_scr, blank_scr, exp_scr = rest
   t = pl.program_id(0)
   b = pl.program_id(1)
   b_start = b * batch_tile
@@ -200,10 +226,14 @@ def _fused_forward_kernel(
     # FrameLabelDependent: up to k lexical expansions then a blank.
     acc = alpha + blank
     last = expand(sweep_reduce(alpha))
+    if expans_refs:
+      expans_refs[0][0] = last
     for i in range(1, max_expansions + 1):
       acc = jnp.logaddexp(acc, last + blank)
       if i < max_expansions:
         last = expand(sweep_reduce(last))
+        if expans_refs:
+          expans_refs[i][0] = last
     alpha_new = acc
 
   is_pad = is_pad_ref[0, 0, 0, :][:, None] != 0
@@ -225,25 +255,18 @@ def _fused_backward_kernel(
     bwt_ref,        # [1, h] (blank head, transposed copy)
     bb_ref,         # [1, 1] SMEM
     hist_ref,       # [1, 1, Bt, S_pad] alpha before this frame
-    beta0_ref,      # [1, Bt, S_pad] beta seed at the last frame
-    # Outputs.
-    dpf_ref,        # [1, 1, Bt, h]
-    dpc_ref,        # [S_pad, h]
-    dvw_ref,        # [h, V]
-    dvb_ref,        # [1, V]
-    dbw_ref,        # [1, h]
-    dbb_ref,        # [1, 1] SMEM
-    beta_out_ref,   # [1, Bt, S_pad] beta after the first frame
-    # Scratch.
-    beta_scr,       # [num_b_tiles, Bt, S_pad] f32 carry
-    blank_scr,      # [Bt, S_pad] f32
-    lex_scr,        # [Bt * S_pad, V] cached lexical weights (2-D layout)
-    dpc_scr,        # [S_pad, h] f32
-    dvw_scr,        # [h, V] f32
-    dvb_scr,        # [1, V] f32
-    dbw_scr,        # [1, h] f32
-    dbb_scr,        # [1, 1] f32 SMEM
-    *,
+    # Then: with ``with_expansions``, k expans refs [1, 1, Bt, S_pad]
+    # (the forward's streamed expansion alphas, ref j-1 =
+    # expand(sweep_reduce)^j of alpha — see STREAM_EXPANSIONS);
+    # beta0_ref [1, Bt, S_pad] (beta seed at the last frame).
+    # Outputs: dpf_ref [1, 1, Bt, h], dpc_ref [S_pad, h], dvw_ref
+    # [h, V], dvb_ref [1, V], dbw_ref [1, h], dbb_ref [1, 1] SMEM,
+    # beta_out_ref [1, Bt, S_pad] (beta after the first frame).
+    # Scratch: beta_scr [num_b_tiles, Bt, S_pad] f32 carry, blank_scr
+    # [Bt, S_pad] f32, lex_scr [Bt*S_pad, V] (cached lexical weights,
+    # 2-D layout), dpc_scr [S_pad, h], dvw_scr [h, V], dvb_scr [1, V],
+    # dbw_scr [1, h], dbb_scr [1, 1] SMEM.
+    *rest,
     batch_tile: int,
     s_tile: int,
     num_s_tiles: int,
@@ -252,6 +275,7 @@ def _fused_backward_kernel(
     compute_dtype,
     cache_dtype,
     num_real_states: int,
+    with_expansions: bool = False,
 ):
   # Mosaic constraints shape this kernel (found empirically; this jax
   # version):
@@ -274,6 +298,15 @@ def _fused_backward_kernel(
   # products of E - no transcendentals ever touch the O(Bt*S*V) tensor
   # after pass A. Shifts keep every factor within float32 range (each
   # factor <= exp(max|lex|), products <= 1).
+  if with_expansions:
+    expans_refs = rest[:max_expansions]
+    rest2 = rest[max_expansions:]
+  else:
+    expans_refs = ()
+    rest2 = rest
+  (beta0_ref, dpf_ref, dpc_ref, dvw_ref, dvb_ref, dbw_ref, dbb_ref,
+   beta_out_ref, beta_scr, blank_scr, lex_scr, dpc_scr, dvw_scr,
+   dvb_scr, dbw_scr, dbb_scr) = rest2
   t = pl.program_id(0)
   b = pl.program_id(1)
   vocab = vw_ref.shape[-1]
@@ -393,9 +426,14 @@ def _fused_backward_kernel(
   else:
     # alignments.FrameLabelDependent.backward.
     k = max_expansions
-    a_list = [alpha]
-    for _ in range(k):
-      a_list.append(expand(sweep_reduce(a_list[-1])))
+    if expans_refs:
+      # The forward streamed expand(sweep_reduce)^1..k of alpha; no
+      # in-kernel replay sweeps needed (see STREAM_EXPANSIONS).
+      a_list = [alpha] + [expans_refs[j][0, 0] for j in range(k)]
+    else:
+      a_list = [alpha]
+      for _ in range(k):
+        a_list.append(expand(sweep_reduce(a_list[-1])))
     bm_total = jnp.zeros_like(alpha)
     for j in range(k + 1):
       bm_total = bm_total + jnp.exp(a_list[j] + blank + beta - log_z)
@@ -1239,7 +1277,8 @@ def fused_shortest_distance_fwd(wf_params: Any,
                                 interpret: bool = False,
                                 alpha0=None,
                                 return_final_alpha: bool = False,
-                                with_history: bool = True):
+                                with_history: bool = True,
+                                with_expansions: bool = False):
   """Runs the fused forward scan.
 
   Args:
@@ -1274,7 +1313,10 @@ def fused_shortest_distance_fwd(wf_params: Any,
   Returns:
     (log_z [B], alpha_history [B, T, S]) — matching ``lattices._forward``
     under the Log semiring — plus final_alpha [B, S] when
-    ``return_final_alpha``.
+    ``return_final_alpha``, plus a k-tuple of RAW [T, B_pad, S_pad]
+    expansion-alpha arrays when ``with_expansions`` (kernel layout; feed
+    them to ``run_fused_backward(expansion_history=...)``, which
+    restages them — see STREAM_EXPANSIONS).
   """
   batch, max_t, _ = frames.shape
   vocab = wf_params['vocab_w'].shape[-1]
@@ -1282,6 +1324,10 @@ def fused_shortest_distance_fwd(wf_params: Any,
   assert s == vocab + 1, 'fused kernel requires bigram FullNGram'
   mode, cache_dtype = _resolve_mode(
       mode, cache_dtype, s, vocab, wf_params['frame_proj'].shape[-1])
+  if with_expansions and (frame_dependent or max_expansions < 1
+                          or mode != 'cache'):
+    raise ValueError('with_expansions requires FrameLabelDependent with '
+                     "max_expansions >= 1 in 'cache' mode")
   wf_params, vocab = _pad_vocab(wf_params)
   # expand() writes the padded label block into states 1..vocab.
   s_pad = _round_up(max(s, 1 + vocab), s_tile)
@@ -1342,7 +1388,8 @@ def fused_shortest_distance_fwd(wf_params: Any,
         max_expansions=max_expansions,
         frame_dependent=frame_dependent,
         compute_dtype=compute_dtype,
-        cache_dtype=cache_dtype)
+        cache_dtype=cache_dtype,
+        with_expansions=with_expansions)
     scratch_shapes = [
         pltpu.VMEM((b_pad, s_pad), jnp.float32),
         pltpu.VMEM((batch_tile, s_pad), jnp.float32),
@@ -1382,7 +1429,27 @@ def fused_shortest_distance_fwd(wf_params: Any,
     vb_spec = pl.BlockSpec((num_v_tiles, 1, v_tile),
                            lambda t, b: (0, 0, 0))
 
-  hist, alpha_t = pl.pallas_call(
+  out_specs = [
+      # with_history=False parks every step's history block at index
+      # 0 — one [1, B, S] dummy in HBM instead of the [T, B, S] dump.
+      pl.BlockSpec((1, batch_tile, s_pad),
+                   (lambda t, b: (t, b, 0)) if with_history else
+                   (lambda t, b: (0, b, 0))),
+      pl.BlockSpec((batch_tile, s_pad), lambda t, b: (b, 0)),
+  ]
+  out_shape = [
+      jax.ShapeDtypeStruct(
+          (max_t if with_history else 1, b_pad, s_pad), jnp.float32),
+      jax.ShapeDtypeStruct((b_pad, s_pad), jnp.float32),
+  ]
+  if with_expansions:
+    for _ in range(max_expansions):
+      out_specs.append(
+          pl.BlockSpec((1, batch_tile, s_pad), lambda t, b: (t, b, 0)))
+      out_shape.append(
+          jax.ShapeDtypeStruct((max_t, b_pad, s_pad), jnp.float32))
+
+  outs = pl.pallas_call(
       kernel,
       grid=(max_t, num_b_tiles),
       in_specs=[
@@ -1396,34 +1463,28 @@ def fused_shortest_distance_fwd(wf_params: Any,
                        memory_space=pltpu.SMEM),
           pl.BlockSpec((batch_tile, s_pad), lambda t, b: (b, 0)),
       ],
-      out_specs=[
-          # with_history=False parks every step's history block at index
-          # 0 — one [1, B, S] dummy in HBM instead of the [T, B, S] dump.
-          pl.BlockSpec((1, batch_tile, s_pad),
-                       (lambda t, b: (t, b, 0)) if with_history else
-                       (lambda t, b: (0, b, 0))),
-          pl.BlockSpec((batch_tile, s_pad), lambda t, b: (b, 0)),
-      ],
-      out_shape=[
-          jax.ShapeDtypeStruct(
-              (max_t if with_history else 1, b_pad, s_pad), jnp.float32),
-          jax.ShapeDtypeStruct((b_pad, s_pad), jnp.float32),
-      ],
+      out_specs=out_specs,
+      out_shape=out_shape,
       scratch_shapes=scratch_shapes,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,
   )(is_pad, pf, pc, vw_in, vb_in, wf_params['blank_w'][:, None],
     wf_params['blank_b'][None, None], alpha0)
+  hist, alpha_t = outs[0], outs[1]
+  expansions = tuple(outs[2:]) if with_expansions else None
 
   # Unpad and reshape to the lattices._forward contract.
   alpha_t = alpha_t[:batch, :s]
   log_z = jax.scipy.special.logsumexp(alpha_t, axis=-1)
   alpha_history = (jnp.moveaxis(hist[:, :batch, :s], 0, 1)  # [B, T, S]
                    if with_history else None)
+  ret = [log_z, alpha_history]
   if return_final_alpha:
-    return log_z, alpha_history, alpha_t
-  return log_z, alpha_history
+    ret.append(alpha_t)
+  if with_expansions:
+    ret.append(expansions)
+  return tuple(ret)
 
 
 def _bwd_tiles(mode, s, vocab_padded, s_tile, bwd_batch_tile):
@@ -1459,7 +1520,8 @@ def run_fused_backward(wf_params: Any,
                        cache_dtype=jnp.float32,
                        mode: str = 'auto',
                        interpret: bool = False,
-                       beta0=None):
+                       beta0=None,
+                       expansion_history=None):
   """Runs the fused backward (beta) scan over one frame block.
 
   The gradient half of ``log_partition``: given the forward residuals
@@ -1475,6 +1537,13 @@ def run_fused_backward(wf_params: Any,
   reverse, mirroring the forward kernel's ``alpha0`` chaining — the
   distributed analogue of the reference's backward-recomputation design
   (reference ``lattices.py:539-557``).
+
+  ``expansion_history`` is the k-tuple of raw [T, B_pad, S_pad]
+  expansion-alpha arrays from ``fused_shortest_distance_fwd(...,
+  with_expansions=True)`` (forward kernel layout/padding); when given
+  ('cache' mode, FLD only), the kernel reads them instead of replaying
+  k expand(sweep_reduce) passes per frame. Bit-identical gradients —
+  see STREAM_EXPANSIONS.
 
   Returns:
     (d_wf_params, d_cache, d_frames, beta_out).
@@ -1507,6 +1576,24 @@ def run_fused_backward(wf_params: Any,
                       constant_values=NEG_INF)
   beta0_b = beta0_b.reshape(num_b_tiles, tile, s_pad)
 
+  if expansion_history is not None and (
+      frame_dependent or max_expansions < 1 or mode != 'cache'):
+    raise ValueError('expansion_history requires FrameLabelDependent '
+                     "with max_expansions >= 1 in 'cache' mode")
+  if expansion_history is not None:
+    # Restage the forward-layout [T, B_pad_fwd, S_pad_fwd] slabs to this
+    # kernel's (possibly different) batch tiling. Slice to the true
+    # extents, re-pad with -inf (what the in-kernel replay produces at
+    # padded rows/states), retile; when the paddings already match, XLA
+    # elides the copy.
+    def _restage_expans(e):
+      e = e[:, :batch, :s]
+      e = jnp.pad(e, ((0, 0), (0, b_pad - batch), (0, s_pad - s)),
+                  constant_values=NEG_INF)
+      return e.reshape(max_t, num_b_tiles, tile, s_pad)
+
+    expansion_history = [_restage_expans(e) for e in expansion_history]
+
   padded_params, _ = _pad_vocab(wf_params)
   if mode == 'cache':
     kernel = _cached_partial(
@@ -1518,7 +1605,8 @@ def run_fused_backward(wf_params: Any,
         frame_dependent=frame_dependent,
         compute_dtype=compute_dtype,
         cache_dtype=cache_dtype,
-        num_real_states=s)
+        num_real_states=s,
+        with_expansions=expansion_history is not None)
     mode_scratch = [
         pltpu.VMEM((tile, s_pad), jnp.float32),
         pltpu.VMEM((tile * s_pad, vocab), cache_dtype),
@@ -1569,26 +1657,37 @@ def run_fused_backward(wf_params: Any,
     vb_spec = pl.BlockSpec(vb_shape, lambda t, b: (0, 0, 0))
 
   rev = lambda t: max_t - 1 - t
+  in_specs = [
+      pl.BlockSpec((1, 1, tile, 1), lambda t, b: (rev(t), b, 0, 0)),
+      pl.BlockSpec((1, tile, 1), lambda t, b: (b, 0, 0)),
+      pl.BlockSpec((1, tile, 1), lambda t, b: (b, 0, 0)),
+      pl.BlockSpec((1, 1, tile, hidden),
+                   lambda t, b: (rev(t), b, 0, 0)),
+      pl.BlockSpec((s_pad, hidden), lambda t, b: (0, 0)),
+      vw_spec,
+      vb_spec,
+      pl.BlockSpec((hidden, 1), lambda t, b: (0, 0)),
+      pl.BlockSpec((1, hidden), lambda t, b: (0, 0)),
+      pl.BlockSpec((1, 1), lambda t, b: (0, 0),
+                   memory_space=pltpu.SMEM),
+      pl.BlockSpec((1, 1, tile, s_pad),
+                   lambda t, b: (rev(t), b, 0, 0)),
+  ]
+  inputs = [is_pad, logz_b, g_b, pf, pc, vw_in, vb_in,
+            wf_params['blank_w'][:, None],
+            wf_params['blank_w'][None, :],
+            wf_params['blank_b'][None, None], hist]
+  if expansion_history is not None:
+    for e in expansion_history:
+      in_specs.append(pl.BlockSpec((1, 1, tile, s_pad),
+                                   lambda t, b: (rev(t), b, 0, 0)))
+      inputs.append(e)
+  in_specs.append(pl.BlockSpec((1, tile, s_pad), lambda t, b: (b, 0, 0)))
+  inputs.append(beta0_b)
   dpf, dpc, dvw, dvb, dbw, dbb, beta_out = pl.pallas_call(
       kernel,
       grid=(max_t, num_b_tiles),
-      in_specs=[
-          pl.BlockSpec((1, 1, tile, 1), lambda t, b: (rev(t), b, 0, 0)),
-          pl.BlockSpec((1, tile, 1), lambda t, b: (b, 0, 0)),
-          pl.BlockSpec((1, tile, 1), lambda t, b: (b, 0, 0)),
-          pl.BlockSpec((1, 1, tile, hidden),
-                       lambda t, b: (rev(t), b, 0, 0)),
-          pl.BlockSpec((s_pad, hidden), lambda t, b: (0, 0)),
-          vw_spec,
-          vb_spec,
-          pl.BlockSpec((hidden, 1), lambda t, b: (0, 0)),
-          pl.BlockSpec((1, hidden), lambda t, b: (0, 0)),
-          pl.BlockSpec((1, 1), lambda t, b: (0, 0),
-                       memory_space=pltpu.SMEM),
-          pl.BlockSpec((1, 1, tile, s_pad),
-                       lambda t, b: (rev(t), b, 0, 0)),
-          pl.BlockSpec((1, tile, s_pad), lambda t, b: (b, 0, 0)),
-      ],
+      in_specs=in_specs,
       out_specs=[
           pl.BlockSpec((1, 1, tile, hidden),
                        lambda t, b: (rev(t), b, 0, 0)),
@@ -1626,10 +1725,7 @@ def run_fused_backward(wf_params: Any,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,
-  )(is_pad, logz_b, g_b, pf, pc, vw_in, vb_in,
-    wf_params['blank_w'][:, None],
-    wf_params['blank_w'][None, :], wf_params['blank_b'][None, None],
-    hist, beta0_b)
+  )(*inputs)
 
   if mode != 'cache':
     # Undo the vocab-tile-major layout.
@@ -1696,24 +1792,27 @@ def log_partition(wf_params: Any,
       mode, s, _round_up(true_vocab, _LANES), s_tile, bwd_batch_tile)
   fn = _log_partition_vjp_fn(
       max_expansions, frame_dependent, s, batch_tile, bwd_batch_tile,
-      s_tile, compute_dtype, cache_dtype, mode, interpret)
+      s_tile, compute_dtype, cache_dtype, mode, interpret,
+      _stream_active(frame_dependent, max_expansions, mode))
   return fn(wf_params, cache, frames, num_frames)
 
 
 @functools.lru_cache(maxsize=None)
 def _log_partition_vjp_fn(max_expansions, frame_dependent, s, batch_tile,
                           bwd_batch_tile, s_tile, compute_dtype,
-                          cache_dtype, mode, interpret):
+                          cache_dtype, mode, interpret, stream=False):
   """Cached custom-VJP builder for ``log_partition``.
 
   Creating the ``jax.custom_vjp`` object fresh on every call re-traced
   the Pallas kernels on every outer retrace (tracing-cache misses at the
   kernel ``pl.when`` bodies); one stable object per static config lets
-  jax's caches hit instead.
+  jax's caches hit instead. ``stream`` is a cache-key argument (not read
+  from the module flag here) so STREAM_EXPANSIONS A/Bs get distinct
+  cached objects.
   """
 
   def run_forward(wf_params, cache, frames, num_frames):
-    return fused_shortest_distance_fwd(
+    outs = fused_shortest_distance_fwd(
         wf_params, cache, frames, num_frames,
         max_expansions=max_expansions,
         frame_dependent=frame_dependent,
@@ -1723,21 +1822,28 @@ def _log_partition_vjp_fn(max_expansions, frame_dependent, s, batch_tile,
         compute_dtype=compute_dtype,
         cache_dtype=cache_dtype,
         mode=mode,
-        interpret=interpret)
+        interpret=interpret,
+        with_expansions=stream)
+    if stream:
+      log_z, alpha_history, expansions = outs
+    else:
+      (log_z, alpha_history), expansions = outs, None
+    return log_z, alpha_history, expansions
 
   @jax.custom_vjp
   def fn(wf_params, cache, frames, num_frames):
-    log_z, _ = run_forward(wf_params, cache, frames, num_frames)
+    log_z, _, _ = run_forward(wf_params, cache, frames, num_frames)
     return log_z
 
   def fn_fwd(wf_params, cache, frames, num_frames):
-    log_z, alpha_history = run_forward(wf_params, cache, frames,
-                                       num_frames)
+    log_z, alpha_history, expansions = run_forward(
+        wf_params, cache, frames, num_frames)
     return log_z, (wf_params, cache, frames, num_frames, log_z,
-                   alpha_history)
+                   alpha_history, expansions)
 
   def fn_bwd(residuals, g):
-    wf_params, cache, frames, num_frames, log_z, alpha_history = residuals
+    (wf_params, cache, frames, num_frames, log_z, alpha_history,
+     expansions) = residuals
     d_wf, d_cache, d_frames, _ = run_fused_backward(
         wf_params, cache, frames, num_frames, log_z, g, alpha_history,
         max_expansions=max_expansions,
@@ -1748,7 +1854,8 @@ def _log_partition_vjp_fn(max_expansions, frame_dependent, s, batch_tile,
         compute_dtype=compute_dtype,
         cache_dtype=cache_dtype,
         mode=mode,
-        interpret=interpret)
+        interpret=interpret,
+        expansion_history=expansions)
     return (d_wf, d_cache, d_frames,
             np.zeros(num_frames.shape, jax.dtypes.float0))
 

@@ -572,3 +572,36 @@ def test_viterbi_kernel_locally_normalized(normalize_fn, alignment_factory):
   npt.assert_array_equal(np.asarray(dec_f[0]), np.asarray(dec_x[0]))
   npt.assert_array_equal(np.asarray(dec_f[1]), np.asarray(dec_x[1]))
   npt.assert_allclose(dec_f[2], dec_x[2], rtol=1e-5, atol=1e-6)
+
+
+def test_stream_expansions_variant_matches(monkeypatch):
+  """STREAM_EXPANSIONS (default ON) == in-kernel replay (values+grads).
+
+  With the flag on, the forward streams expand(sweep_reduce)^1..k of
+  alpha per frame to k extra outputs and the backward reads them
+  instead of replaying the sweeps from its rebuilt E cache. Both routes
+  run the same ops on the same staged inputs, so results are
+  bit-identical; this pins the legacy replay path so the hardware A/B
+  (benchmarks/tpu_bigram_kernel_ab.py) stays re-runnable."""
+  lattice = build(alignments.FrameLabelDependent(max_expansions=2),
+                  fused='interpret')
+  params = lattice.init(jax.random.PRNGKey(3), feature_size=6)
+  frames = jax.random.normal(jax.random.PRNGKey(9), (3, 5, 6))
+  num_frames = jnp.array([5, 3, 0])
+  labels = jnp.array([[1, 2, 3], [2, 1, 0], [0, 0, 0]], jnp.int32)
+  num_labels = jnp.array([3, 2, 0])
+
+  def loss(params, frames):
+    return jnp.sum(lattice.loss(params, frames, num_frames, labels,
+                                num_labels))
+
+  assert fused_scan.STREAM_EXPANSIONS  # default is ON
+  val_on = loss(params, frames)
+  g_on = jax.grad(loss, argnums=(0, 1))(params, frames)
+  monkeypatch.setattr(fused_scan, 'STREAM_EXPANSIONS', False)
+  val_off = loss(params, frames)
+  g_off = jax.grad(loss, argnums=(0, 1))(params, frames)
+  npt.assert_allclose(val_on, val_off, rtol=1e-6)
+  jax.tree.map(
+      lambda a, b: npt.assert_allclose(a, b, rtol=1e-6, atol=1e-7),
+      g_on, g_off)
