@@ -70,6 +70,16 @@ _LANES = 128
 STREAM_EXPANSIONS = True
 
 
+# Expansion streaming for the MARGINALS reverse pass: measured a ~1%
+# LOSS at headline shapes (v5e, 2026-08-19: streamed 1031.1/1031.0 ms
+# vs in-kernel replay 1021.4 ms, same process, identical checksums) —
+# the marginals kernel has no grad matmuls, so it is HBM/VPU-bound and
+# the extra [T, k, B, S_pad] forward writes + reverse reads cost more
+# than the k replay sweeps they replace. Default OFF; the plumbing and
+# this flag stay so the A/B (/tests) remain re-runnable.
+STREAM_MARGINALS = False
+
+
 def _stream_active(frame_dependent: bool, max_expansions: int,
                    mode: str) -> bool:
   return (STREAM_EXPANSIONS and not frame_dependent
@@ -525,14 +535,13 @@ def _fused_marginals_kernel(
     bw_ref,         # [h, 1]
     bb_ref,         # [1, 1] SMEM
     hist_ref,       # [1, 1, Bt, S_pad]
-    # Outputs.
-    bm_ref,         # [1, 1, Bt, S_pad] blank posteriors for this frame
-    lex_ref,        # [1, 1, Bt, V] label posteriors (summed over states)
-    # Scratch.
-    beta_scr,       # [num_b_tiles, Bt, S_pad] f32
-    blank_scr,      # [Bt, S_pad] f32
-    lex_scr,        # [Bt * S_pad, V] exp cache (2-D layout)
-    *,
+    # Then: with ``with_expansions``, k expans refs [1, 1, Bt, S_pad]
+    # (the forward's streamed expansion alphas — see STREAM_EXPANSIONS).
+    # Outputs: bm_ref [1, 1, Bt, S_pad] (blank posteriors for this
+    # frame), lex_ref [1, 1, Bt, V] (label posteriors, state-summed).
+    # Scratch: beta_scr [num_b_tiles, Bt, S_pad] f32, blank_scr
+    # [Bt, S_pad] f32, lex_scr [Bt*S_pad, V] exp cache (2-D layout).
+    *rest,
     batch_tile: int,
     s_tile: int,
     num_s_tiles: int,
@@ -541,6 +550,7 @@ def _fused_marginals_kernel(
     compute_dtype,
     cache_dtype,
     num_real_states: int,
+    with_expansions: bool = False,
 ):
   """Reverse scan emitting per-frame arc posteriors instead of gradients.
 
@@ -554,6 +564,13 @@ def _fused_marginals_kernel(
   config: 32*1600*1025*1024 floats = 215 GB); the state-summed posterior
   is the per-tile matvec ``ws_j @ E`` the backward already computes.
   """
+  if with_expansions:
+    expans_refs = rest[:max_expansions]
+    rest2 = rest[max_expansions:]
+  else:
+    expans_refs = ()
+    rest2 = rest
+  (bm_ref, lex_ref, beta_scr, blank_scr, lex_scr) = rest2
   t = pl.program_id(0)
   b = pl.program_id(1)
   vocab = vw_ref.shape[-1]
@@ -651,9 +668,14 @@ def _fused_marginals_kernel(
     final_nb = jnp.logaddexp(blank + beta, sweep_lse_y(to_lex_space(beta)))
   else:
     k = max_expansions
-    a_list = [alpha]
-    for _ in range(k):
-      a_list.append(expand(sweep_reduce(a_list[-1])))
+    if expans_refs:
+      # The forward streamed expand(sweep_reduce)^1..k of alpha; no
+      # in-kernel replay sweeps needed (see STREAM_EXPANSIONS).
+      a_list = [alpha] + [expans_refs[j][0, 0] for j in range(k)]
+    else:
+      a_list = [alpha]
+      for _ in range(k):
+        a_list.append(expand(sweep_reduce(a_list[-1])))
     bm_total = jnp.zeros_like(alpha)
     for j in range(k + 1):
       bm_total = bm_total + jnp.exp(a_list[j] + blank + beta - log_z)
@@ -1911,7 +1933,9 @@ def fused_label_marginals(wf_params: Any,
     bwd_batch_tile = 8
   s_pad = _round_up(max(s, 1 + vocab), s_tile)
 
-  log_z, alpha_history = fused_shortest_distance_fwd(
+  stream = (STREAM_MARGINALS
+            and _stream_active(frame_dependent, max_expansions, 'cache'))
+  fwd_outs = fused_shortest_distance_fwd(
       wf_params, cache, frames, num_frames,
       max_expansions=max_expansions,
       frame_dependent=frame_dependent,
@@ -1921,13 +1945,28 @@ def fused_label_marginals(wf_params: Any,
       compute_dtype=compute_dtype,
       cache_dtype=cache_dtype,
       mode='cache',
-      interpret=interpret)
+      interpret=interpret,
+      with_expansions=stream)
+  if stream:
+    log_z, alpha_history, expansions = fwd_outs
+  else:
+    (log_z, alpha_history), expansions = fwd_outs, None
 
   tile = bwd_batch_tile
   num_s_tiles = s_pad // s_tile
   pf, pc, is_pad, hist, logz_b, b_pad, num_b_tiles = (
       _stage_reverse_inputs(wf_params, cache, frames, num_frames, log_z,
                             alpha_history, tile, s_pad, s))
+  if stream:
+    # Restage the raw forward-layout expansion slabs to this kernel's
+    # batch tiling (elided when the paddings already match).
+    def _restage_expans(e):
+      e = e[:, :batch, :s]
+      e = jnp.pad(e, ((0, 0), (0, b_pad - batch), (0, s_pad - s)),
+                  constant_values=NEG_INF)
+      return e.reshape(max_t, num_b_tiles, tile, s_pad)
+
+    expansions = [_restage_expans(e) for e in expansions]
 
   kernel = _cached_partial(
       _fused_marginals_kernel,
@@ -1938,27 +1977,38 @@ def fused_label_marginals(wf_params: Any,
       frame_dependent=frame_dependent,
       compute_dtype=compute_dtype,
       cache_dtype=cache_dtype,
-      num_real_states=s)
+      num_real_states=s,
+      with_expansions=stream)
 
   padded_params, _ = _pad_vocab(wf_params)
   rev = lambda t: max_t - 1 - t
+  in_specs = [
+      pl.BlockSpec((1, 1, tile, 1), lambda t, b: (rev(t), b, 0, 0)),
+      pl.BlockSpec((1, tile, 1), lambda t, b: (b, 0, 0)),
+      pl.BlockSpec((1, 1, tile, hidden),
+                   lambda t, b: (rev(t), b, 0, 0)),
+      pl.BlockSpec((s_pad, hidden), lambda t, b: (0, 0)),
+      pl.BlockSpec((hidden, vocab), lambda t, b: (0, 0)),
+      pl.BlockSpec((1, vocab), lambda t, b: (0, 0)),
+      pl.BlockSpec((hidden, 1), lambda t, b: (0, 0)),
+      pl.BlockSpec((1, 1), lambda t, b: (0, 0),
+                   memory_space=pltpu.SMEM),
+      pl.BlockSpec((1, 1, tile, s_pad),
+                   lambda t, b: (rev(t), b, 0, 0)),
+  ]
+  inputs = [is_pad, logz_b, pf, pc, padded_params['vocab_w'],
+            padded_params['vocab_b'][None, :],
+            wf_params['blank_w'][:, None],
+            wf_params['blank_b'][None, None], hist]
+  if stream:
+    for e in expansions:
+      in_specs.append(pl.BlockSpec((1, 1, tile, s_pad),
+                                   lambda t, b: (rev(t), b, 0, 0)))
+      inputs.append(e)
   bm, lex = pl.pallas_call(
       kernel,
       grid=(max_t, num_b_tiles),
-      in_specs=[
-          pl.BlockSpec((1, 1, tile, 1), lambda t, b: (rev(t), b, 0, 0)),
-          pl.BlockSpec((1, tile, 1), lambda t, b: (b, 0, 0)),
-          pl.BlockSpec((1, 1, tile, hidden),
-                       lambda t, b: (rev(t), b, 0, 0)),
-          pl.BlockSpec((s_pad, hidden), lambda t, b: (0, 0)),
-          pl.BlockSpec((hidden, vocab), lambda t, b: (0, 0)),
-          pl.BlockSpec((1, vocab), lambda t, b: (0, 0)),
-          pl.BlockSpec((hidden, 1), lambda t, b: (0, 0)),
-          pl.BlockSpec((1, 1), lambda t, b: (0, 0),
-                       memory_space=pltpu.SMEM),
-          pl.BlockSpec((1, 1, tile, s_pad),
-                       lambda t, b: (rev(t), b, 0, 0)),
-      ],
+      in_specs=in_specs,
       out_specs=[
           pl.BlockSpec((1, 1, tile, s_pad),
                        lambda t, b: (rev(t), b, 0, 0)),
@@ -1979,9 +2029,7 @@ def fused_label_marginals(wf_params: Any,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,
-  )(is_pad, logz_b, pf, pc, padded_params['vocab_w'],
-    padded_params['vocab_b'][None, :], wf_params['blank_w'][:, None],
-    wf_params['blank_b'][None, None], hist)
+  )(*inputs)
 
   bm = bm.reshape(max_t, b_pad, s_pad)[:, :batch, :s]
   lex = lex.reshape(max_t, b_pad, vocab)[:, :batch, :true_vocab]

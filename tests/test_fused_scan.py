@@ -605,3 +605,21 @@ def test_stream_expansions_variant_matches(monkeypatch):
   jax.tree.map(
       lambda a, b: npt.assert_allclose(a, b, rtol=1e-6, atol=1e-7),
       g_on, g_off)
+
+
+def test_stream_marginals_variant_matches(monkeypatch):
+  """STREAM_MARGINALS (default OFF, a measured ~1% hardware loss) ==
+  the in-kernel replay marginals, exactly — pins both routes so the
+  A/B stays re-runnable."""
+  lattice = build(alignments.FrameLabelDependent(max_expansions=2),
+                  fused='interpret')
+  params = lattice.init(jax.random.PRNGKey(3), feature_size=6)
+  frames = jax.random.normal(jax.random.PRNGKey(9), (3, 5, 6))
+  num_frames = jnp.array([5, 3, 0])
+
+  assert not fused_scan.STREAM_MARGINALS  # default is OFF
+  bm_off, lm_off = lattice.label_marginals(params, frames, num_frames)
+  monkeypatch.setattr(fused_scan, 'STREAM_MARGINALS', True)
+  bm_on, lm_on = lattice.label_marginals(params, frames, num_frames)
+  npt.assert_allclose(bm_on, bm_off, rtol=1e-6, atol=1e-7)
+  npt.assert_allclose(lm_on, lm_off, rtol=1e-6, atol=1e-7)
