@@ -394,6 +394,13 @@ def _fused_relay(lattice, mesh: Mesh, axis_name: str, local_t: int,
   the block's alpha history from the saved incoming alpha (memory:
   [B, T/D, S] per device — the point of time sharding), and psums the
   weight-fn/cache cotangents.
+
+  The block backward re-runs the forward anyway (to rebuild the alpha
+  history the forward discarded), so when expansion streaming is on
+  (``fused_scan.STREAM_EXPANSIONS``, ~4% of the single-device headline
+  step) it also requests the streamed expansion slabs there and feeds
+  ``run_fused_backward(expansion_history=...)`` — [B, T/D, k, S] extra
+  transient per-device memory during the active stage only.
   """
   from last_torch_tpu import alignments as alignments_lib
   from last_torch_tpu.ops import fused_scan
@@ -410,6 +417,13 @@ def _fused_relay(lattice, mesh: Mesh, axis_name: str, local_t: int,
       compute_dtype=jnp.float32 if interpret else jnp.bfloat16,
       interpret=interpret)
   num_states = lattice.context.shape()[0]
+  # Expansion streaming for the block backwards (matches the defaults
+  # run_fused_backward resolves internally: mode='auto', f32 cache).
+  _resolved_mode, _ = fused_scan._resolve_mode(
+      'auto', jnp.float32, num_states, lattice.weight_fn.vocab_size,
+      lattice.weight_fn.hidden_size)
+  stream = fused_scan._stream_active(
+      frame_dependent, kernel_kwargs['max_expansions'], _resolved_mode)
 
   def local_nf(num_frames, my_idx):
     return jnp.clip(num_frames - my_idx.astype(jnp.int32) * local_t, 0,
@@ -459,13 +473,17 @@ def _fused_relay(lattice, mesh: Mesh, axis_name: str, local_t: int,
       active = my_idx == (num_devices - 1 - s)
 
       def run(b):
-        _, hist, _ = fused_scan.fused_shortest_distance_fwd(
+        outs = fused_scan.fused_shortest_distance_fwd(
             wf_params, cache, local_frames, nf,
             alpha0=saved, return_final_alpha=True, with_history=True,
-            **kernel_kwargs)
+            with_expansions=stream, **kernel_kwargs)
+        if stream:
+          _, hist, _, expans = outs
+        else:
+          (_, hist, _), expans = outs, None
         return fused_scan.run_fused_backward(
             wf_params, cache, local_frames, nf, log_z, g, hist,
-            beta0=b, **kernel_kwargs)
+            beta0=b, expansion_history=expans, **kernel_kwargs)
 
       def skip(b):
         return d_wf0, d_cache0, d_frames0, b
